@@ -1,0 +1,79 @@
+"""Path-based warehouse catalog (reference D1-D3, D8, S5).
+
+The reference's `staging` / `presentation` schemas live in Redshift; ours
+are directories of Parquet tables. `TRUNCATE` + `COPY` collapses to an
+overwrite write (reference S5/D8); DDL collapses to the write's schema.
+
+Rebuild-overwrite safety: Spark cannot overwrite a path that feeds the
+running plan, so `overwrite` stages the new data in a sibling tmp dir and
+swaps it in — which is exactly what the SCD2 rebuild needs (read dim,
+rebuild, replace). The API is MERGE-shaped so a Delta-backed store can
+slot in later without touching callers (SURVEY §7 risk 1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableStore:
+    """A tiny two-level catalog: ``{root}/{database}/{table}`` Parquet dirs."""
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def path(self, database: str, table: str) -> str:
+        return f"{self.root}/{database}/{table}"
+
+    def exists(self, database: str, table: str) -> bool:
+        p = self.path(database, table)
+        if not os.path.isdir(p):
+            return False
+        # Partitioned tables nest part-files under key=value subdirs.
+        return any(
+            f.endswith(".parquet") for _, _, files in os.walk(p) for f in files
+        )
+
+    def read(self, spark: SparkSession, database: str, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(database, table))
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        database: str,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Truncate-and-load (reference D8+S5). Stage-to-tmp + swap so the
+        source of a rebuild can also be its destination."""
+        final = self.path(database, table)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    def append(
+        self,
+        df: DataFrame,
+        database: str,
+        table: str,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """INSERT…SELECT append (reference D6/D9)."""
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(database, table))
+
+    def columns(self, spark: SparkSession, database: str, table: str) -> list[str]:
+        """Column introspection (reference D7, `dimension_operator.py:100-137`
+        queries information_schema; here the Parquet footer is the schema)."""
+        return self.read(spark, database, table).columns

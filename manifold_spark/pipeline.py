@@ -1,0 +1,111 @@
+"""Weekly pipeline driver (reference DAG `manifold_main`, §2.8).
+
+The reference's 6-stage Airflow DAG (scrape → EL → staging DDL → staging
+load → SCD2 dims → fact) collapses to one function: every stage is a
+DataFrame program against the TableStore. Stage boundaries are preserved
+as real writes (staging Parquet exists on disk after the run, like the
+reference's `staging.*` tables) so each stage is independently testable
+and restartable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from manifold_spark import clean, ingest, quality, scd2, stage
+from manifold_spark.catalog import TableStore
+from manifold_spark.dims import date_dimension
+from manifold_spark.facts import load_fact_stock
+from manifold_spark.schema import DIM_KEYS
+
+#: staging table → (presentation table, surrogate key column)
+_DIMS = {
+    "dim_broker": "broker_id",
+    "dim_asset": "asset_id",
+    "dim_geography": "geography_id",
+}
+
+
+def run_week(
+    spark: SparkSession,
+    store: TableStore,
+    raw_root: str,
+    execution_date: str | dt.date,
+    infer_schema: bool = False,
+    idempotent_fact: bool = True,
+) -> dict[str, int]:
+    """Run one weekly timestep end-to-end. Returns row counts per table."""
+    if isinstance(execution_date, dt.date):
+        execution_date = execution_date.isoformat()
+
+    # Stage 2 — EL: ingest + clean, one cached scan feeding the 4-way
+    # staging fan-out (the reference's deliberate `.cache()`,
+    # `el_to_parquet.py:324-325` — without it each sink re-reads the JSON).
+    path = ingest.timestep_path(raw_root, execution_date)
+    base = clean.clean_listings(ingest.load_json_listings(spark, path, infer_schema))
+    base = base.cache()
+    try:
+        # Stages 3-4 — staging DDL + load ≡ overwrite writes.
+        for name, df in stage.stage_all(base, execution_date).items():
+            store.overwrite(df, "staging", name)
+    finally:
+        base.unpersist()
+
+    counts: dict[str, int] = {}
+    for name in ("dim_broker", "dim_geography", "dim_asset", "fact_stock"):
+        counts[f"staging.{name}"] = quality.assert_nonempty(
+            store.read(spark, "staging", name), f"staging.{name}"
+        )
+
+    # Stage 5 — SCD2 merge per dimension.
+    for dim_name, sk_col in _DIMS.items():
+        base_df = store.read(spark, "staging", dim_name)
+        target = (
+            store.read(spark, "presentation", dim_name)
+            if store.exists("presentation", dim_name)
+            else None
+        )
+        merged = scd2.scd2_merge(target, base_df, sk_col, DIM_KEYS[dim_name], execution_date)
+        store.overwrite(merged, "presentation", dim_name)
+        dim = store.read(spark, "presentation", dim_name)
+        quality.assert_unique_active(dim, DIM_KEYS[dim_name], dim_name)
+        counts[f"presentation.{dim_name}"] = quality.assert_nonempty(dim, dim_name)
+
+    # Date dimension (reference: a view; materialized once here).
+    if not store.exists("presentation", "dim_date"):
+        store.overwrite(date_dimension(spark), "presentation", "dim_date")
+
+    # Stage 6 — fact load (append; idempotent mode deletes the week first).
+    fact_staging = store.read(spark, "staging", "fact_stock")
+    existing = (
+        store.read(spark, "presentation", "fact_stock")
+        if store.exists("presentation", "fact_stock")
+        else None
+    )
+    week_date_id = int(execution_date.replace("-", ""))
+    id_offset = 0
+    if existing is not None:
+        if idempotent_fact:
+            existing = existing.filter(F.col("date_id") != week_date_id)
+        row = existing.agg(F.max("id")).collect()[0][0]
+        id_offset = row or 0
+
+    fact_new = load_fact_stock(
+        fact_staging,
+        store.read(spark, "presentation", "dim_broker"),
+        store.read(spark, "presentation", "dim_asset"),
+        store.read(spark, "presentation", "dim_geography"),
+        id_offset=id_offset,
+    )
+    fact_full = fact_new if existing is None else existing.unionByName(fact_new)
+    # Partition by date_id: weekly loads append one partition; readers get
+    # partition pruning on the time axis (the reference's path-partitioning,
+    # now as a Catalyst-visible physical layout).
+    store.overwrite(fact_full, "presentation", "fact_stock", partition_by=["date_id"])
+    counts["presentation.fact_stock"] = quality.assert_nonempty(
+        store.read(spark, "presentation", "fact_stock"), "fact_stock"
+    )
+    return counts

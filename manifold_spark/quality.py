@@ -1,0 +1,48 @@
+"""Data-quality invariants (reference A2, A3).
+
+The reference ships these as Airflow operators but never wires them into
+the DAG (`dags/manifold.py:27-28`); here they run after every load.
+
+Both are single-pass aggregates (count / group-count) — map-side partial
+aggregation keeps the shuffle tiny at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from manifold_spark.schema import SCD2_SENTINEL
+
+
+class QualityError(AssertionError):
+    """A data-quality invariant failed."""
+
+
+def assert_nonempty(df: DataFrame, name: str) -> int:
+    """Reference A2 (`data_quality_count_operator.py:17,27-48`): fail if the
+    table has no rows. Returns the count."""
+    n = df.count()
+    if n == 0:
+        raise QualityError(f"table {name!r} is empty")
+    return n
+
+
+def duplicate_active_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Business keys with more than one active SCD2 row (reference A3
+    intent, `README.md:149-157`; the shipped SQL template is broken —
+    SURVEY §2.4 — we implement the documented invariant with the single
+    `9999-12-31` sentinel)."""
+    return (
+        df.filter(F.col("record_end_date") == F.lit(SCD2_SENTINEL).cast("date"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("active_rows"))
+        .filter(F.col("active_rows") > 1)
+    )
+
+
+def assert_unique_active(df: DataFrame, keys: list[str], name: str) -> None:
+    """Fail if any business key has >1 active row."""
+    dups = duplicate_active_keys(df, keys).limit(5).collect()
+    if dups:
+        raise QualityError(f"dimension {name!r} has duplicate active rows, e.g. {dups}")

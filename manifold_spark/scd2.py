@@ -1,0 +1,150 @@
+"""Generic SCD-type-2 merge — the heart of the warehouse layer.
+
+Reproduces the reference's expire+insert upsert
+(`/root/reference/plugins/operators/dimension_operator.py:13-64,139-181`):
+
+- J3/D5 expire: active target rows whose business key exists in staging
+  with a DIFFERENT hash get ``record_end_date = as_of - 1``.
+- J4/D6 insert: staging rows whose key is new OR whose hash changed are
+  inserted with ``record_start_date = as_of``, ``record_end_date =
+  9999-12-31`` and a fresh surrogate key.
+- Keys absent from staging are left untouched (reference semantics: a
+  listing missing one week is not an expiry).
+
+Determinism (SURVEY §7 risks 2-3): surrogate keys are `row_number()` over
+the business-key order offset by the current max — reproducible across
+cluster layouts, unlike `identity(0,1)` / `monotonically_increasing_id` —
+and the effective date is an injected ``as_of``, never wall-clock.
+
+Scale: the joins are key-equi joins on the dimension's natural key —
+dimension-sized, not fact-sized, so AQE broadcasts the smaller side. The
+one serial point is the surrogate-key `row_number` over *inserted rows
+only* (a single-partition window over the weekly delta, not the dim);
+at extreme dim scale swap `assign_surrogate_keys` for a
+zipWithIndex-per-partition scheme — the merge logic is unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from manifold_spark.schema import SCD2_SENTINEL
+
+SCD2_COLS = ["record_start_date", "record_end_date"]
+
+
+def assign_surrogate_keys(
+    df: DataFrame,
+    sk_col: str,
+    order_by: list[str],
+    offset: int = 0,
+) -> DataFrame:
+    """Deterministic surrogate keys: dense sequence ``offset+1 …`` by
+    ``row_number()`` over a total order (replaces Redshift
+    `identity(0,1)`, `sql_queries_presentation.py:11`)."""
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(sk_col, (F.row_number().over(w) + F.lit(offset)).cast("long"))
+
+
+def _as_date(value: str | dt.date) -> dt.date:
+    return dt.date.fromisoformat(value) if isinstance(value, str) else value
+
+
+def initial_load(
+    base: DataFrame,
+    sk_col: str,
+    keys: list[str],
+    as_of: str | dt.date,
+) -> DataFrame:
+    """First-ever load of a dimension: every staging row becomes active."""
+    as_of = _as_date(as_of)
+    payload_cols = base.columns
+    out = base.withColumns(
+        {
+            "record_start_date": F.lit(as_of.isoformat()).cast("date"),
+            "record_end_date": F.lit(SCD2_SENTINEL).cast("date"),
+        }
+    )
+    out = assign_surrogate_keys(out, sk_col, keys)
+    return out.select(sk_col, *payload_cols, *SCD2_COLS)
+
+
+def scd2_merge(
+    target: DataFrame | None,
+    base: DataFrame,
+    sk_col: str,
+    keys: list[str],
+    as_of: str | dt.date,
+    hash_col: str = "hash",
+) -> DataFrame:
+    """Merge a staging snapshot ``base`` into SCD2 dimension ``target``,
+    returning the REBUILT dimension (caller persists it — rebuild-overwrite
+    on Parquet, or hand the same row-sets to Delta MERGE).
+
+    ``base`` columns: ``keys + payload + hash``; ``target`` columns:
+    ``sk_col + base.columns + record_start_date + record_end_date``.
+    """
+    if target is None:
+        return initial_load(base, sk_col, keys, as_of)
+
+    as_of = _as_date(as_of)
+    payload_cols = base.columns
+    as_of_lit = F.lit(as_of.isoformat()).cast("date")
+    sentinel = F.lit(SCD2_SENTINEL).cast("date")
+
+    active = target.filter(F.col("record_end_date") == sentinel)
+    inactive = target.filter(F.col("record_end_date") != sentinel)
+
+    b = base.alias("b")
+    t = active.alias("t")
+    key_cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys]
+
+    # J3: active rows whose hash changed → the expire set (identified by key;
+    # the unique-active invariant makes the key a sufficient identifier).
+    changed_keys = (
+        t.join(b, key_cond, "inner")
+        .filter(F.col(f"t.{hash_col}") != F.col(f"b.{hash_col}"))
+        .select(*[F.col(f"t.{k}").alias(k) for k in keys])
+    )
+
+    # Null business keys must compare null-safely here too, or a null-keyed
+    # row is never expired and the unique-active invariant breaks.
+    a = active.alias("a")
+    ck = changed_keys.alias("ck")
+    semi_cond = [F.col(f"a.{k}").eqNullSafe(F.col(f"ck.{k}")) for k in keys]
+    expired = (
+        a.join(ck, semi_cond, "left_semi")
+        .withColumn("record_end_date", F.date_sub(as_of_lit, 1))
+    )
+    untouched_active = a.join(ck, semi_cond, "left_anti")
+
+    # J4: staging rows that are brand new (no active row) or changed.
+    inserts_src = (
+        b.join(t, key_cond, "left")
+        .filter(
+            F.col(f"t.{sk_col}").isNull()
+            | (F.col(f"t.{hash_col}") != F.col(f"b.{hash_col}"))
+        )
+        .select(*[F.col(f"b.{c}").alias(c) for c in payload_cols])
+    )
+    inserts = inserts_src.withColumns(
+        {
+            "record_start_date": as_of_lit,
+            "record_end_date": sentinel,
+        }
+    )
+    # Surrogate keys continue from the current max (driver-side scalar — one
+    # tiny action over the dim's sk column only).
+    max_sk = target.agg(F.max(sk_col)).collect()[0][0] or 0
+    inserts = assign_surrogate_keys(inserts, sk_col, keys, offset=max_sk)
+
+    ordered = [sk_col, *payload_cols, *SCD2_COLS]
+    return (
+        inactive.select(*ordered)
+        .unionByName(untouched_active.select(*ordered))
+        .unionByName(expired.select(*ordered))
+        .unionByName(inserts.select(*ordered))
+    )

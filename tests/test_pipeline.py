@@ -1,0 +1,94 @@
+"""End-to-end weekly pipeline over synthetic listing JSON (FIXTURES.md §3
+invariants): two weeks, SCD2 evolution, fact resolution."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from manifold_spark.catalog import TableStore
+from manifold_spark.pipeline import run_week
+from manifold_spark.quality import duplicate_active_keys
+from manifold_spark.schema import DIM_KEYS
+
+SENTINEL = dt.date(9999, 12, 31)
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, listings_weeks, tmp_path_factory):
+    store = TableStore(str(tmp_path_factory.mktemp("wh")))
+    c1 = run_week(spark, store, listings_weeks["root"], listings_weeks["week1"])
+    c2 = run_week(spark, store, listings_weeks["root"], listings_weeks["week2"])
+    return {"store": store, "counts1": c1, "counts2": c2, "meta": listings_weeks}
+
+
+def test_staging_written(spark, warehouse):
+    store = warehouse["store"]
+    for t in ("dim_broker", "dim_geography", "dim_asset", "fact_stock"):
+        df = store.read(spark, "staging", t)
+        assert df.count() > 0
+        assert "hash" in df.columns or t == "fact_stock"
+
+
+def test_unique_active_invariant(spark, warehouse):
+    store = warehouse["store"]
+    for dim, keys in DIM_KEYS.items():
+        df = store.read(spark, "presentation", dim)
+        assert duplicate_active_keys(df, keys).count() == 0
+
+
+def test_scd2_price_changes_create_versions(spark, warehouse):
+    """Assets whose price changed in week2 must have 2 versions: one
+    expired at week2-1, one active starting week2."""
+    store = warehouse["store"]
+    meta = warehouse["meta"]
+    dim = store.read(spark, "presentation", "dim_asset")
+    versions = dim.groupBy("contract_number").count().filter("count > 1")
+    n_changed = versions.count()
+    assert n_changed >= meta["changed_prices"]  # price changes all produce versions
+    expired = dim.filter(F.col("record_end_date") == F.lit(meta["week2"]).cast("date") - F.expr("INTERVAL 1 DAY"))
+    assert expired.count() == n_changed
+
+
+def test_fact_resolves_surrogate_keys(spark, warehouse):
+    store = warehouse["store"]
+    fact = store.read(spark, "presentation", "fact_stock")
+    meta = warehouse["meta"]
+    assert fact.count() == meta["week1_rows"] + meta["week2_rows"]
+    # every fact row resolved its asset and geography (they come from the same rows)
+    assert fact.filter(F.col("asset_id").isNull()).count() == 0
+    assert fact.filter(F.col("broker_id").isNull()).count() == 0
+    # two distinct date keys
+    date_ids = {r[0] for r in fact.select("date_id").distinct().collect()}
+    assert date_ids == {
+        int(meta["week1"].replace("-", "")),
+        int(meta["week2"].replace("-", "")),
+    }
+    # ids are unique
+    assert fact.select("id").distinct().count() == fact.count()
+
+
+def test_fact_idempotent_rerun(spark, warehouse, listings_weeks):
+    store = warehouse["store"]
+    before = store.read(spark, "presentation", "fact_stock").count()
+    run_week(spark, store, listings_weeks["root"], listings_weeks["week2"])
+    after = store.read(spark, "presentation", "fact_stock").count()
+    assert before == after  # idempotent re-run doesn't double the week
+
+
+def test_date_dimension(spark, warehouse):
+    store = warehouse["store"]
+    dd = store.read(spark, "presentation", "dim_date")
+    assert dd.count() == 30 * 365 + 1
+    jan1 = dd.filter(F.col("date_id") == 20180101).collect()[0]
+    assert jan1["full_date"] == "2018-01-01"
+    assert jan1["year_number"] == 2018
+    assert jan1["month_name"] == "January"
+    assert jan1["day_name"] == "Monday"
+    assert jan1["is_weekday"] == 1
+    assert jan1["week_iso_number"] == 1
+    # 2018-12-31 is a Monday in ISO week 1 of 2019
+    dec31 = dd.filter(F.col("date_id") == 20181231).collect()[0]
+    assert dec31["is_last_of_month"] == 1
+    sat = dd.filter(F.col("date_id") == 20180106).collect()[0]
+    assert sat["is_weekday"] == 0 and sat["weekday_number"] == 7
