@@ -1,0 +1,376 @@
+"""Extension operators (LLM-data-pipeline surface) + their driver-gate
+registration.
+
+Each query below registers into `manifold_spark.queries.REGISTRY`. Oracle
+SQL is GENERATED from the same module constants the Spark side uses
+(marker lists, regex patterns, vector dims, centroid counts), so the two
+sides cannot drift. Queries whose algorithm is not SQL-expressible
+(banded-LSH minhash/simhash, the Arrow decode pass) register without an
+oracle → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from manifold_spark.operators import dedup, multimodal, similarity, textstats
+from manifold_spark.operators.linalg import cosine_sql, dot_sql
+from manifold_spark.queries import _t, register
+from manifold_spark.streaming.jobs import hourly_rollup, sessionize
+
+DIM = 64  # embeddings table vector width
+N_QUERIES = 8  # vec_id < 8 are the query vectors in the similarity checks
+TOP_K = 5
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id,
+           sha256(text) AS content_hash,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_TOKENS_SQL = (
+    "list_filter(regexp_split_to_array(trim(lower("
+    "regexp_replace(text, '[^\\p{L}\\p{N}]+', ' ', 'g'))), '\\s+'), x -> x <> '')"
+)
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles FROM toks
+    ),
+    nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0)
+    SELECT a.doc_id AS id_a,
+           b.doc_id AS id_b,
+           len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM nonempty a JOIN nonempty b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
+             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.1
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", ["lang", "source"], threshold=0.1
+    )
+
+
+@register("dedup_minhash_lsh", None)  # banded LSH: not SQL-expressible
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3)
+
+
+@register("dedup_simhash", None)  # banded LSH: not SQL-expressible
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_vec
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id,
+               e.vec_id AS neighbor_id,
+               {cosine_sql('q_vec', 'embedding', DIM)} AS cosine
+        FROM q, embeddings e
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+"""
+
+
+@register("sim_topk_bruteforce", _TOPK_ORACLE)
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_bruteforce(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, DIM, k=TOP_K
+    )
+
+
+_IVF_ORACLE = f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cent_vec
+        FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+    ),
+    lists AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ({dot_sql('embedding', 'cent_vec', DIM)}) DESC,
+                                               c.centroid_id) AS crank
+            FROM embeddings e, cent c
+        ) WHERE crank <= 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS q_vec, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ({dot_sql('embedding', 'cent_vec', DIM)}) DESC,
+                                               c.centroid_id) AS crank
+            FROM embeddings e, cent c
+            WHERE e.vec_id < {N_QUERIES}
+        ) WHERE crank <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, l.vec_id AS neighbor_id,
+               {cosine_sql('q_vec', 'embedding', DIM)} AS cosine
+        FROM probes p JOIN lists l USING (centroid_id)
+        WHERE l.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+"""
+
+
+@register("sim_ann_ivf", _IVF_ORACLE)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_ivf(
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb,
+        DIM,
+        k=TOP_K,
+        n_centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+    )
+
+
+@register("sim_cosine_near_dup", None)  # IVF-blocked pair search: plan-shaped, rows-only
+def q_sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_near_dup(_t(spark, sf_dir, "embeddings"), DIM, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _ws_tokens_sql(inner: str) -> str:
+    return (
+        f"CASE WHEN length(trim({inner})) = 0 THEN [] "
+        f"ELSE regexp_split_to_array(trim({inner}), '\\s+') END"
+    )
+
+
+def _marker_count_sql(markers: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    toks = _ws_tokens_sql("lower(text)")
+    return f"CAST(len(list_filter({toks}, t -> list_contains({lst}, t))) AS INT)"
+
+
+def _langid_oracle() -> str:
+    counts = {lang: _marker_count_sql(m) for lang, m in textstats.LANG_MARKERS.items()}
+    count_cols = ",\n           ".join(f"{sql} AS c_{lang}" for lang, sql in counts.items())
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in textstats.LANG_MARKERS) + ")"
+    whens = "\n                ".join(
+        f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in textstats.LANG_MARKERS
+    )
+    return f"""
+    WITH counted AS (
+        SELECT doc_id,
+           {count_cols},
+           CAST(len(regexp_extract_all(text, '{textstats.CJK_PATTERN}')) AS INT) AS n_cjk
+        FROM documents
+    )
+    SELECT doc_id, n_cjk,
+           CASE WHEN n_cjk > 0 THEN 'zh'
+                WHEN {best} = 0 THEN 'und'
+                {whens}
+           END AS pred_lang
+    FROM counted
+    """
+
+
+@register("text_language_id", _langid_oracle())
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(textstats.CJK_PATTERN)).cast("int").alias("n_cjk"),
+        textstats.language_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+def _quality_oracle() -> str:
+    all_markers = sorted({m for ms in textstats.LANG_MARKERS.values() for m in ms})
+    n_stop = _marker_count_sql(all_markers)
+    toks = _ws_tokens_sql("text")
+    return f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len({toks}) AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '{textstats.PUNCT_PATTERN}')) AS INT) AS n_punct,
+               CAST(len(regexp_extract_all(text, '{textstats.ALPHA_PATTERN}')) AS INT) AS n_alpha,
+               {n_stop} AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, n_chars,
+           n_punct / greatest(n_chars, 1) AS punct_ratio,
+           n_alpha / greatest(n_chars, 1) AS alpha_ratio,
+           n_stop / greatest(n_tokens, 1) AS stop_ratio,
+           n_chars / greatest(n_tokens, 1) AS mean_token_len,
+           least(1.0, n_tokens / 200.0) * 0.4
+             + (n_alpha / greatest(n_chars, 1)) * 0.4
+             + least(0.2, n_stop / greatest(n_tokens, 1)) AS quality_score
+    FROM m
+    """
+
+
+@register("text_quality", _quality_oracle())
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    metrics = textstats.quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in metrics.items()]
+    )
+
+
+@register(
+    "text_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len({_ws_tokens_sql('text')}) AS INT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{textstats.BPE_PATTERN}')) AS INT) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        textstats.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(trim(lower(
+                   regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), '\\s+'),
+                   x -> x <> ''))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Event streams (batch semantics of the streaming jobs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_rollup(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH wb AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+        FROM wb
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sid
+    GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS byte_len,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.attach_binary(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "byte_len", "content_sha"
+    )
+
+
+@register("multimodal_decode", None)  # Arrow mapInPandas pass: rows-only
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_binary = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_media_features(with_binary)

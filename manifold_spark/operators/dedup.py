@@ -1,0 +1,289 @@
+"""Deduplication operators for large-scale document corpora.
+
+Generalizes the reference's exact-dedup surface (A1 `distinct` + P9 sha256
+fingerprint, `el_to_parquet.py:177-193`) to the fuzzy-dedup family a
+training-data pipeline needs:
+
+- `exact_dedup`          content-hash group-by (survivor = min id)
+- `minhash_lsh_pairs`    word-shingle MinHash signatures → banded LSH
+                         buckets → candidate pairs → exact-Jaccard verify
+- `simhash_pairs`        32-bit SimHash → byte-band buckets → Hamming verify
+- `ngram_jaccard_pairs`  exact n-gram Jaccard within blocking keys
+- near-dup by embedding cosine lives in `operators/similarity.py`
+
+All of it is built-in Column expressions (md5/sha2/array ops) — JVM-side,
+whole-stage codegen, no Python in the hot path. Hashes derive from md5
+(`functions.hashing.stable_long_hash`), so signatures are identical on any
+engine and across cluster layouts.
+
+Scale design: LSH is the point — candidate generation is
+O(docs × bands) exploded rows shuffled by (band, key), never the O(n²)
+cross join. Bucket skew (a viral boilerplate string) is capped by
+`max_bucket` before pairing, the standard guard at web scale. The final
+verify joins shingle sets back by doc_id — an equi join on the candidate
+pair list, which is tiny relative to the corpus.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from manifold_spark.functions.hashing import stable_long_hash
+
+
+def normalized_tokens(text: Column) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, split on whitespace,
+    drop empties — the shared canonicalization for every fuzzy-dedup op."""
+    cleaned = F.lower(F.regexp_replace(text, r"[^\p{L}\p{N}]+", " "))
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles: transform over a 0..size-n index sequence
+    (built-in higher-order functions — no explode, no UDF).
+
+    Docs shorter than n tokens yield an empty array — guarded up front
+    because `sequence(0, -1)` counts DOWN and ANSI `element_at` throws on
+    out-of-bounds."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate removal by content hash; survivor is the smallest id
+    (deterministic). Returns (id, content_hash, dup_count)."""
+    hashed = df.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+def _seeded_hash(seed: int):
+    # NB: capture via closure, NOT a default arg — PySpark inspects lambda
+    # arity, and a `lambda s, i=i:` two-parameter signature would make it
+    # pass the array-index column as `i`.
+    return lambda s: stable_long_hash(s, seed=seed)
+
+
+def minhash_signature(shingles: Column, num_perm: int = 32) -> Column:
+    """MinHash signature: per permutation i, min over shingles of the
+    seeded 63-bit hash. One array expression, JVM-side."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_hash(i)))
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified with exact
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    b=8 bands × r=4 rows ≈ an S-curve threshold of (1/b)^(1/r) ≈ 0.6 —
+    candidates above ~0.5 Jaccard are found with high probability.
+    """
+    rows = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(normalized_tokens(F.col(text_col)), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sigs = base.withColumn("sig", minhash_signature(F.col("shingles"), num_perm))
+
+    band_entries = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.sha2(
+                            F.concat_ws(
+                                ",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                            ),
+                            256,
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+    # Skew guard: drop pathological buckets (boilerplate shared by
+    # thousands of docs explodes quadratically otherwise).
+    bucket_sizes = band_entries.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    bounded = band_entries.join(
+        bucket_sizes.filter(F.col("n") <= max_bucket).select("band", "key"),
+        ["band", "key"],
+    )
+
+    a, b = bounded.alias("a"), bounded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = base.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash_fingerprint(tokens: Column, num_bits: int = 32) -> Column:
+    """32-bit SimHash: per bit j, sign of Σ_tokens (bit_j(hash(t))·2−1);
+    packed into an int. Pure column expressions."""
+    hashes = F.transform(tokens, lambda t: stable_long_hash(t))
+
+    def bit_merge(j: int):
+        # closure capture (see _seeded_hash) — a 3-parameter lambda would
+        # receive a lambda-variable column as `j`.
+        return lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bit_sums = [
+        F.aggregate(hashes, F.lit(0).cast("long"), bit_merge(j))
+        for j in range(num_bits)
+    ]
+    packed = functools.reduce(
+        operator.add,
+        [
+            F.when(s > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j, s in enumerate(bit_sums)
+        ],
+    )
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bits: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: byte-band LSH (a pair within Hamming
+    distance < #bands must share ≥1 exact band) then Hamming verify.
+    Returns (id_a, id_b, hamming)."""
+    n_bands = num_bits // band_bits
+    mask = (1 << band_bits) - 1
+    fp = df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash_fingerprint(normalized_tokens(F.col(text_col)), num_bits).alias("fp"),
+    )
+    bands = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.band", "bk.key")
+
+    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    bounded = bands.join(sizes.filter(F.col("n") <= max_bucket).select("band", "key"), ["band", "key"])
+
+    a, b = bounded.alias("a"), bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    shingle_n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """EXACT n-gram Jaccard for every pair inside a blocking key (e.g.
+    (lang, source)). The block join bounds the pair count — this is the
+    oracle-checkable ground truth the LSH variants approximate.
+    Returns (id_a, id_b, jaccard)."""
+    base = df.select(
+        *block_cols,
+        F.col(id_col).alias("doc_id"),
+        word_shingles(normalized_tokens(F.col(text_col)), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    a, b = base.alias("a"), base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
+        F.col("a.doc_id") < F.col("b.doc_id")
+    ]
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.shingles", "b.shingles"))
+            / F.size(F.array_union("a.shingles", "b.shingles")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            "jaccard",
+        )
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- `topk_bruteforce`  exact cosine top-k: broadcast the query set against
+  the corpus, score with a codegen'd dot-product expression
+  (`linalg.dot_expr`), rank per query. The exact baseline.
+- `topk_ivf`         IVF-style ANN: a coarse quantizer (deterministic
+  centroid subset) partitions the corpus into inverted lists; queries
+  probe the `nprobe` nearest lists only. The scale path: scoring cost
+  drops by ~n_centroids/nprobe, and the corpus assignment is a one-off
+  broadcast join materialized alongside the vectors.
+- `cosine_near_dup`  embedding near-duplicate pairs above a cosine
+  threshold, IVF-bucketed so it never goes O(n²).
+
+Scale design: queries are broadcast (a query batch is small by
+definition); the corpus is never shuffled for brute force. For IVF the
+corpus shuffles ONCE by centroid id — at 100 TB you'd persist that
+partitioned layout and every search after is a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from manifold_spark.operators.linalg import cosine_expr, dot_expr
+
+
+def topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k. Returns (query_id, neighbor_id, rank, cosine);
+    self-matches excluded; ties broken by neighbor id."""
+    q = broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec", dim))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank_limit: int = 1,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Assign each vector to its `rank_limit` nearest centroids by dot
+    product (vectors here are same-scale, so dot ≈ cosine ranking; using
+    dot keeps the quantizer cheap). Centroids are broadcast."""
+    c = broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    scored = corpus.crossJoin(c).withColumn(
+        "cdist", dot_expr(vec_col, "cent_vec", dim)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cdist").desc(), F.col("centroid_id"))
+    out = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= rank_limit)
+        .drop("cent_vec", "cdist", "crank")
+    )
+    if out_prefix:
+        out = out.withColumnRenamed("centroid_id", f"{out_prefix}centroid_id")
+    return out
+
+
+def topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: centroids are the first `n_centroids` corpus vectors by id
+    (deterministic, oracle-reproducible; swap in k-means centroids without
+    changing the plan shape). Each corpus vector lands in 1 inverted list;
+    each query probes its `nprobe` nearest lists and scores only those.
+    Returns (query_id, neighbor_id, rank, cosine) — approximate."""
+    centroids = corpus.orderBy(id_col).limit(n_centroids)
+    lists = assign_centroids(corpus, centroids, dim, id_col, vec_col)
+    probes = assign_centroids(
+        queries, centroids, dim, id_col, vec_col, rank_limit=nprobe
+    )
+
+    q = broadcast(
+        probes.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "centroid_id",
+        )
+    )
+    c = lists.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
+    )
+    scored = (
+        q.join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec", dim))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_near_dup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold), blocked by the
+    IVF quantizer: each vector is assigned to its 2 nearest lists so pairs
+    straddling one boundary are still compared; pairs then form within a
+    list only. Returns (id_a, id_b, cosine)."""
+    centroids = corpus.orderBy(id_col).limit(n_centroids)
+    assigned = assign_centroids(corpus, centroids, dim, id_col, vec_col, rank_limit=2)
+    a = assigned.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    ).alias("a")
+    b = assigned.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", cosine_expr("vec_a", "vec_b", dim).alias("cosine"))
+        .distinct()
+        .filter(F.col("cosine") >= threshold)
+    )

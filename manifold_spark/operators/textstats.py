@@ -1,0 +1,113 @@
+"""Text analysis operators: language id, quality scoring, token counting,
+document fingerprinting. All built-in column expressions (regexp counts,
+array ops) — one narrow projection per document, no shuffle, no UDF;
+at 100 TB this is a pure scan-side map.
+
+The marker lists and patterns are module constants so the oracle SQL is
+generated from the SAME definitions (see `operators/__init__.py`) —
+engine and oracle cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Language marker words (public stopword samples). Order defines the
+#: tie-break priority of the classifier.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "que", "une"],
+    "es": ["el", "los", "las", "es", "y", "que", "una"],
+}
+
+#: CJK unified ideograph range as a literal char-class (works in both Java
+#: regex and RE2 without engine-specific escapes).
+CJK_PATTERN = "[一-鿿]"
+
+#: BPE-ish pre-tokenizer: letter runs, single digits, punctuation marks.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+PUNCT_PATTERN = r"[^\w\s]"
+ALPHA_PATTERN = r"[A-Za-z]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(ws_tokens(text)).cast("int")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Token count under the BPE-ish regex — the cheap proxy for LLM token
+    budgeting at corpus scale."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN)).cast("int")
+
+
+def marker_count(text: Column, markers: list[str]) -> Column:
+    """How many whitespace tokens are in the marker list (with repeats)."""
+    lit_markers = F.array(*[F.lit(m) for m in markers])
+    return F.size(
+        F.filter(ws_tokens(F.lower(text)), lambda t: F.array_contains(lit_markers, t))
+    ).cast("int")
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language id: CJK chars → zh, else the marker list with the
+    highest hit count (ties resolved in LANG_MARKERS order); no hits →
+    'und' (undetermined)."""
+    counts = {lang: marker_count(text, m) for lang, m in LANG_MARKERS.items()}
+    cjk = F.regexp_count(text, F.lit(CJK_PATTERN))
+    best = F.greatest(*counts.values())
+    expr = F.when(cjk > 0, F.lit("zh")).when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        expr = expr.when(counts[lang] == best, F.lit(lang))
+    return expr
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """The standard cheap quality signals: token count, mean token length,
+    punctuation ratio, alphabetic ratio, stopword ratio, composite score.
+    Every expression is deterministic double arithmetic (oracle-exact)."""
+    n_tokens = token_count_ws(text)
+    n_chars = F.length(text)
+    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN))
+    n_alpha = F.regexp_count(text, F.lit(ALPHA_PATTERN))
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for ms in [ms] for m in ms})
+    n_stop = marker_count(text, all_markers)
+    denom_chars = F.greatest(n_chars, F.lit(1))
+    denom_tokens = F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct / denom_chars
+    alpha_ratio = n_alpha / denom_chars
+    stop_ratio = n_stop / denom_tokens
+    mean_token_len = n_chars / denom_tokens
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(200.0)) * 0.4
+        + alpha_ratio * 0.4
+        + F.least(F.lit(0.2), stop_ratio)
+    )
+    return {
+        "n_tokens": n_tokens,
+        "n_chars": n_chars.cast("int"),
+        "punct_ratio": punct_ratio,
+        "alpha_ratio": alpha_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_token_len": mean_token_len,
+        "quality_score": score,
+    }
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: lowercase → alnum-only
+    tokens → distinct → sort → sha256. Robust to word reordering and
+    duplication; the cheap canonical key for fuzzy-exact dedup."""
+    cleaned = F.lower(F.regexp_replace(text, r"[^A-Za-z0-9]+", " "))
+    tokens = F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
+    return F.sha2(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens))), 256)

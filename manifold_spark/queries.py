@@ -1,0 +1,466 @@
+"""Driver-contract query registry.
+
+One entry per operator family from SURVEY.md §2, each expressed twice:
+as an idiomatic PySpark program (the engine) and as ANSI SQL for the
+DuckDB oracle (the correctness gate). Column names and types are aligned
+pairwise — the gate hash-compares values after sorting columns by name.
+
+Determinism rules used throughout (see `functions/numeric.py`):
+- double SUM/AVG goes through a DECIMAL cast (order-independent), then
+  back to DOUBLE;
+- no raw timestamps in outputs (cast to DATE or string);
+- int-typed outputs are cast explicitly on both sides (DuckDB year() etc.
+  return BIGINT, Spark returns INT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from manifold_spark import clean
+from manifold_spark.functions import fingerprint
+from manifold_spark.functions.numeric import decimal_sum
+from manifold_spark.dims import date_dimension
+from manifold_spark.scd2 import scd2_merge, initial_load
+from manifold_spark.stage import with_fingerprint
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark_fn, oracle_sql | None). Populated below and by
+#: `manifold_spark.operators.register_extension_queries`.
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
+    Spark reader rejects outright. Read nanos as raw long (legacy conf) and
+    convert with integer division — float division would lose precision on
+    1.7e18-scale nanosecond values."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# P1-P6 — projection / null-default / HTML-strip / truncate / rename
+# (reference `el_to_parquet.py:53-95`; exercised here on `documents`)
+# ---------------------------------------------------------------------------
+@register(
+    "clean_project",
+    """
+    SELECT doc_id,
+           lang,
+           source,
+           CASE WHEN length(regexp_replace(coalesce(text, 'Unknown'), '<[^>]*>', '', 'g')) > 250
+                THEN substr(regexp_replace(coalesce(text, 'Unknown'), '<[^>]*>', '', 'g'), 1, 250)
+                ELSE regexp_replace(coalesce(text, 'Unknown'), '<[^>]*>', '', 'g')
+           END AS text_clean,
+           coalesce(n_chars, -1) AS char_count
+    FROM documents
+    """,
+)
+def q_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The engine strip pattern keeps <a> anchors (Java lookahead); the
+    # oracle's RE2 pattern cannot, but the corpus contains no tags, so
+    # both reduce to identity — the anchor-keeping path is covered by
+    # tests/test_clean.py golden cases.
+    docs = _t(spark, sf_dir, "documents")
+    stripped = clean.strip_html_col(F.coalesce(F.col("text"), F.lit("Unknown")))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        clean.truncate_col(stripped, 250).alias("text_clean"),
+        F.coalesce(F.col("n_chars"), F.lit(-1)).alias("char_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9 — row fingerprint: sha2(concat_ws('||', cols), 256)
+# (reference `el_to_parquet.py:180-181`)
+# ---------------------------------------------------------------------------
+@register(
+    "fingerprint_rows",
+    """
+    SELECT n_nationkey,
+           sha256(concat_ws('||', n_name, CAST(n_regionkey AS VARCHAR))) AS row_hash
+    FROM nation
+    """,
+)
+def q_fingerprint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        fingerprint([F.col("n_name"), F.col("n_regionkey").cast("string")]).alias("row_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 + P9 — staging dimension derivation: distinct projection + hash
+# (reference `el_to_parquet.py:177-193`)
+# ---------------------------------------------------------------------------
+@register(
+    "stage_dimension",
+    """
+    SELECT lang, source,
+           sha256(concat_ws('||', lang, source)) AS hash
+    FROM (SELECT DISTINCT lang, source FROM documents)
+    """,
+)
+def q_stage_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs.select("lang", "source").distinct(), ["lang", "source"])
+
+
+# ---------------------------------------------------------------------------
+# A2 — row-count assertion surface (reference data_quality_count_operator)
+# ---------------------------------------------------------------------------
+@register(
+    "count_rows",
+    """
+    SELECT 'lineitem' AS table_name, count(*) AS row_count FROM lineitem
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    """,
+)
+def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name in ("lineitem", "orders", "customer", "documents"):
+        one = _t(spark, sf_dir, name).agg(F.count(F.lit(1)).alias("row_count")).select(
+            F.lit(name).alias("table_name"), "row_count"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A3 — duplicate-key check: group-by + having count > 1
+# (reference data_quality_dimension_operator intent)
+# ---------------------------------------------------------------------------
+@register(
+    "dup_key_check",
+    """
+    SELECT user_id, event_type, count(*) AS active_rows
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING count(*) > 1
+    """,
+)
+def q_dup_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("active_rows"))
+        .filter(F.col("active_rows") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 + J2 + D9 + F10 — the flagship: star-schema fact resolution + rollup.
+# Fact stream joins broadcast dimensions (reference fact load,
+# `sql_queries_presentation.py:105-140`), then aggregates. At scale: the
+# lineitem scan never shuffles — every dim is broadcast; the single shuffle
+# is the final group-by, with map-side partial aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "star_join_fact",
+    """
+    SELECT r.r_name AS region_name,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           l.l_returnflag AS return_flag,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_star_join_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region_name"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.col("l_returnflag").alias("return_flag"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/J4 — SCD2 delta detection: new-or-changed rows vs a target snapshot
+# (reference dimension_operator.py:13-64). Snapshots are derived
+# deterministically from `orders` so the oracle can rebuild them.
+# ---------------------------------------------------------------------------
+_SCD2_DELTA_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey,
+               sha256(concat_ws('||', o_orderstatus, o_orderpriority)) AS hash
+        FROM orders
+    ),
+    target AS (
+        SELECT o_orderkey,
+               sha256(concat_ws('||', o_orderstatus,
+                      CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderpriority END)) AS hash
+        FROM orders WHERE o_orderkey % 10 <> 0
+    )
+    SELECT b.o_orderkey,
+           CASE WHEN t.o_orderkey IS NULL THEN 'new' ELSE 'changed' END AS change_type
+    FROM base b LEFT JOIN target t ON b.o_orderkey = t.o_orderkey
+    WHERE t.o_orderkey IS NULL OR t.hash <> b.hash
+"""
+
+
+@register("scd2_delta_detect", _SCD2_DELTA_ORACLE)
+def q_scd2_delta_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        fingerprint([F.col("o_orderstatus"), F.col("o_orderpriority")]).alias("hash"),
+    )
+    target = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        fingerprint(
+            [
+                F.col("o_orderstatus"),
+                F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(F.col("o_orderpriority")),
+            ]
+        ).alias("hash"),
+    )
+    b, t = base.alias("b"), target.alias("t")
+    return (
+        b.join(t, F.col("b.o_orderkey") == F.col("t.o_orderkey"), "left")
+        .filter(F.col("t.o_orderkey").isNull() | (F.col("t.hash") != F.col("b.hash")))
+        .select(
+            F.col("b.o_orderkey").alias("o_orderkey"),
+            F.when(F.col("t.o_orderkey").isNull(), F.lit("new")).otherwise(F.lit("changed")).alias("change_type"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D5/D6/D10 — the FULL SCD2 merge, oracled end-to-end: build a week-1 dim
+# snapshot (some stale segments, some keys missing), merge the current
+# `customer` table as week 2, and return the rebuilt dimension.
+# ---------------------------------------------------------------------------
+_SCD2_MERGE_ORACLE = """
+    WITH w1 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN 'OLD' ELSE c_mktsegment END AS segment
+        FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    w1h AS (
+        SELECT c_custkey, segment,
+               sha256(concat_ws('||', CAST(c_custkey AS VARCHAR), segment)) AS hash
+        FROM w1
+    ),
+    target AS (
+        SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+               c_custkey, segment, hash,
+               DATE '2024-01-01' AS record_start_date,
+               DATE '9999-12-31' AS record_end_date
+        FROM w1h
+    ),
+    w2h AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               sha256(concat_ws('||', CAST(c_custkey AS VARCHAR), c_mktsegment)) AS hash
+        FROM customer
+    ),
+    changed AS (
+        SELECT t.c_custkey FROM target t JOIN w2h b USING (c_custkey)
+        WHERE t.hash <> b.hash
+    ),
+    expired AS (
+        SELECT customer_sk, c_custkey, segment, hash, record_start_date,
+               DATE '2024-01-07' AS record_end_date
+        FROM target WHERE c_custkey IN (SELECT c_custkey FROM changed)
+    ),
+    untouched AS (
+        SELECT * FROM target WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    ),
+    inserts_src AS (
+        SELECT b.c_custkey, b.segment, b.hash
+        FROM w2h b LEFT JOIN target t USING (c_custkey)
+        WHERE t.c_custkey IS NULL OR t.hash <> b.hash
+    ),
+    inserts AS (
+        SELECT (SELECT max(customer_sk) FROM target)
+                 + CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+               c_custkey, segment, hash,
+               DATE '2024-01-08' AS record_start_date,
+               DATE '9999-12-31' AS record_end_date
+        FROM inserts_src
+    )
+    SELECT * FROM untouched
+    UNION ALL SELECT * FROM expired
+    UNION ALL SELECT * FROM inserts
+"""
+
+
+@register("scd2_merge_full", _SCD2_MERGE_ORACLE)
+def q_scd2_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    w1 = customer.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("OLD")).otherwise(F.col("c_mktsegment")).alias("segment"),
+    )
+    w1h = with_fingerprint(
+        w1.withColumn("c_custkey_str", F.col("c_custkey").cast("string")), ["c_custkey_str", "segment"]
+    ).drop("c_custkey_str")
+    target = initial_load(w1h, "customer_sk", ["c_custkey"], "2024-01-01")
+
+    w2 = customer.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    w2h = with_fingerprint(
+        w2.withColumn("c_custkey_str", F.col("c_custkey").cast("string")), ["c_custkey_str", "segment"]
+    ).drop("c_custkey_str")
+
+    return scd2_merge(target, w2h, "customer_sk", ["c_custkey"], "2024-01-08")
+
+
+# ---------------------------------------------------------------------------
+# D4 + F1-F9 — the generated 30-year date dimension
+# ---------------------------------------------------------------------------
+_DATE_DIM_ORACLE = """
+    SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_id,
+           strftime(d, '%Y-%m-%d') AS full_date,
+           CAST(year(d) AS INT) AS year_number,
+           CAST(weekofyear(d) AS INT) AS week_iso_number,
+           CAST(dayofyear(d) AS INT) AS day_number,
+           CAST(quarter(d) AS INT) AS quarter_number,
+           CAST(month(d) AS INT) AS month_number,
+           monthname(d) AS month_name,
+           CAST(dayofweek(d) + 1 AS INT) AS weekday_number,
+           dayname(d) AS day_name,
+           CASE WHEN dayofweek(d) IN (0, 6) THEN 0 ELSE 1 END AS is_weekday,
+           CASE WHEN last_day(d) = d THEN 1 ELSE 0 END AS is_last_of_month
+    FROM (SELECT CAST(DATE '2018-01-01' + INTERVAL (i) DAY AS DATE) AS d
+          FROM generate_series(0, 10950) t(i))
+"""
+
+
+@register("date_dimension", _DATE_DIM_ORACLE)
+def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return date_dimension(spark)
+
+
+# ---------------------------------------------------------------------------
+# F2/F3/F10 — date-key scalar surface on a real fact column
+# ---------------------------------------------------------------------------
+@register(
+    "date_scalar_keys",
+    """
+    SELECT o_orderkey,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_id,
+           strftime(o_orderdate, '%Y-%m-%d') AS full_date,
+           CAST(year(o_orderdate) AS INT) AS year_number,
+           CAST(quarter(o_orderdate) AS INT) AS quarter_number,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS weekday_number
+    FROM orders
+    """,
+)
+def q_date_scalar_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(d, "yyyyMMdd").cast("int").alias("date_id"),
+        F.date_format(d, "yyyy-MM-dd").alias("full_date"),
+        F.year(d).cast("int").alias("year_number"),
+        F.quarter(d).cast("int").alias("quarter_number"),
+        F.dayofweek(d).cast("int").alias("weekday_number"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Surrogate-key assignment (identity replacement, SURVEY §7 risk 2)
+# ---------------------------------------------------------------------------
+@register(
+    "surrogate_keys",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY c_mktsegment) AS BIGINT) AS segment_sk,
+           c_mktsegment AS segment,
+           sha256(concat_ws('||', c_mktsegment)) AS hash
+    FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    """,
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from manifold_spark.scd2 import assign_surrogate_keys
+
+    customer = _t(spark, sf_dir, "customer")
+    segs = with_fingerprint(
+        customer.select(F.col("c_mktsegment").alias("segment")).distinct(), ["segment"]
+    )
+    return assign_surrogate_keys(segs, "segment_sk", ["segment"]).select("segment_sk", "segment", "hash")
+
+
+# ---------------------------------------------------------------------------
+# P6/P7 — rename + snake_case normalizer as a projection
+# ---------------------------------------------------------------------------
+@register(
+    "snake_case_rename",
+    """
+    SELECT l_orderkey AS order_key,
+           l_linenumber AS line_number,
+           l_quantity AS quantity,
+           l_returnflag AS return_flag
+    FROM lineitem
+    """,
+)
+def q_snake_case_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    camel = l.select(
+        F.col("l_orderkey").alias("OrderKey"),
+        F.col("l_linenumber").alias("LineNumber"),
+        F.col("l_quantity").alias("Quantity"),
+        F.col("l_returnflag").alias("ReturnFlag"),
+    )
+    return clean.snake_case_columns(camel)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_extensions()
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_extensions()
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+def _ensure_extensions() -> None:
+    """Import side-effect registration from the operators package."""
+    from manifold_spark import operators  # noqa: F401

@@ -1,0 +1,97 @@
+"""Event-stream operators, batch + Structured Streaming.
+
+The reference has no streaming surface (SURVEY §2.9) — its "incremental"
+story is weekly path-partitioned batch. A Spark-native engine gets real
+streams nearly for free: the SAME transformations run under `readStream`.
+Each transform below is written against a plain DataFrame so it serves
+three masters: the batch query (+ DuckDB oracle), the streaming job, and
+tests.
+
+Scale: tumbling-window aggregation is the canonical streaming shuffle —
+partial aggregation per micro-batch, state keyed by (window, group).
+Sessionization in batch is a window-function pass (one shuffle by user);
+in streaming it maps to `session_window` with a watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from manifold_spark.functions.numeric import decimal_sum
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour aggregate per event_type: count + exact value sum.
+    (`date_trunc` rather than `window()` so the identical expression is
+    SQL-portable; `window(ts, '1 hour')` produces the same buckets.)"""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds `gap_minutes`. Returns one row
+    per session: (user_id, session_id, n_events, session_start,
+    session_end) with times as ISO strings.
+
+    One shuffle (partition by user), two window passes — the classic
+    lag + cumulative-sum session assignment."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000  # microseconds: exact integer math
+    with_break = events.withColumn(
+        "new_session",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(by_user) > gap_us,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    )
+    with_sid = with_break.withColumn(
+        "session_id",
+        F.sum("new_session").over(by_user.rowsBetween(Window.unboundedPreceding, 0)) + 1,
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .withColumn("session_id", F.col("session_id").cast("long"))
+    )
+
+
+def streaming_hourly_rollup(
+    spark,
+    source_path: str,
+    schema,
+    watermark: str = "2 hours",
+):
+    """The same hourly rollup as a Structured Streaming query over a file
+    source: watermarked event-time tumbling windows, late rows beyond the
+    watermark dropped. Returns the streaming DataFrame; caller attaches
+    the sink (`writeStream`)."""
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,149 @@
+"""Behavioral tests for the LLM-data-pipeline operators: planted
+duplicates must be found; exact ops must match brute-force expectations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from manifold_spark.operators import dedup, multimodal, similarity
+from manifold_spark.operators.textstats import (
+    doc_fingerprint,
+    language_id,
+    quality_metrics,
+    token_count_bpe,
+    token_count_ws,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the hunter watches "
+    "from the hill and the river runs cold through the valley below the ridge"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("cold", "warm")),  # near dup of 1
+        (4, "completely different text about spark query engines and shuffles"),
+        (5, "der hund und die katze sind nicht da und das ist gut"),
+        (6, "le chat est sur la table et le chien est dans le jardin"),
+        (7, "一只猫在桌子上"),
+        (8, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    survivors = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert survivors[1] == 2  # doc 2 collapsed into doc 1
+    assert 2 not in survivors
+    assert survivors[3] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found  # exact dup: jaccard 1.0
+    assert (1, 3) in found and (2, 3) in found  # one-word change
+    assert all(4 not in p for p in found)  # unrelated text never pairs
+
+
+def test_simhash_finds_near_dup(spark, docs):
+    pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=6)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert found[(1, 2)] == 0  # identical text, identical fingerprint
+    assert (1, 3) in found
+    assert all(4 not in k for k in found)
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    blocked = docs.withColumn("block", F.lit("b"))
+    pairs = dedup.ngram_jaccard_pairs(blocked, "text", "doc_id", ["block"], threshold=0.5)
+    vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert vals[(1, 2)] == 1.0
+    assert 0.5 < vals[(1, 3)] < 1.0
+
+
+def test_topk_bruteforce_self_similarity(spark):
+    import math
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),  # nearly parallel to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite to 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.topk_bruteforce(emb.filter("vec_id = 1"), emb, dim=4, k=3)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked == [2, 3, 4]
+    cos = {r["neighbor_id"]: r["cosine"] for r in out.collect()}
+    assert math.isclose(cos[2], 1 / math.sqrt(1 + 0.01**2), rel_tol=1e-6)
+    assert cos[3] == 0.0 and cos[4] == -1.0
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=4/16 must recover most of the exact top-5."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 8")
+    exact = similarity.topk_bruteforce(queries, emb, 64, k=5)
+    approx = similarity.topk_ivf(queries, emb, 64, k=5, n_centroids=16, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["pred"] for r in docs.select("doc_id", language_id(F.col("text")).alias("pred")).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+    assert out[6] == "fr"
+    assert out[7] == "zh"
+    assert out[8] == "und"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello, world! 42",), ("",), ("   ",)], "text string")
+    rows = df.select(
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+    ).collect()
+    assert rows[0]["ws"] == 3
+    # hello , world ! 4 2 → 6 BPE-ish tokens (digits split singly)
+    assert rows[0]["bpe"] == 6
+    assert rows[1]["ws"] == 0 and rows[2]["ws"] == 0
+
+
+def test_quality_metrics(spark):
+    df = spark.createDataFrame([("the cat!!!",)], "text string")
+    m = quality_metrics(F.col("text"))
+    row = df.select(*[c.alias(k) for k, c in m.items()]).collect()[0]
+    assert row["n_tokens"] == 2
+    assert row["n_chars"] == 10
+    assert row["punct_ratio"] == 0.3  # 3 of 10 chars
+    assert 0 < row["quality_score"] <= 1.4
+
+
+def test_doc_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta alpha"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]  # word order + repetition invariant
+    assert fps[1] != fps[3]
+
+
+def test_multimodal_plumbing(spark, docs):
+    with_bin = multimodal.attach_binary(docs.filter("doc_id <= 4"))
+    feats = multimodal.extract_media_features(with_bin)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert len(rows) == 4
+    r1 = rows[1]
+    assert r1["byte_len"] == len(BASE.encode())
+    assert len(r1["features"]) == 16
+    assert abs(sum(r1["features"]) - 1.0) < 1e-6  # normalized histogram
+    assert rows[1]["width"] == rows[2]["width"]  # deterministic fake decode
