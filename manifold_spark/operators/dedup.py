@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from manifold_spark.functions.hashing import stable_long_hash
+from manifold_spark.plans.parallelism import ensure_parallelism
 
 
 def normalized_tokens(text: Column) -> Column:
@@ -77,22 +78,53 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _seeded_hash(seed: int):
-    # NB: capture via closure, NOT a default arg — PySpark inspects lambda
-    # arity, and a `lambda s, i=i:` two-parameter signature would make it
-    # pass the array-index column as `i`.
-    return lambda s: stable_long_hash(s, seed=seed)
+#: Mersenne prime 2^31-1: permutation arithmetic (a·h + b) mod M stays
+#: under 2^62, safe from ANSI-mode long-overflow errors.
+_MERSENNE = (1 << 31) - 1
+
+
+def _permutation_constants(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for Carter-Wegman permutations, derived
+    from md5 so they are reproducible anywhere (no RNG state)."""
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        d = hashlib.md5(f"minhash-{seed}-{i}".encode()).hexdigest()
+        a = (int(d[:15], 16) % (_MERSENNE - 1)) + 1
+        b = int(d[15:30], 16) % _MERSENNE
+        out.append((a, b))
+    return out
+
+
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+    """(doc_id, shingle) exploded rows — the scalable layout for corpus-wide
+    hashing: one codegen'd hash per shingle, map-side partial aggregation
+    for everything downstream (vs. nested higher-order functions, which are
+    interpreted and re-evaluate the hash per permutation)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(normalized_tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    )
 
 
 def minhash_signature(shingles: Column, num_perm: int = 32) -> Column:
-    """MinHash signature: per permutation i, min over shingles of the
-    seeded 63-bit hash. One array expression, JVM-side."""
+    """Array-form MinHash signature for a shingles column (small-data /
+    single-doc convenience; the corpus path uses `shingle_rows` +
+    aggregation in `minhash_lsh_pairs` instead)."""
+    perms = _permutation_constants(num_perm)
+    hashes = F.transform(shingles, lambda s: stable_long_hash(s) % _MERSENNE)
     return F.array(
         *[
-            F.array_min(F.transform(shingles, _seeded_hash(i)))
-            for i in range(num_perm)
+            F.array_min(F.transform(hashes, _permute(a, b)))
+            for (a, b) in perms
         ]
     )
+
+
+def _permute(a: int, b: int):
+    # closure capture — see the arity note on `bit_merge`.
+    return lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE
 
 
 def minhash_lsh_pairs(
@@ -110,13 +142,29 @@ def minhash_lsh_pairs(
 
     b=8 bands × r=4 rows ≈ an S-curve threshold of (1/b)^(1/r) ≈ 0.6 —
     candidates above ~0.5 Jaccard are found with high probability.
+
+    Plan shape (the 100 TB story): explode shingles → ONE md5 per shingle
+    (whole-stage codegen) → groupBy(doc) with 32 cheap min-aggregates
+    (map-side combined, so the shuffle carries one 32-long row per doc) →
+    banded bucket join → exact verify on the candidate pairs only.
     """
     rows = num_perm // bands
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(normalized_tokens(F.col(text_col)), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sigs = base.withColumn("sig", minhash_signature(F.col("shingles"), num_perm))
+    perms = _permutation_constants(num_perm)
+    df = ensure_parallelism(df)
+
+    # The shingle rows feed three consumers (signatures + both sides of the
+    # verify join). Persist the diamond — same reasoning as the reference's
+    # `.cache()` before its 4-way staging fan-out; Spark reuses cached
+    # partitions even within a single job, and LRU eviction reclaims it.
+    sh = shingle_rows(df, text_col, id_col, shingle_n).persist()
+    h0 = sh.withColumn("h0", stable_long_hash(F.col("shingle")) % _MERSENNE)
+    sigs = h0.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % _MERSENNE).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(perms)
+        ],
+    )
 
     band_entries = sigs.select(
         "doc_id",
@@ -127,7 +175,7 @@ def minhash_lsh_pairs(
                         F.lit(b).alias("band"),
                         F.sha2(
                             F.concat_ws(
-                                ",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                                ",", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
                             ),
                             256,
                         ).alias("key"),
@@ -158,16 +206,24 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = base.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = base.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = (
+    # Exact-Jaccard verify via sparse intersection counts: candidate pairs
+    # (tiny) are broadcast against the shingle rows; |A∩B| comes from a
+    # count over matching shingles, |A∪B| = |A|+|B|−|A∩B|. Candidates with
+    # an empty intersection have Jaccard 0 and drop out — below any
+    # meaningful threshold by construction.
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
         candidates.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sigs.select("doc_id", F.col("n_sh").alias("n"))
+    verified = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
@@ -211,10 +267,29 @@ def simhash_pairs(
     Returns (id_a, id_b, hamming)."""
     n_bands = num_bits // band_bits
     mask = (1 << band_bits) - 1
-    fp = df.select(
+    df = ensure_parallelism(df)
+    # Corpus path: explode tokens → one codegen'd hash per token → 32
+    # ±1 bit-sum aggregates with map-side combine (the HOF fingerprint in
+    # `simhash_fingerprint` is interpreted and re-hashes per bit).
+    toks = df.select(
         F.col(id_col).alias("doc_id"),
-        simhash_fingerprint(normalized_tokens(F.col(text_col)), num_bits).alias("fp"),
+        F.explode(normalized_tokens(F.col(text_col))).alias("token"),
     )
+    h = toks.withColumn("h", stable_long_hash(F.col("token")))
+    bitsums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b_{j}")
+            for j in range(num_bits)
+        ]
+    )
+    packed = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"b_{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(num_bits)
+        ],
+    )
+    fp = bitsums.select("doc_id", packed.alias("fp"))
     bands = fp.select(
         "doc_id",
         "fp",
@@ -261,29 +336,37 @@ def ngram_jaccard_pairs(
     threshold: float = 0.1,
 ) -> DataFrame:
     """EXACT n-gram Jaccard for every pair inside a blocking key (e.g.
-    (lang, source)). The block join bounds the pair count — this is the
-    oracle-checkable ground truth the LSH variants approximate.
-    Returns (id_a, id_b, jaccard)."""
-    base = df.select(
+    (lang, source)) with `jaccard >= threshold > 0`. The oracle-checkable
+    ground truth the LSH variants approximate. Returns (id_a, id_b, jaccard).
+
+    Sparse plan: instead of materializing all O(block²) pairs and
+    intersecting dense shingle arrays per pair, shingles join shingles on
+    (block, shingle) — only co-occurring shingles produce rows — and the
+    pair's intersection size is a count. Pairs sharing nothing never
+    exist, which is exactly the threshold > 0 contract. The shuffle key is
+    (block, shingle): at corpus scale, drop ubiquitous shingles (document
+    frequency cap) before the join — the standard skew guard.
+    """
+    df = ensure_parallelism(df)
+    ex = df.select(
         *block_cols,
         F.col(id_col).alias("doc_id"),
-        word_shingles(normalized_tokens(F.col(text_col)), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    a, b = base.alias("a"), base.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
-        F.col("a.doc_id") < F.col("b.doc_id")
-    ]
+        F.explode(word_shingles(normalized_tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = ex.select(*block_cols, F.col("doc_id").alias("id_a"), "shingle")
+    b = ex.select(*block_cols, F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, [*block_cols, "shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     return (
-        a.join(b, cond)
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("a.shingles", "b.shingles"))
-            / F.size(F.array_union("a.shingles", "b.shingles")),
-        )
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            "jaccard",
-        )
+        .select("id_a", "id_b", "jaccard")
     )

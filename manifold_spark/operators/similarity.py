@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from manifold_spark.operators.linalg import cosine_expr, dot_expr
+from manifold_spark.plans.parallelism import ensure_parallelism
 
 
 def topk_bruteforce(
@@ -39,7 +40,7 @@ def topk_bruteforce(
     q = broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -70,7 +71,7 @@ def assign_centroids(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
         )
     )
-    scored = corpus.crossJoin(c).withColumn(
+    scored = ensure_parallelism(corpus).crossJoin(c).withColumn(
         "cdist", dot_expr(vec_col, "cent_vec", dim)
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cdist").desc(), F.col("centroid_id"))
