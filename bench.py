@@ -22,6 +22,7 @@ from manifold_spark.session import get_spark  # noqa: E402
 #: The headline subset: one per operator family (star join, SCD2 merge,
 #: date dim, exact + fuzzy dedup, ANN, text stats, streaming-batch twins).
 HEADLINE = [
+    "pricing_summary",
     "star_join_fact",
     "scd2_merge_full",
     "date_dimension",
@@ -34,6 +35,8 @@ HEADLINE = [
     "text_language_id",
     "events_hourly_rollup",
     "events_sessionize",
+    "events_json_extract",
+    "topn_per_group",
 ]
 
 

@@ -313,7 +313,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type,
            count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(floor((value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS total_value
     FROM events
     GROUP BY 1, 2
     """,

@@ -190,7 +190,7 @@ def q_dup_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(o.o_orderdate) AS INT) AS order_year,
            l.l_returnflag AS return_flag,
            count(*) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -464,3 +464,148 @@ def all_oracles() -> dict[str, str]:
 def _ensure_extensions() -> None:
     """Import side-effect registration from the operators package."""
     from manifold_spark import operators  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q1-style pricing summary: the canonical scan-heavy aggregate —
+# filter pushed to the parquet scan, map-side partial aggregation, decimal-
+# exact sums (all quantities that matter for a 100 TB scan benchmark).
+# ---------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag AS return_flag,
+           l_linestatus AS line_status,
+           CAST(SUM(CAST(floor((l_quantity) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS sum_qty,
+           CAST(SUM(CAST(floor((l_extendedprice) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS sum_base_price,
+           CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            decimal_sum(F.col("l_quantity")).alias("sum_qty"),
+            decimal_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            decimal_sum(disc).alias("sum_disc_price"),
+            decimal_sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON path extraction (the ingest surface S1 as a scalar op) over the
+# events props column, rolled up per extracted key bucket.
+# ---------------------------------------------------------------------------
+@register(
+    "events_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(SUM(CAST(floor((value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k_bucket", F.get_json_object("props", "$.k").cast("int") % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group (window rank) — beyond the reference's surface (§2.5
+# "window functions: none") but table stakes for an analytics engine.
+# ---------------------------------------------------------------------------
+@register(
+    "topn_per_group",
+    """
+    SELECT c_mktsegment AS segment, c_custkey, c_acctbal, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer
+    )
+    WHERE rnk <= 10
+    """,
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(F.col("c_mktsegment").alias("segment"), "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivors: the "apply the dedup decision" half of exact dedup —
+# the corpus with duplicates removed (survivor = min doc_id per hash).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_survivors",
+    """
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)) s
+      ON d.doc_id = s.doc_id
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from manifold_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs, "text", "doc_id").select("doc_id")
+    return docs.join(survivors, "doc_id", "left_semi").select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate filter: keep documents above a quality threshold — the
+# filter half of the text-quality operator, as a pipeline stage.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_filter",
+    """
+    WITH m AS (
+        SELECT doc_id, lang,
+               CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INT) AS n_alpha,
+               CAST(length(text) AS INT) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id, lang
+    FROM m
+    WHERE n_tokens >= 20 AND n_alpha / greatest(n_chars, 1) > 0.5
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from manifold_spark.operators.textstats import token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = token_count_ws(F.col("text"))
+    n_alpha = F.regexp_count(F.col("text"), F.lit("[A-Za-z]"))
+    n_chars = F.length("text")
+    return docs.filter(
+        (n_tokens >= 20) & (n_alpha / F.greatest(n_chars, F.lit(1)) > 0.5)
+    ).select("doc_id", "lang")

@@ -1,0 +1,102 @@
+"""Physical-plan quality gates: these tests pin the *plan shape*, not the
+results — a regression here means a 100 TB run got slower even though
+sf0.001 results stay identical.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from manifold_spark.queries import all_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_dir):
+    """The shipdate predicate must reach the parquet scan (row-group
+    skipping at scale), and the projection must prune to the used columns."""
+    df = all_queries()["pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+    read_schema = plan.split("ReadSchema:")[1][:400]
+    assert "l_comment" not in read_schema  # never read
+    assert "l_orderkey" not in read_schema  # projection-pruned: unused key
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """All four dimension joins must be broadcast — the fact side must
+    never shuffle for a join."""
+    df = all_queries()["star_join_fact"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregates_are_partial(spark, sf_dir):
+    """Group-bys must map-side combine (two HashAggregate levels around
+    the exchange), so the shuffle carries partial states, not raw rows."""
+    df = all_queries()["pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_clean_chain_is_shuffle_free(spark):
+    """The whole listings cleaning chain collapses into one projection —
+    zero exchanges (SURVEY P1-P7 are row-local)."""
+    from manifold_spark.clean import clean_listings
+    from manifold_spark.schema import LISTING_SCHEMA
+
+    df = clean_listings(spark.createDataFrame([], LISTING_SCHEMA))
+    assert "Exchange" not in _plan(df)
+
+
+def test_fact_load_is_broadcast_only(spark):
+    """Surrogate-key resolution must broadcast every dim (facts at 100 TB
+    cannot shuffle for dim lookups)."""
+    import datetime as dt
+
+    from manifold_spark.facts import load_fact_stock
+
+    stock = spark.createDataFrame(
+        [("B1", "C1", "PT", "x", "y", 1.0, 1, "2024-01-01")],
+        "broker string, contract_number string, country string, county string,"
+        "parish string, price double, quantity int, stock_date string",
+    )
+    mk = lambda cols, rows: spark.createDataFrame(rows, cols)
+    dim_b = mk(
+        "broker_id long, broker string, record_end_date date",
+        [(1, "B1", dt.date(9999, 12, 31))],
+    )
+    dim_a = mk(
+        "asset_id long, contract_number string, record_end_date date",
+        [(1, "C1", dt.date(9999, 12, 31))],
+    )
+    dim_g = mk(
+        "geography_id long, country string, county string, parish string, record_end_date date",
+        [(1, "PT", "x", "y", dt.date(9999, 12, 31))],
+    )
+    fact = load_fact_stock(stock, dim_b, dim_a, dim_g)
+    plan = _plan(fact)
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    """Exact dedup is one hash-aggregate shuffle, nothing more."""
+    df = all_queries()["dedup_exact"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+
+
+def test_scan_prunes_columns_for_projection(spark, sf_dir):
+    """A 2-column projection must read 2 columns, not 11."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    plan = _plan(l)
+    schema = plan.split("ReadSchema:")[1]
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    assert "l_extendedprice" not in schema

@@ -36,7 +36,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # Full precision: the driver's value-hash is exact, so the local
+        # mirror must be too (9 sig figs once hid a decimal-cast rounding
+        # divergence of 1e-4 on 1e8-scale sums).
+        return f"{v:.17g}"
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, dt.date):
