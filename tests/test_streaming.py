@@ -36,3 +36,32 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_streaming_session_window(spark, sf_dir, tmp_path):
+    """Stateful streaming sessionization via session_window: same gap
+    semantics as the batch `sessionize`, drained with availableNow."""
+    from pyspark.sql import functions as F
+
+    events = read_events(spark, sf_dir).limit(2000)
+    src = str(tmp_path / "sess-src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT user_id, n_events FROM sessions_test").collect()
+    assert len(out) > 0
+    # Total events across sessions == input events (no loss, no dup)
+    assert sum(r["n_events"] for r in out) == events.count()
