@@ -36,6 +36,7 @@ HEADLINE = [
     "events_hourly_rollup",
     "events_sessionize",
     "events_json_extract",
+    "events_asof_join",
     "topn_per_group",
 ]
 

@@ -374,3 +374,60 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_binary = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
     return multimodal.extract_media_features(with_binary)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (point-in-time): each purchase matched to the user's most
+# recent signup at-or-before it. DuckDB's native ASOF JOIN is the oracle
+# for our window-composition implementation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from manifold_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    signups = events.filter(F.col("event_type") == "signup")
+    joined = asof_join(purchases, signups, on="ts", by=["user_id"], suffix="_signup")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.date_format("ts_signup", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-count rollup (exact; the approx_count_distinct variant is the
+# one-line HLL swap for 100 TB interactive use, not oracle-comparable).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,63 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+Matches each left row to the most recent right row with `right.ts <=
+left.ts` within the same key, the canonical operation for joining facts
+to slowly-drifting reference data (prices, signups, config snapshots).
+
+Spark-first composition (no range-join explosion, no UDF): union the two
+sides with a side tag, one window pass per key ordered by (ts, side)
+carrying the last-seen right timestamp forward (`last(..., ignorenulls)`),
+then keep the left rows. Cost: ONE shuffle by key + an in-partition sort —
+same price as any grouped window; contrast with the naive
+`l JOIN r ON l.key = r.key AND r.ts <= l.ts` + argmax, which explodes
+quadratically per key.
+
+Ties: a right row at exactly left.ts matches (<= semantics, right sorts
+before left at equal ts) — mirrors DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join. `on` is the ordering column (timestamp), `by` the
+    equi keys. Carried right columns (default: `on` only) appear with
+    `suffix`. Left rows with no prior right row get nulls."""
+    right_cols = [on] if right_cols is None else right_cols
+    carried = [f"{c}{suffix}" for c in right_cols]
+
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumns(
+        {cc: F.lit(None).cast(dict(right.dtypes)[c]) for c, cc in zip(right_cols, carried)}
+    )
+    r_tagged = (
+        right.select(*by, on, *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)])
+        .withColumn("_side", F.lit(0))
+    )
+    # Align schemas: right side gets nulls for left-only columns.
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(l_tagged.dtypes)[c]))
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumns(
+        {
+            cc: F.last(F.when(F.col("_side") == 0, F.col(cc)), ignorenulls=True).over(w)
+            for cc in carried
+        }
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

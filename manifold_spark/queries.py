@@ -27,6 +27,7 @@ from manifold_spark.functions.numeric import decimal_sum
 from manifold_spark.dims import date_dimension
 from manifold_spark.scd2 import scd2_merge, initial_load
 from manifold_spark.stage import with_fingerprint
+from manifold_spark.plans.parallelism import ensure_parallelism
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -200,7 +201,7 @@ def q_dup_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_star_join_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
+    l = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -487,7 +488,7 @@ def _ensure_extensions() -> None:
     """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
+    l = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
