@@ -1,0 +1,62 @@
+"""Physical-layout tools: bucketing, partitioned writes, skew salting.
+
+These are the knobs that decide whether a 100 TB join shuffles 100 TB or
+nothing:
+
+- **Bucketing** (`write_bucketed`): pre-hash-partition a table on its join
+  key at write time. Two tables bucketed the same way join with ZERO
+  exchange — the shuffle happened once, at load, instead of per query.
+  This is how the fact↔dim co-location of a warehouse should be stored.
+- **Partitioned writes** (`TableStore.overwrite(partition_by=…)`): the
+  reference's `/{year}/{month}/{week}/` path scheme as a Catalyst-visible
+  layout — readers get partition pruning instead of path math.
+- **Salting** (`salted_join`): when one join key carries a disproportionate
+  share of rows, split it across `n_salt` synthetic sub-keys: the small
+  side is replicated n_salt ways, the big side's hot partition splits into
+  n_salt tasks. AQE's skew-join handles sort-merge skew automatically;
+  salting is the explicit tool for broadcast-ineligible skews and for
+  deterministic layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (+ optionally sorted) managed table. Joins and
+    aggregations on `bucket_cols` between tables bucketed with the same
+    (cols, num_buckets) run shuffle-free."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: the (big, skewed) left side gets a
+    deterministic salt from its row content; the (smaller) right side is
+    replicated across all salt values. Join key becomes (on, salt), so a
+    hot key spreads over `n_salt` tasks.
+
+    Deterministic: salt derives from xxhash64 of the left row's columns,
+    not rand() — reruns produce identical partitioning."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return l_salted.join(r_salted, [on, "_salt"], how).drop("_salt")

@@ -37,6 +37,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver supplies its own session; timestamp FORMATTING follows the
+    # session timezone, and the DuckDB oracle renders naive timestamps.
+    # Pin UTC so hour buckets / date keys agree regardless of host tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
