@@ -58,8 +58,17 @@ def main() -> None:
 
     queries = all_queries()
 
-    # Warmup: tiny scan through the full write path.
-    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode("overwrite").save()
+    # Warmup at the smallest scale factor: every query runs once on
+    # sf0.001 so whole-stage codegen is compiled (and janino-cached by
+    # identical source) before timing. The timed pass then measures data
+    # processing, not single-threaded compilation — which on a shared
+    # machine dominates variance for the expression-heavy operators.
+    warm_dir = sf_dir.replace(f"sf{sf_dir.rstrip('/').rsplit('sf', 1)[-1]}", "sf0.001")
+    for name in HEADLINE:
+        try:
+            queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warmup is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -431,3 +431,30 @@ def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (sort-based; DuckDB quantile_cont interpolates
+# identically). At interactive 100 TB scale the one-line swap is
+# approx_percentile (t-digest) — kept exact here for the oracle gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
