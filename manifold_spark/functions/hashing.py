@@ -28,5 +28,5 @@ def stable_long_hash(col: Column, seed: int = 0) -> Column:
     md5(seed || value) → first 15 hex chars → BIGINT. Engine-portable
     (md5 is standardized), unlike Spark's murmur3 `hash`/`xxhash64`.
     """
-    seeded = F.concat_ws("", F.lit(str(seed)), col)
+    seeded = F.concat_ws("", F.lit(str(seed)), col)
     return F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long")

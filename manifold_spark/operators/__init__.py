@@ -80,12 +80,95 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", None)  # banded LSH: not SQL-expressible
+#: DuckDB mirror of `functions.hashing.stable_long_hash` (md5-based, so it
+#: exists in every engine — the whole point of not using murmur3/xxhash64).
+def _stable_hash_sql(expr: str, seed: int = 0) -> str:
+    return f"CAST(('0x' || substr(md5('{seed}' || {expr}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_oracle(num_perm=32, bands=8, threshold=0.3, max_bucket=50) -> str:
+    """Generate the FULL banded-LSH pipeline in SQL from the same
+    permutation constants the Spark side uses."""
+    perms = dedup._permutation_constants(num_perm)
+    M = dedup._MERSENNE
+    rows = num_perm // bands
+    sig_cols = ",\n               ".join(
+        f"min(({a} * h0 + {b}) % {M}) AS sig_{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, sha256(concat_ws(',', "
+        + ", ".join(f"sig_{b * rows + r}" for r in range(rows))
+        + ")) AS key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
+    h0 AS (SELECT doc_id, shingle, {_stable_hash_sql('shingle')} % {M} AS h0 FROM ex),
+    sigs AS (SELECT doc_id, count(*) AS n_sh,
+               {sig_cols}
+             FROM h0 GROUP BY doc_id),
+    bands AS ({band_selects}),
+    bsizes AS (SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2),
+    bounded AS (SELECT b.doc_id, b.band, b.key FROM bands b
+                JOIN bsizes s USING (band, key) WHERE s.n <= {max_bucket}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bounded a JOIN bounded b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+              FROM cand c
+              JOIN ex ea ON ea.doc_id = c.id_a
+              JOIN ex eb ON eb.doc_id = c.id_b AND eb.shingle = ea.shingle
+              GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sigs sa ON sa.doc_id = i.id_a
+    JOIN sigs sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3)
 
 
-@register("dedup_simhash", None)  # banded LSH: not SQL-expressible
+def _simhash_oracle(num_bits=32, band_bits=8, max_hamming=6, max_bucket=100) -> str:
+    n_bands = num_bits // band_bits
+    mask = (1 << band_bits) - 1
+    bit_cols = ",\n               ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS b_{j}" for j in range(num_bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b_{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(num_bits)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, fp, {b} AS band, (fp >> {b * band_bits}) & {mask} AS key FROM fp"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents),
+    h AS (SELECT doc_id, {_stable_hash_sql('token')} AS h FROM toks),
+    bits AS (SELECT doc_id,
+               {bit_cols}
+             FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, CAST({packed} AS BIGINT) AS fp FROM bits),
+    bands AS ({band_selects}),
+    bsizes AS (SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2),
+    bounded AS (SELECT b.doc_id, b.fp, b.band, b.key FROM bands b
+                JOIN bsizes s USING (band, key) WHERE s.n <= {max_bucket})
+    SELECT id_a, id_b, hamming FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM bounded a JOIN bounded b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {max_hamming}
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=6)
 
@@ -177,7 +260,30 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_cosine_near_dup", None)  # IVF-blocked pair search: plan-shaped, rows-only
+_NEAR_DUP_ORACLE = f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cent_vec
+        FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ({dot_sql('embedding', 'cent_vec', DIM)}) DESC,
+                                               c.centroid_id) AS crank
+            FROM embeddings e, cent c
+        ) WHERE crank <= 2
+    )
+    SELECT id_a, id_b, cosine FROM (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               {cosine_sql('a.embedding', 'b.embedding', DIM)} AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.2
+"""
+
+
+@register("sim_cosine_near_dup", _NEAR_DUP_ORACLE)
 def q_sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup(_t(spark, sf_dir, "embeddings"), DIM, threshold=0.2)
 

@@ -6,9 +6,12 @@ DuckDB oracle (the correctness gate). Column names and types are aligned
 pairwise — the gate hash-compares values after sorting columns by name.
 
 Determinism rules used throughout (see `functions/numeric.py`):
-- double SUM/AVG goes through a DECIMAL cast (order-independent), then
-  back to DOUBLE;
-- no raw timestamps in outputs (cast to DATE or string);
+- double SUM goes through `floor(x·10^s + 0.5)` scaled-integer rounding —
+  order-independent AND engine-exact (Spark's double→decimal cast rounds
+  the shortest string repr and diverges from engines that round the
+  binary value);
+- no raw timestamps in outputs (cast to DATE or string); session timezone
+  pinned to UTC in `_t` because the driver owns the session;
 - int-typed outputs are cast explicitly on both sides (DuckDB year() etc.
   return BIGINT, Spark returns INT).
 """
@@ -614,3 +617,103 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         (n_tokens >= 20) & (n_alpha / F.greatest(n_chars, F.lit(1)) > 0.5)
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation: CUBE over (region, year). Beyond the
+# reference's surface (§2.4: no grouping sets) — table stakes for a
+# warehouse engine. Spark plans one pass with an Expand node.
+# ---------------------------------------------------------------------------
+@register(
+    "sales_cube",
+    """
+    SELECT r.r_name AS region_name,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(floor(o.o_totalprice * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (r.r_name, year(o.o_orderdate))
+    """,
+)
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.cube(
+        F.col("r_name").alias("region_name"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        decimal_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (INTERSECT / EXCEPT): customers with orders in BOTH
+# halves of the date range, and those never ordering at all.
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_customers",
+    """
+    WITH early AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) < 1995),
+         late  AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) >= 1995),
+         both_halves AS (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late),
+         never AS (SELECT c_custkey AS o_custkey FROM customer
+                   EXCEPT SELECT o_custkey FROM orders)
+    SELECT 'both_halves' AS cohort, count(*) AS n FROM both_halves
+    UNION ALL SELECT 'never', count(*) FROM never
+    """,
+)
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    early = o.filter(F.year("o_orderdate") < 1995).select("o_custkey").distinct()
+    late = o.filter(F.year("o_orderdate") >= 1995).select("o_custkey").distinct()
+    both_halves = early.intersect(late)
+    never = c.select(F.col("c_custkey").alias("o_custkey")).exceptAll(
+        o.select("o_custkey")
+    ).distinct()
+    a = both_halves.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both_halves").alias("cohort"), "n"
+    )
+    b = never.agg(F.count(F.lit(1)).alias("n")).select(F.lit("never").alias("cohort"), "n")
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Running total (cumulative window): per-user cumulative event value over
+# time — the unbounded-preceding frame both engines define identically.
+# ---------------------------------------------------------------------------
+@register(
+    "events_running_total",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS HUGEINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000.0 AS running_value
+    FROM events
+    WHERE user_id < 100
+    """,
+)
+def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scaled = F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.sum(scaled).over(w).cast("double") / F.lit(10000.0)).alias("running_value"),
+    )

@@ -1,0 +1,48 @@
+"""Failure paths of the quality gates: the invariants must actually fire."""
+
+import datetime as dt
+
+import pytest
+
+from manifold_spark.quality import (
+    QualityError,
+    assert_nonempty,
+    assert_unique_active,
+    duplicate_active_keys,
+)
+
+
+def test_empty_table_raises(spark):
+    df = spark.createDataFrame([], "a string")
+    with pytest.raises(QualityError, match="empty"):
+        assert_nonempty(df, "staging.dim_broker")
+
+
+def test_nonempty_returns_count(spark):
+    df = spark.createDataFrame([("x",), ("y",)], "a string")
+    assert assert_nonempty(df, "t") == 2
+
+
+def test_duplicate_active_detected(spark):
+    sentinel = dt.date(9999, 12, 31)
+    rows = [
+        ("A", dt.date(2024, 1, 1), sentinel),
+        ("A", dt.date(2024, 2, 1), sentinel),  # second ACTIVE row for A
+        ("B", dt.date(2024, 1, 1), sentinel),
+        ("B", dt.date(2023, 1, 1), dt.date(2023, 12, 31)),  # expired: fine
+    ]
+    df = spark.createDataFrame(
+        rows, "broker string, record_start_date date, record_end_date date"
+    )
+    dups = duplicate_active_keys(df, ["broker"]).collect()
+    assert len(dups) == 1 and dups[0]["broker"] == "A" and dups[0]["active_rows"] == 2
+    with pytest.raises(QualityError, match="dim_broker"):
+        assert_unique_active(df, ["broker"], "dim_broker")
+
+
+def test_expired_only_key_passes(spark):
+    df = spark.createDataFrame(
+        [("C", dt.date(2023, 1, 1), dt.date(2023, 6, 1))],
+        "broker string, record_start_date date, record_end_date date",
+    )
+    assert_unique_active(df, ["broker"], "dim_broker")  # no active rows: OK
