@@ -348,11 +348,13 @@ def ngram_jaccard_pairs(
     frequency cap) before the join — the standard skew guard.
     """
     df = ensure_parallelism(df)
+    # Three consumers (both join sides + doc sizes): persist the explode so
+    # the interpreted shingling runs once (same diamond as minhash).
     ex = df.select(
         *block_cols,
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(normalized_tokens(F.col(text_col)), shingle_n)).alias("shingle"),
-    )
+    ).persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = ex.select(*block_cols, F.col("doc_id").alias("id_a"), "shingle")
