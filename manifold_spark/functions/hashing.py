@@ -17,9 +17,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def fingerprint(cols: list[str | Column], num_bits: int = 256) -> Column:
-    """`sha2(concat_ws('||', *cols), 256)` — the reference's row hash."""
+def fingerprint(
+    cols: list[str | Column], num_bits: int = 256, null_safe: bool = False
+) -> Column:
+    """`sha2(concat_ws('||', *cols), 256)` — the reference's row hash.
+
+    The reference construction is NOT injective: `concat_ws` skips NULLs,
+    so (NULL,'x') and ('x',NULL) collide, as do values containing the
+    literal separator. In the reference pipeline this is moot — hashing
+    happens after cleaning, which defaults every NULL — and we keep its
+    exact bytes by default for oracle parity. Pass ``null_safe=True``
+    where raw NULLs can reach the hash: each value gets a presence prefix
+    ('v'/lone null marker), making NULL vs empty vs absent distinct.
+    """
+    if null_safe:
+        cols = [
+            F.when(_as_col(c).isNull(), F.lit("␀")).otherwise(
+                F.concat(F.lit("v"), _as_col(c).cast("string"))
+            )
+            for c in cols
+        ]
     return F.sha2(F.concat_ws("||", *cols), num_bits)
+
+
+def _as_col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
 
 
 def stable_long_hash(col: Column, seed: int = 0) -> Column:

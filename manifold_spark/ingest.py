@@ -24,7 +24,14 @@ PATH_TEMPLATE = "{root}/{year}/{month}/{week}"
 
 def timestep_path(root: str, execution_date: str | dt.date, template: str = PATH_TEMPLATE) -> str:
     """Resolve the `{year}/{month}/{week}` input folder for an execution
-    date (reference S2, `el_to_parquet.py:296-315`): week = ISO week."""
+    date (reference S2, `el_to_parquet.py:296-315`): week = ISO week.
+
+    Year-boundary caveat (inherited from the reference's scheme): the path
+    mixes CALENDAR year/month with the ISO week number, so 2025-12-29
+    (ISO week 1 of 2026) lands in `2025/12/1`. Consistent as long as both
+    writer and reader use this function — which the pipeline does — but
+    don't interpret the trailing component as "week within that month/year".
+    """
     if isinstance(execution_date, str):
         execution_date = dt.date.fromisoformat(execution_date)
     return template.format(

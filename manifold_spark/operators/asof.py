@@ -36,14 +36,17 @@ def asof_join(
     right_cols = [on] if right_cols is None else right_cols
     carried = [f"{c}{suffix}" for c in right_cols]
 
-    l_tagged = left.withColumn("_side", F.lit(1)).withColumns(
-        {cc: F.lit(None).cast(dict(right.dtypes)[c]) for c, cc in zip(right_cols, carried)}
+    # Carry the matched right row as ONE struct so the fill is atomic: a
+    # per-column last(ignorenulls) would mix values from different right
+    # rows whenever a later right row holds a legitimate NULL (and could
+    # never deliver that NULL at all).
+    r_struct = F.struct(*[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)])
+    struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType.simpleString()
+
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(struct_type)
     )
-    r_tagged = (
-        right.select(*by, on, *[F.col(c).alias(cc) for c, cc in zip(right_cols, carried)])
-        .withColumn("_side", F.lit(0))
-    )
-    # Align schemas: right side gets nulls for left-only columns.
+    r_tagged = right.select(*by, on, r_struct.alias("_r")).withColumn("_side", F.lit(0))
     for c in l_tagged.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(dict(l_tagged.dtypes)[c]))
@@ -54,10 +57,10 @@ def asof_join(
         .orderBy(F.col(on), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.withColumns(
-        {
-            cc: F.last(F.when(F.col("_side") == 0, F.col(cc)), ignorenulls=True).over(w)
-            for cc in carried
-        }
+    filled = unioned.withColumn(
+        "_r", F.last(F.when(F.col("_side") == 0, F.col("_r")), ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    out = filled.filter(F.col("_side") == 1)
+    return out.select(
+        *[c for c in left.columns], *[F.col(f"_r.{cc}").alias(cc) for cc in carried]
+    )

@@ -80,7 +80,7 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     n_chars = F.length(text)
     n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN))
     n_alpha = F.regexp_count(text, F.lit(ALPHA_PATTERN))
-    all_markers = sorted({m for ms in LANG_MARKERS.values() for ms in [ms] for m in ms})
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
     n_stop = marker_count(text, all_markers)
     denom_chars = F.greatest(n_chars, F.lit(1))
     denom_tokens = F.greatest(n_tokens, F.lit(1))

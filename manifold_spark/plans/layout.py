@@ -53,7 +53,13 @@ def salted_join(
     hot key spreads over `n_salt` tasks.
 
     Deterministic: salt derives from xxhash64 of the left row's columns,
-    not rand() — reruns produce identical partitioning."""
+    not rand() — reruns produce identical partitioning.
+
+    Only inner/left joins are sound: the right side is replicated, so
+    right/full-outer would surface n_salt-1 spurious unmatched copies of
+    every unmatched right row."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(

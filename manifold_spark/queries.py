@@ -34,8 +34,9 @@ from manifold_spark.plans.parallelism import ensure_parallelism
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-#: name -> (spark_fn, oracle_sql | None). Populated below and by
-#: `manifold_spark.operators.register_extension_queries`.
+#: name -> (spark_fn, oracle_sql | None). Populated below and, as an import
+#: side effect, by the `@register` decorators in `manifold_spark/operators/
+#: __init__.py` (triggered via `_ensure_extensions`).
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 
@@ -136,8 +137,9 @@ def q_fingerprint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stage_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return with_fingerprint(docs.select("lang", "source").distinct(), ["lang", "source"])
+    from manifold_spark.stage import stage_dimension
+
+    return stage_dimension(_t(spark, sf_dir, "documents"), ["lang", "source"])
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ reference's one deliberate physical decision, `el_to_parquet.py:324-325`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from manifold_spark import schema as S
@@ -30,10 +30,27 @@ def with_fingerprint(df: DataFrame, cols: list[str] | None = None, out_col: str 
     return df.withColumn(out_col, fingerprint([F.col(c) for c in cols]))
 
 
-def stage_dimension(df: DataFrame, columns: list[str]) -> DataFrame:
+def stage_dimension(
+    df: DataFrame, columns: list[str], unique_keys: list[str] | None = None
+) -> DataFrame:
     """distinct(select(columns)) + hash — one staging dimension set
-    (reference A1+P9, `el_to_parquet.py:177-193`)."""
-    return with_fingerprint(df.select(*columns).distinct(), columns)
+    (reference A1+P9, `el_to_parquet.py:177-193`).
+
+    ``unique_keys``: business key of the dimension. The reference dedups
+    on the FULL row, so one key appearing twice with different attributes
+    (a relisting inside one scrape window) ships two staging rows — which
+    the SCD2 merge would turn into two ACTIVE rows, violating the
+    documented invariant (`README.md:149-157`). We implement the intent:
+    keep one deterministic survivor per key (lowest hash)."""
+    out = with_fingerprint(df.select(*columns).distinct(), columns)
+    if unique_keys and set(unique_keys) != set(columns):
+        w = Window.partitionBy(*unique_keys).orderBy("hash")
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return out
 
 
 def stage_broker(df: DataFrame) -> DataFrame:
@@ -45,7 +62,9 @@ def stage_geography(df: DataFrame) -> DataFrame:
 
 
 def stage_asset(df: DataFrame) -> DataFrame:
-    return stage_dimension(df, S.STAGING_COLUMNS["dim_asset"])
+    return stage_dimension(
+        df, S.STAGING_COLUMNS["dim_asset"], unique_keys=S.DIM_KEYS["dim_asset"]
+    )
 
 
 def stage_stock(df: DataFrame, execution_date: str) -> DataFrame:

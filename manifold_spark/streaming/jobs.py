@@ -86,7 +86,9 @@ def streaming_hourly_rollup(
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # same decimal_sum as the batch twin — totals must agree with
+            # the oracle-gated batch rollup regardless of micro-batch order
+            decimal_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),

@@ -147,3 +147,63 @@ def test_multimodal_plumbing(spark, docs):
     assert len(r1["features"]) == 16
     assert abs(sum(r1["features"]) - 1.0) < 1e-6  # normalized histogram
     assert rows[1]["width"] == rows[2]["width"]  # deterministic fake decode
+
+
+def test_asof_join_atomic_right_row(spark):
+    """The carried right columns must come from ONE right row — a later
+    right row with a legitimate NULL payload must deliver that NULL, not
+    a value resurrected from an earlier row."""
+    from manifold_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-03 00:00:00", 100)], "k int, ts string, lv int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0, "EUR"),
+            (1, "2024-01-02 00:00:00", 20.0, None),  # newest: NULL currency
+        ],
+        "k int, ts string, price double, currency string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(left, right, on="ts", by=["k"], right_cols=["price", "currency"]).collect()
+    assert len(out) == 1
+    assert out[0]["price_asof"] == 20.0
+    assert out[0]["currency_asof"] is None  # NOT 'EUR' from the older row
+
+
+def test_stage_asset_dedups_business_key(spark):
+    """A contract listed twice in one batch with different attributes must
+    yield ONE staging row (deterministic survivor), keeping the SCD2
+    unique-active invariant reachable."""
+    from manifold_spark.stage import stage_asset
+    from manifold_spark.schema import STAGING_COLUMNS
+
+    rows = []
+    for price in (100.0, 200.0):
+        rows.append(
+            ("C1", "PT", "L", "A", "t", "d", price, "House", 1.0, 2.0, 80.0, 38.0, -9.0)
+        )
+    rows.append(("C2", "PT", "L", "A", "t", "d", 300.0, "House", 1.0, 2.0, 80.0, 38.0, -9.0))
+    df = spark.createDataFrame(
+        rows,
+        "contract_number string, country string, county string, parish string,"
+        "title string, description string, price double, property_type string,"
+        "bathrooms double, bedrooms double, area_net double, latitude double, longitude double",
+    )
+    staged = stage_asset(df)
+    assert staged.count() == 2  # C1 collapsed to one survivor
+    assert staged.filter("contract_number = 'C1'").count() == 1
+    # survivor choice is deterministic across runs
+    a = staged.filter("contract_number = 'C1'").collect()[0]["hash"]
+    b = stage_asset(df).filter("contract_number = 'C1'").collect()[0]["hash"]
+    assert a == b
+
+
+def test_fingerprint_null_safe(spark):
+    from manifold_spark.functions.hashing import fingerprint
+
+    df = spark.createDataFrame([(None, "x"), ("x", None)], "a string, b string")
+    plain = df.select(fingerprint([F.col("a"), F.col("b")]).alias("h")).collect()
+    assert plain[0]["h"] == plain[1]["h"]  # reference semantics: collides
+    safe = df.select(fingerprint([F.col("a"), F.col("b")], null_safe=True).alias("h")).collect()
+    assert safe[0]["h"] != safe[1]["h"]
