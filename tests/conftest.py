@@ -36,43 +36,8 @@ def sf_dir():
     return f"{TESTDATA_ROOT}/sf0.001"
 
 
-BROKERS = [f"Broker {i}" for i in range(20)]
-COUNTRIES = ["Portugal", "Spain", "France"]
-COUNTIES = [f"County{i}" for i in range(10)]
-PARISHES = [f"Parish{i}" for i in range(30)]
-PTYPES = ["Apartment", "House", "Villa", "Studio", "Duplex"]
-
-
-def make_listing(rng: random.Random, contract: str) -> dict:
-    title = f"<b>Nice</b> home {contract} <a href='/x'>link</a>"
-    if rng.random() < 0.1:
-        title = title + " lorem" * 60  # >250 chars → truncation path
-    return {
-        "Broker": rng.choice(BROKERS) if rng.random() > 0.02 else None,
-        "ContractNumber": contract,
-        "Country": rng.choice(COUNTRIES),
-        "County": rng.choice(COUNTIES),
-        "Parish": rng.choice(PARISHES),
-        "Title": title,
-        "Description": f"<div>desc {contract}</div> with <a>anchor</a>",
-        "PriceCurrencyFormated": round(rng.uniform(10_000, 2_000_000), 2) if rng.random() > 0.02 else None,
-        "PropertyType": rng.choice(PTYPES),
-        "Bathrooms": float(rng.randint(0, 5)) if rng.random() > 0.05 else None,
-        "Bedrooms": float(rng.randint(0, 8)) if rng.random() > 0.05 else None,
-        "AreaNet": round(rng.uniform(20, 800), 1) if rng.random() > 0.05 else None,
-        "Latitude": round(rng.uniform(36, 42), 6),
-        "Longitude": round(rng.uniform(-9.5, -6), 6),
-    }
-
-
-def write_week(root: str, date: dt.date, listings: list[dict]) -> None:
-    from manifold_spark.ingest import timestep_path
-
-    folder = timestep_path(root, date)
-    os.makedirs(folder, exist_ok=True)
-    with open(os.path.join(folder, "listings.json"), "w") as f:
-        for row in listings:
-            f.write(json.dumps(row) + "\n")
+# Fixture generation lives in the package (also used by bench.py).
+from manifold_spark.sources.fixtures import make_listing, write_week  # noqa: E402,F401
 
 
 @pytest.fixture(scope="session")
