@@ -564,3 +564,12 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.9)").alias("p90"),
         F.expr("percentile(value, 0.99)").alias("p99"),
     )
+
+
+@register("sim_ann_ivf_kmeans", None)  # iterative Lloyd means: not practical in one SQL oracle
+def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_ivf_kmeans(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, DIM,
+        k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+    )

@@ -159,3 +159,90 @@ def cosine_near_dup(
         .distinct()
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd refinement of the IVF quantizer: init from the
+    first k vectors by id, then `iters` rounds of assign → per-dimension
+    exact-mean recompute. Everything is DataFrame ops: assignment is the
+    broadcast scorer from `assign_centroids`; means use the engine's
+    order-independent decimal sums, so centroids are identical across
+    partitionings and reruns.
+
+    Returns (centroid_id, cent_vec array<double>). Cost per iteration:
+    one broadcast pass over the corpus + one groupBy of k·dim cells —
+    at 100 TB you run this on a sample, not the full corpus (standard
+    IVF practice); plan shape is unchanged either way.
+    """
+    from manifold_spark.functions.numeric import decimal_sum
+
+    cent = corpus.orderBy(id_col).limit(k).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    for _ in range(iters):
+        assigned = assign_centroids(
+            corpus, cent.select(F.col("centroid_id").alias("vec_id"), F.col("cent_vec").alias("embedding")),
+            dim, id_col=id_col, vec_col=vec_col,
+        )
+        cells = assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = (
+            cells.groupBy("centroid_id", "pos")
+            .agg((decimal_sum(F.col("val"), scale=8) / F.count(F.lit(1))).alias("mean"))
+        )
+        cent = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                    lambda s: s["mean"],
+                ).alias("cent_vec")
+            )
+        )
+    return cent
+
+
+def topk_ivf_kmeans(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over Lloyd-refined centroids — same plan as `topk_ivf`
+    with a better quantizer (tighter inverted lists → higher recall at
+    equal nprobe)."""
+    cent = kmeans_centroids(corpus, dim, n_centroids, iters, id_col, vec_col)
+    cent_as_vecs = cent.select(
+        F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
+    )
+    lists = assign_centroids(corpus, cent_as_vecs, dim, id_col, vec_col)
+    probes = assign_centroids(queries, cent_as_vecs, dim, id_col, vec_col, rank_limit=nprobe)
+
+    q = broadcast(
+        probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id")
+    )
+    c = lists.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id")
+    scored = (
+        q.join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_expr("q_vec", "c_vec", dim))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -207,3 +207,19 @@ def test_fingerprint_null_safe(spark):
     assert plain[0]["h"] == plain[1]["h"]  # reference semantics: collides
     safe = df.select(fingerprint([F.col("a"), F.col("b")], null_safe=True).alias("h")).collect()
     assert safe[0]["h"] != safe[1]["h"]
+
+
+def test_kmeans_ivf_recall(spark, sf_dir):
+    """Lloyd-refined IVF must reach at least the deterministic-subset
+    quantizer's recall, and both runs must be identical (determinism)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 8")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.topk_bruteforce(queries, emb, 64, k=5).collect()}
+    km = similarity.topk_ivf_kmeans(queries, emb, 64, k=5, n_centroids=16, nprobe=4)
+    a = {(r["query_id"], r["neighbor_id"]) for r in km.collect()}
+    recall = len(exact & a) / len(exact)
+    assert recall >= 0.5, f"kmeans-IVF recall too low: {recall}"
+    b = {(r["query_id"], r["neighbor_id"])
+         for r in similarity.topk_ivf_kmeans(queries, emb, 64, k=5, n_centroids=16, nprobe=4).collect()}
+    assert a == b  # deterministic centroids -> identical results
