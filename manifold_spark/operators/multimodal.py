@@ -94,3 +94,64 @@ def decode_real(content: bytes):  # pragma: no cover - codec gate
             "image codecs are not installed in this runtime; "
             "extract_media_features uses the deterministic stub decoder"
         ) from e
+
+
+#: Frame-sampling output: one row per sampled frame. Real video decode is
+#: stubbed (no codecs in this runtime); byte-range slicing stands in, with
+#: the schema/partitioning/batching identical to a real ffmpeg-backed
+#: implementation.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def sample_frames_batch(n_frames: int):
+    """mapInPandas worker factory: evenly sample `n_frames` byte-range
+    'frames' from each binary payload (deterministic stub for keyframe
+    extraction)."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(content)
+                if not data:
+                    continue
+                step = max(len(data) // n_frames, 1)
+                for i in range(min(n_frames, len(data))):
+                    chunk = data[i * step : i * step + step]
+                    rows.append(
+                        (int(doc_id), i, chunk, hashlib.sha256(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_sha"]
+            )
+
+    return fn
+
+
+def sample_frames(df_with_binary: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Evenly-spaced frame sampling over the binary column — partition-
+    preserving Arrow pass, one output row per frame."""
+    return df_with_binary.select("doc_id", "content").mapInPandas(
+        sample_frames_batch(n_frames), FRAME_SCHEMA
+    )
+
+
+def media_manifest(df: DataFrame, uri_prefix: str, id_col: str = "doc_id") -> DataFrame:
+    """URI-manifest pattern for large media: items above the inline-bytes
+    budget live in object storage; the table carries (uri, byte_len,
+    content_sha) and decoders fetch ranges. All JVM-side."""
+    with_bin = df  # expects attach_binary output (content/byte_len/content_sha)
+    return with_bin.select(
+        id_col,
+        F.concat(F.lit(uri_prefix.rstrip("/") + "/"), F.col(id_col).cast("string"), F.lit(".bin")).alias("uri"),
+        "byte_len",
+        "content_sha",
+    )

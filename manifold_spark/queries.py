@@ -719,3 +719,40 @@ def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.sum(scaled).over(w).cast("double") / F.lit(10000.0)).alias("running_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS): the reference's J4 null-check is
+# the anti-join pattern; here both appear explicitly as first-class plans
+# (LeftSemi/LeftAnti — no row multiplication, right side only probed).
+# ---------------------------------------------------------------------------
+@register(
+    "semi_anti_customers",
+    """
+    SELECT 'with_urgent_order' AS cohort, count(*) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'without_any_order', count(*)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_urgent = (
+        c.join(urgent, "c_custkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_urgent_order").alias("cohort"), "n")
+    )
+    without_any = (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("without_any_order").alias("cohort"), "n")
+    )
+    return with_urgent.unionByName(without_any)

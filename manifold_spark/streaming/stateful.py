@@ -1,0 +1,107 @@
+"""Custom stateful streaming operator via `applyInPandasWithState`.
+
+The built-in streaming aggregations cover windows and sessions; what they
+can't express is arbitrary per-key state machines. The canonical example
+here: a per-user cumulative-spend monitor that emits an alert row the
+moment the running total crosses each configured threshold — the row must
+be emitted exactly once per threshold regardless of how events split
+across micro-batches, which requires carried state.
+
+State is one (cumulative_total, n_thresholds_fired) pair per user —
+Arrow-batched in and out, so Python touches columnar chunks, never rows
+one at a time. At scale the state store shards by the grouping key like
+any streaming aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Alert emitted when a user's cumulative value crosses a threshold.
+ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("threshold", T.DoubleType()),
+        T.StructField("cumulative", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total", T.DoubleType()),
+        T.StructField("fired", T.IntegerType()),
+    ]
+)
+
+DEFAULT_THRESHOLDS = [100.0, 500.0, 1000.0]
+
+
+def _monitor(thresholds: list[float]):
+    ts = sorted(thresholds)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        total, fired = state.get if state.exists else (0.0, 0)
+        out = []
+        for pdf in pdfs:
+            # deterministic order within the batch: by event time then id
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                total += float(v)
+                while fired < len(ts) and total >= ts[fired]:
+                    out.append((int(user_id), ts[fired], total))
+                    fired += 1
+        state.update((total, fired))
+        yield pd.DataFrame(out, columns=["user_id", "threshold", "cumulative"])
+
+    return fn
+
+
+def spend_alerts_stream(
+    events_stream: DataFrame, thresholds: list[float] | None = None
+) -> DataFrame:
+    """Attach the stateful monitor to a streaming events DataFrame.
+    Each alert appears exactly once across the stream's lifetime."""
+    thresholds = DEFAULT_THRESHOLDS if thresholds is None else thresholds
+    return (
+        events_stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _monitor(thresholds),
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def spend_alerts_batch(events: DataFrame, thresholds: list[float] | None = None) -> DataFrame:
+    """Batch twin for verification: the same alerts from a cumulative
+    window pass (first event where the running total reaches each
+    threshold)."""
+    from pyspark.sql import Window
+
+    thresholds = DEFAULT_THRESHOLDS if thresholds is None else thresholds
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = events.withColumn("cumulative", F.sum("value").over(w))
+    prev = F.col("cumulative") - F.col("value")
+    out = None
+    for t in sorted(thresholds):
+        crossed = cum.filter((prev < t) & (F.col("cumulative") >= t)).select(
+            "user_id", F.lit(t).alias("threshold"), "cumulative"
+        )
+        out = crossed if out is None else out.unionByName(crossed)
+    return out

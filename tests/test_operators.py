@@ -223,3 +223,28 @@ def test_kmeans_ivf_recall(spark, sf_dir):
     b = {(r["query_id"], r["neighbor_id"])
          for r in similarity.topk_ivf_kmeans(queries, emb, 64, k=5, n_centroids=16, nprobe=4).collect()}
     assert a == b  # deterministic centroids -> identical results
+
+
+def test_frame_sampling(spark, docs):
+    with_bin = multimodal.attach_binary(docs.filter("doc_id IN (1, 4)"))
+    frames = multimodal.sample_frames(with_bin, n_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 4}
+    f1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f1] == [0, 1, 2, 3]
+    import hashlib
+    assert all(hashlib.sha256(bytes(r["frame_bytes"])).hexdigest() == r["frame_sha"] for r in f1)
+    # deterministic across runs
+    again = multimodal.sample_frames(multimodal.attach_binary(docs.filter("doc_id IN (1, 4)")), 4).collect()
+    assert sorted((r["doc_id"], r["frame_idx"], r["frame_sha"]) for r in again) == \
+           sorted((r["doc_id"], r["frame_idx"], r["frame_sha"]) for r in frames)
+
+
+def test_media_manifest(spark, docs):
+    with_bin = multimodal.attach_binary(docs.filter("doc_id <= 3"))
+    man = multimodal.media_manifest(with_bin, "s3a://corpus/media").collect()
+    assert len(man) == 3
+    assert all(r["uri"].startswith("s3a://corpus/media/") and r["uri"].endswith(".bin") for r in man)
+    assert all(r["byte_len"] >= 0 and len(r["content_sha"]) == 64 for r in man)

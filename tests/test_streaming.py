@@ -65,3 +65,40 @@ def test_streaming_session_window(spark, sf_dir, tmp_path):
     assert len(out) > 0
     # Total events across sessions == input events (no loss, no dup)
     assert sum(r["n_events"] for r in out) == events.count()
+
+
+def test_stateful_spend_alerts(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: threshold alerts fire exactly once per
+    (user, threshold) and agree with the batch cumulative computation."""
+    from manifold_spark.streaming.stateful import spend_alerts_batch, spend_alerts_stream
+
+    events = read_events(spark, sf_dir).filter("user_id < 50")
+    src = str(tmp_path / "alerts-src")
+    # Multiple files + maxFilesPerTrigger=1 → several micro-batches, so the
+    # state genuinely carries across batches (one file would be one batch
+    # and the test would never exercise resumed state).
+    events.repartition(4).write.parquet(src)
+
+    batch = {
+        (r["user_id"], r["threshold"]) for r in spend_alerts_batch(events).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        spend_alerts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("alerts_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM alerts_test").collect()
+    streamed = {(r["user_id"], r["threshold"]) for r in rows}
+    assert len(rows) == len(streamed)  # exactly-once per (user, threshold)
+    assert streamed == batch
+    assert len(streamed) > 0
