@@ -573,3 +573,19 @@ def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES), emb, DIM,
         k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
     )
+
+
+def _redact_oracle() -> str:
+    expr = "text"
+    for pattern, token in textstats.PII_PATTERNS:
+        # escape single quotes for SQL embedding (patterns contain none,
+        # but keep the generator safe)
+        p = pattern.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{token}', 'g')"
+    return f"SELECT doc_id, {expr} AS text_redacted FROM documents"
+
+
+@register("text_redact_pii", _redact_oracle())
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.redact_pii(F.col("text")).alias("text_redacted"))

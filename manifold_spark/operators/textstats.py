@@ -111,3 +111,23 @@ def doc_fingerprint(text: Column) -> Column:
     cleaned = F.lower(F.regexp_replace(text, r"[^A-Za-z0-9]+", " "))
     tokens = F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
     return F.sha2(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens))), 256)
+
+
+#: PII masking patterns — deliberately lookahead-free so the SAME pattern
+#: runs under Java regex (engine) and RE2 (oracle). Order matters: URLs
+#: before emails (a URL can contain '@'), emails before phones.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask URLs, emails, and phone-number-shaped substrings — the
+    standard pre-training scrub, as chained regexp_replace (one projection,
+    codegen, no UDF)."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out

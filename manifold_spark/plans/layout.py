@@ -66,3 +66,22 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return l_salted.join(r_salted, [on, "_salt"], how).drop("_salt")
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 32,
+) -> None:
+    """Range-partition + sort-within-partitions before writing: each output
+    file covers a narrow, non-overlapping range of `cluster_cols`, so the
+    parquet min/max column statistics become selective and point/range
+    predicates skip whole files (the poor man's Z-order, exactly right for
+    one dominant filter column — time, id, tenant)."""
+    (
+        df.repartitionByRange(num_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

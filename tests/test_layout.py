@@ -66,3 +66,36 @@ def test_salted_join_matches_plain(spark, sf_dir):
     ps = sorted(map(repr, plain.collect()))
     ss = sorted(map(repr, salted.select(*plain.columns).collect()))
     assert ps == ss
+
+
+def test_range_clustered_write_skips_files(spark, sf_dir, tmp_path):
+    """Files must cover disjoint key ranges (selective min/max stats), and
+    a point predicate must read back correctly."""
+    import pyarrow.parquet as pq
+    import glob
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dest = str(tmp_path / "orders_clustered")
+    from manifold_spark.plans.layout import write_range_clustered
+
+    write_range_clustered(orders, dest, ["o_orderkey"], num_files=8)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{dest}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = next(i for i in range(md.num_columns)
+                   if md.row_group(0).column(i).path_in_schema == "o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # disjoint, ordered ranges: every file's max < next file's min
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+
+    back = spark.read.parquet(dest)
+    key = orders.select("o_orderkey").orderBy("o_orderkey").limit(1).collect()[0][0]
+    assert back.filter(F.col("o_orderkey") == key).count() == orders.filter(F.col("o_orderkey") == key).count()

@@ -248,3 +248,19 @@ def test_media_manifest(spark, docs):
     assert len(man) == 3
     assert all(r["uri"].startswith("s3a://corpus/media/") and r["uri"].endswith(".bin") for r in man)
     assert all(r["byte_len"] >= 0 and len(r["content_sha"]) == 64 for r in man)
+
+
+def test_redact_pii(spark):
+    from manifold_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "contact me at john.doe+spam@example.co.uk or +351 912 345 678 today"),
+        (2, "see https://example.com/path?q=1 and email x@y.io"),
+        (3, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["t"] for r in df.select("doc_id", redact_pii(F.col("text")).alias("t")).collect()}
+    assert "<EMAIL>" in out[1] and "<PHONE>" in out[1]
+    assert "john" not in out[1] and "912" not in out[1]
+    assert out[2] == "see <URL> and email <EMAIL>"
+    assert out[3] == rows[2][1]
