@@ -35,6 +35,14 @@ def asof_join(
     `suffix`. Left rows with no prior right row get nulls."""
     right_cols = [on] if right_cols is None else right_cols
     carried = [f"{c}{suffix}" for c in right_cols]
+    reserved = {"_side", "_r", *carried}
+    clashes = reserved & set(left.columns)
+    if clashes:
+        raise ValueError(f"asof_join output columns collide with left columns: {sorted(clashes)}")
+    # A NULL ordering value can never satisfy right.ts <= left.ts (DuckDB
+    # ASOF semantics); without this filter NULLs sort first and get carried
+    # forward as phantom matches.
+    right = right.filter(F.col(on).isNotNull())
 
     # Carry the matched right row as ONE struct so the fill is atomic: a
     # per-column last(ignorenulls) would mix values from different right

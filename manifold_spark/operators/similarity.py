@@ -94,13 +94,16 @@ def topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF ANN: centroids are the first `n_centroids` corpus vectors by id
-    (deterministic, oracle-reproducible; swap in k-means centroids without
-    changing the plan shape). Each corpus vector lands in 1 inverted list;
-    each query probes its `nprobe` nearest lists and scores only those.
+    """IVF ANN: default centroids are the first `n_centroids` corpus
+    vectors by id (deterministic, oracle-reproducible); pass `centroids`
+    (id_col, vec_col) to use a trained quantizer — same plan either way.
+    Each corpus vector lands in 1 inverted list; each query probes its
+    `nprobe` nearest lists and scores only those.
     Returns (query_id, neighbor_id, rank, cosine) — approximate."""
-    centroids = corpus.orderBy(id_col).limit(n_centroids)
+    if centroids is None:
+        centroids = corpus.orderBy(id_col).limit(n_centroids)
     lists = assign_centroids(corpus, centroids, dim, id_col, vec_col)
     probes = assign_centroids(
         queries, centroids, dim, id_col, vec_col, rank_limit=nprobe
@@ -181,22 +184,25 @@ def kmeans_centroids(
     at 100 TB you run this on a sample, not the full corpus (standard
     IVF practice); plan shape is unchanged either way.
     """
-    from manifold_spark.functions.numeric import decimal_sum
+    from manifold_spark.functions.numeric import decimal_avg
 
     cent = corpus.orderBy(id_col).limit(k).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
     )
     for _ in range(iters):
-        assigned = assign_centroids(
-            corpus, cent.select(F.col("centroid_id").alias("vec_id"), F.col("cent_vec").alias("embedding")),
-            dim, id_col=id_col, vec_col=vec_col,
+        # realias to the caller's column names — assign_centroids selects
+        # by id_col/vec_col, so hardcoded names would only work for the
+        # default schema
+        cent_as_corpus = cent.select(
+            F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
         )
+        assigned = assign_centroids(corpus, cent_as_corpus, dim, id_col=id_col, vec_col=vec_col)
         cells = assigned.select(
             "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
         means = (
             cells.groupBy("centroid_id", "pos")
-            .agg((decimal_sum(F.col("val"), scale=8) / F.count(F.lit(1))).alias("mean"))
+            .agg(decimal_avg(F.col("val"), scale=8).alias("mean"))
         )
         cent = (
             means.groupBy("centroid_id")
@@ -228,21 +234,7 @@ def topk_ivf_kmeans(
     cent_as_vecs = cent.select(
         F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
     )
-    lists = assign_centroids(corpus, cent_as_vecs, dim, id_col, vec_col)
-    probes = assign_centroids(queries, cent_as_vecs, dim, id_col, vec_col, rank_limit=nprobe)
-
-    q = broadcast(
-        probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "centroid_id")
-    )
-    c = lists.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id")
-    scored = (
-        q.join(c, "centroid_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr("q_vec", "c_vec", dim))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+    return topk_ivf(
+        queries, corpus, dim, k=k, n_centroids=n_centroids, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, centroids=cent_as_vecs,
     )

@@ -52,15 +52,18 @@ def salted_join(
     replicated across all salt values. Join key becomes (on, salt), so a
     hot key spreads over `n_salt` tasks.
 
-    Deterministic: salt derives from xxhash64 of the left row's columns,
-    not rand() — reruns produce identical partitioning.
+    The salt must be row-unique, not content-derived: hashing row CONTENT
+    would send full-row duplicates (exactly the hot-key pattern salting
+    targets) to one salt bucket, spreading nothing. A per-row id gives an
+    even spread; the salt never reaches the output, so the result set is
+    unchanged even though the physical assignment varies run to run.
 
     Only inner/left joins are sound: the right side is replicated, so
     right/full-outer would surface n_salt-1 spurious unmatched copies of
     every unmatched right row."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

@@ -48,6 +48,10 @@ def register_warehouse_views(
         if not os.path.isdir(db_path):
             continue
         for table in sorted(os.listdir(db_path)):
+            # skip crashed-overwrite staging dirs ('{table}.tmp-xxxx') and
+            # anything that can't form a legal flat view name
+            if "." in table:
+                continue
             if store.exists(db, table):
                 view = f"{db}_{table}"
                 store.read(spark, db, table).createOrReplaceTempView(view)

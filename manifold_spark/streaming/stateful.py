@@ -51,10 +51,13 @@ def _monitor(thresholds: list[float]):
         (user_id,) = key
         total, fired = state.get if state.exists else (0.0, 0)
         out = []
-        for pdf in pdfs:
-            # deterministic order within the batch: by event time then id
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"]:
+        # Concatenate ALL Arrow chunks before sorting: a per-chunk sort
+        # would process chunks in arrival order and make the cumulative at
+        # each alert depend on how the micro-batch happened to split.
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for v in batch["value"]:
                 total += float(v)
                 while fired < len(ts) and total >= ts[fired]:
                     out.append((int(user_id), ts[fired], total))
@@ -87,10 +90,17 @@ def spend_alerts_stream(
 def spend_alerts_batch(events: DataFrame, thresholds: list[float] | None = None) -> DataFrame:
     """Batch twin for verification: the same alerts from a cumulative
     window pass (first event where the running total reaches each
-    threshold)."""
+    threshold).
+
+    Equivalence with the stream holds for NON-NEGATIVE values: the stream
+    fires each threshold at most once (monotone `fired` index), while this
+    batch pass emits one row per crossing — with refunds/negative values a
+    re-crossed threshold appears again here but not in the stream."""
     from pyspark.sql import Window
 
     thresholds = DEFAULT_THRESHOLDS if thresholds is None else thresholds
+    if not thresholds:
+        return events.sparkSession.createDataFrame([], ALERT_SCHEMA)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -264,3 +264,32 @@ def test_redact_pii(spark):
     assert "john" not in out[1] and "912" not in out[1]
     assert out[2] == "see <URL> and email <EMAIL>"
     assert out[3] == rows[2][1]
+
+
+def test_asof_null_ts_and_collisions(spark):
+    from manifold_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, None, 5.0), (1, "2024-06-01 00:00:00", 7.0)], "k int, ts string, price double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # NULL-ts right row must never match (DuckDB ASOF semantics)
+    out = asof_join(left, right, on="ts", by=["k"], right_cols=["price"]).collect()
+    assert out[0]["price_asof"] is None
+    # output-name collision is rejected up front
+    bad_left = left.withColumn("ts_asof", F.lit(1))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(bad_left, right, on="ts", by=["k"])
+
+
+def test_kmeans_custom_column_names(spark, sf_dir):
+    """The quantizer must work with non-default id/vector column names."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    cent = similarity.kmeans_centroids(emb, 64, k=4, iters=1, id_col="doc_id", vec_col="vec")
+    rows = cent.collect()
+    assert len(rows) == 4 and all(len(r["cent_vec"]) == 64 for r in rows)
