@@ -589,3 +589,38 @@ def _redact_oracle() -> str:
 def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", textstats.redact_pii(F.col("text")).alias("text_redacted"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic data mixing: per-source hash-gated sampling — reproducible
+# across engines/partitionings (df.sample() is neither), the standard
+# corpus-mixing step for training-set construction.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def _mix_oracle() -> str:
+    from manifold_spark.operators.sampling import RATE_DENOM
+
+    rate_case = "CASE "
+    for src, rate in sorted(_MIX_RATES.items()):
+        rate_case += f"WHEN source = '{src}' THEN {int(round(rate * RATE_DENOM))} "
+    rate_case += f"ELSE {int(round(_MIX_DEFAULT * RATE_DENOM))} END"
+    h = _stable_hash_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ({h}) % {RATE_DENOM} < ({rate_case})
+    """
+
+
+@register("sample_mix_sources", _mix_oracle())
+def q_sample_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from manifold_spark.operators.sampling import mix_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_sources(
+        docs, "source", "doc_id", _MIX_RATES, default_rate=_MIX_DEFAULT
+    ).select("doc_id", "source")

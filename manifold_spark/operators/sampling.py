@@ -1,0 +1,56 @@
+"""Deterministic sampling and data mixing.
+
+Training-data pipelines need REPRODUCIBLE sampling: `df.sample()` depends
+on partition layout and RNG state, so the same call on the same data can
+keep different rows. Hash-gating fixes that: a row is kept iff
+`hash(id) mod D < k`, which is stable across engines, partitionings, and
+reruns — and composable (a 10% sample is a subset of the 20% sample from
+the same key space, enabling nested train/validation carve-outs).
+
+`mix_sources` is the standard corpus-mixing step: per-source sampling
+rates applied in one pass, e.g. upweight curated sources, downsample
+crawl data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from manifold_spark.functions.hashing import stable_long_hash
+
+#: Denominator for sampling rates: rates are expressed in basis points
+#: (1/10000), so fractions down to 0.01% are exact integers.
+RATE_DENOM = 10_000
+
+
+def sample_gate(key: Column, rate: float, seed: int = 0) -> Column:
+    """Boolean keep-gate: md5-hash the key, keep the fraction `rate`.
+    Exact for rates in 1/10000 steps."""
+    bps = int(round(rate * RATE_DENOM))
+    return stable_long_hash(key, seed=seed) % RATE_DENOM < bps
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, seed: int = 0) -> DataFrame:
+    """Keep a deterministic `rate` fraction of rows by key hash."""
+    return df.filter(sample_gate(F.col(key_col).cast("string"), rate, seed))
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-source sampling in one pass: each row's keep-rate comes from its
+    source's entry in `rates` (else `default_rate`). One scan, no shuffle,
+    reproducible everywhere."""
+    rate_expr = F.lit(int(round(default_rate * RATE_DENOM)))
+    for src, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(source_col) == src, F.lit(int(round(rate * RATE_DENOM)))
+        ).otherwise(rate_expr)
+    gate = stable_long_hash(F.col(key_col).cast("string"), seed=seed) % RATE_DENOM < rate_expr
+    return df.filter(gate)

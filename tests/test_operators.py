@@ -293,3 +293,23 @@ def test_kmeans_custom_column_names(spark, sf_dir):
     cent = similarity.kmeans_centroids(emb, 64, k=4, iters=1, id_col="doc_id", vec_col="vec")
     rows = cent.collect()
     assert len(rows) == 4 and all(len(r["cent_vec"]) == 64 for r in rows)
+
+
+def test_hash_sampling_properties(spark, sf_dir):
+    from manifold_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    s20 = hash_sample(docs, "doc_id", 0.2)
+    s10 = hash_sample(docs, "doc_id", 0.1)
+    # reproducible: two runs keep identical rows
+    a = {r["doc_id"] for r in s20.collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    assert a == b
+    # nested: the 10% sample is a subset of the 20% sample
+    assert {r["doc_id"] for r in s10.collect()} <= a
+    # roughly proportional
+    assert 0.1 * n < len(a) < 0.35 * n
+    # different seed -> different subset
+    c = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, seed=9).collect()}
+    assert a != c
