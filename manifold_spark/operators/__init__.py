@@ -624,3 +624,49 @@ def q_sample_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_sources(
         docs, "source", "doc_id", _MIX_RATES, default_rate=_MIX_DEFAULT
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: greedy in-order token-budget binning per hash shard —
+# how training batches get assembled from a tokenized corpus.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 16
+
+
+def _pack_oracle() -> str:
+    from manifold_spark.operators.sampling import RATE_DENOM  # noqa: F401
+
+    h = _stable_hash_sql("CAST(doc_id AS VARCHAR)")
+    toks = _ws_tokens_sql("text")
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               ({h}) % {_PACK_SHARDS} AS shard,
+               least(CAST(len({toks}) AS BIGINT), {_PACK_BUDGET}) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS running
+        FROM base
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor((running - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+    FROM cum
+    """
+
+
+@register("pack_context_windows", _pack_oracle())
+def q_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from manifold_spark.operators.sampling import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", textstats.token_count_ws(F.col("text")).alias("n_tok")
+    )
+    return pack_documents(
+        with_tokens, "doc_id", "n_tok", _PACK_BUDGET, n_shards=_PACK_SHARDS
+    ).select("doc_id", "shard", "n_tokens", "bin_id")

@@ -54,3 +54,50 @@ def mix_sources(
         ).otherwise(rate_expr)
     gate = stable_long_hash(F.col(key_col).cast("string"), seed=seed) % RATE_DENOM < rate_expr
     return df.filter(gate)
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: Column | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Greedy in-order packing of documents into token-budget bins
+    (sequence packing for training batches). Docs are sharded by key hash
+    (parallelism at corpus scale), then chunked in id order inside each
+    shard by running token total: a doc whose cumulative start lies in
+    budget-window i joins bin i. Bins TARGET the budget and may overshoot
+    by up to one document (the straddling doc stays in the earlier bin) —
+    the closed-form window formulation; strict-capacity first-fit needs
+    per-shard sequential state (an `applyInPandas` variant) and loses the
+    SQL oracle. Token counts are capped at the budget so an oversized doc
+    consumes exactly one budget window.
+
+    Deterministic: shard assignment and order derive from the id. Returns
+    (id, shard, bin_id, n_tokens). One shuffle (by shard), one window
+    pass — the sequential dependency lives inside a shard, which is the
+    standard parallelization of packing.
+    """
+    from pyspark.sql import Window
+
+    shard = (
+        shard_col
+        if shard_col is not None
+        else stable_long_hash(F.col(id_col).cast("string")) % n_shards
+    )
+    capped = F.least(F.col(token_col).cast("long"), F.lit(budget))
+    base = df.select(
+        F.col(id_col), shard.alias("shard"), capped.alias("n_tokens")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # bin = how many full budgets the running total had consumed BEFORE
+    # this doc: floor((cumsum - n_tokens) / budget) packs first-fit without
+    # splitting documents.
+    cum = F.sum("n_tokens").over(w)
+    return base.withColumn(
+        "bin_id", F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("long")
+    )

@@ -313,3 +313,30 @@ def test_hash_sampling_properties(spark, sf_dir):
     # different seed -> different subset
     c = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, seed=9).collect()}
     assert a != c
+
+
+def test_pack_documents(spark):
+    from manifold_spark.operators.sampling import pack_documents
+
+    rows = [(i, 600) for i in range(10)] + [(100, 5000)]  # one oversized doc
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    packed = pack_documents(df, "doc_id", "n_tok", budget=2048, shard_col=F.lit(0))
+    out = {r["doc_id"]: r for r in packed.collect()}
+    # budget-targeted chunking: doc 3 starts at cum 1800 (< 2048) so it
+    # STAYS in bin 0 (overshoot bounded by one doc); doc 4 starts at 2400
+    assert [out[i]["bin_id"] for i in range(10)] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    # oversized doc capped at the budget (consumes one budget window)
+    assert out[100]["n_tokens"] == 2048
+    # overshoot bound: every bin total < budget + max doc size
+    import collections
+    totals = collections.Counter()
+    for r in out.values():
+        totals[r["bin_id"]] += r["n_tokens"]
+    assert all(v < 2048 + 2048 for v in totals.values())
+    # removing each bin's LAST doc (by id) always fits the budget
+    by_bin = collections.defaultdict(list)
+    for r in out.values():
+        by_bin[r["bin_id"]].append((r["doc_id"], r["n_tokens"]))
+    for docs_in_bin in by_bin.values():
+        docs_in_bin.sort()
+        assert sum(t for _, t in docs_in_bin[:-1]) < 2048
