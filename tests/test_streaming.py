@@ -102,3 +102,29 @@ def test_stateful_spend_alerts(spark, sf_dir, tmp_path):
     assert len(rows) == len(streamed)  # exactly-once per (user, threshold)
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_streaming_listing_ingest(spark, listings_weeks, tmp_path):
+    """The SAME cleaning chain runs under readStream: stream the raw
+    listing JSON through clean_listings and match the batch result."""
+    from manifold_spark.clean import clean_listings
+    from manifold_spark.ingest import load_json_listings, timestep_path
+    from manifold_spark.schema import LISTING_SCHEMA
+
+    path = timestep_path(listings_weeks["root"], listings_weeks["week1"])
+    batch = clean_listings(load_json_listings(spark, path))
+    expected = sorted(map(repr, batch.collect()))
+
+    stream = spark.readStream.schema(LISTING_SCHEMA).json(path)
+    cleaned = clean_listings(stream)
+    q = (
+        cleaned.writeStream.format("memory")
+        .queryName("ingest_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(repr, spark.sql("SELECT * FROM ingest_stream").collect()))
+    assert got == expected
+    assert len(got) == listings_weeks["week1_rows"]
