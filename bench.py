@@ -70,12 +70,19 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces real errors
 
+    # Min of 2 timed runs: per-plan codegen recompiles on every invocation
+    # (generated source embeds fresh expression ids), and on a shared
+    # machine that single-threaded compile is the dominant noise term. The
+    # min is the steady-state data-processing time.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
 
     # End-to-end ETL throughput: one full weekly pipeline run (ingest →
     # clean → staging fan-out → 3 SCD2 merges → fact load → quality gates)

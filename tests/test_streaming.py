@@ -128,3 +128,64 @@ def test_streaming_listing_ingest(spark, listings_weeks, tmp_path):
     got = sorted(map(repr, spark.sql("SELECT * FROM ingest_stream").collect()))
     assert got == expected
     assert len(got) == listings_weeks["week1_rows"]
+
+
+def test_streaming_scd2_cdc(spark, tmp_path):
+    """foreachBatch-driven SCD2: two staged micro-batches evolve the
+    dimension with full merge semantics (new key, changed payload,
+    unchanged key) and checkpointed exactly-once application."""
+    import datetime as dt
+    import json
+    import os
+
+    from manifold_spark.catalog import TableStore
+    from manifold_spark.quality import duplicate_active_keys
+    from manifold_spark.schema import DIM_KEYS
+    from manifold_spark.streaming.cdc import scd2_stream
+    from manifold_spark.sources.fixtures import make_listing
+    import random
+
+    src = str(tmp_path / "cdc-src")
+    os.makedirs(src)
+    rng = random.Random(3)
+    l1 = make_listing(rng, "C1")
+    l2 = make_listing(rng, "C2")
+    with open(f"{src}/b0.json", "w") as f:
+        for row in (l1, l2):
+            f.write(json.dumps(row) + "\n")
+
+    store = TableStore(str(tmp_path / "cdc-wh"))
+    ckpt = str(tmp_path / "cdc-ckpt")
+    dates = {0: dt.date(2024, 1, 1), 1: dt.date(2024, 1, 8)}
+    as_of_fn = lambda bid: dates.get(bid, dt.date(2024, 2, 1))
+
+    q = scd2_stream(spark, src, store, ckpt, as_of_fn=as_of_fn)
+    q.awaitTermination(120)
+    dim = store.read(spark, "presentation", "dim_asset")
+    assert dim.count() == 2
+
+    # second file: C1 price changed, C3 new
+    l1b = dict(l1, PriceCurrencyFormated=(l1["PriceCurrencyFormated"] or 100.0) + 1)
+    l3 = make_listing(rng, "C3")
+    with open(f"{src}/b1.json", "w") as f:
+        for row in (l1b, l3):
+            f.write(json.dumps(row) + "\n")
+    q = scd2_stream(spark, src, store, ckpt, as_of_fn=as_of_fn)
+    q.awaitTermination(120)
+
+    dim = store.read(spark, "presentation", "dim_asset")
+    assert duplicate_active_keys(dim, DIM_KEYS["dim_asset"]).count() == 0
+    c1 = sorted(
+        dim.filter("contract_number = 'C1'").collect(),
+        key=lambda r: r["record_start_date"],
+    )
+    assert len(c1) == 2  # expired + new version
+    assert c1[0]["record_end_date"] == dt.date(2024, 1, 7)
+    assert c1[1]["record_end_date"] == dt.date(9999, 12, 31)
+    assert dim.filter("contract_number = 'C3'").count() == 1
+    # checkpoint: re-running with no new files is a no-op
+    before = sorted(map(repr, dim.collect()))
+    q = scd2_stream(spark, src, store, ckpt, as_of_fn=as_of_fn)
+    q.awaitTermination(120)
+    after = sorted(map(repr, store.read(spark, "presentation", "dim_asset").collect()))
+    assert before == after
