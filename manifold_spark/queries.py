@@ -756,3 +756,34 @@ def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("without_any_order").alias("cohort"), "n")
     )
     return with_urgent.unionByName(without_any)
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long → wide): per-source document counts by language. Spark's
+# pivot with an EXPLICIT value list compiles to the same conditional
+# aggregation the oracle spells out (an implicit list would add a
+# distinct-scan job AND make the output schema data-dependent).
+# ---------------------------------------------------------------------------
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "pivot_lang_counts",
+    "SELECT source, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE lang = '{lang}') AS n_{lang}" for lang in _PIVOT_LANGS
+    )
+    + " FROM documents GROUP BY source",
+)
+def q_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves absent combinations NULL; the FILTER'd counts give 0
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(f"n_{lang}") for lang in _PIVOT_LANGS],
+    )
