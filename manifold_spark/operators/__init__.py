@@ -476,10 +476,62 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode", None)  # Arrow mapInPandas pass: rows-only
+def _decode_oracle() -> str:
+    """Full SQL oracle for the (deterministic stub) media decoder: the
+    16-bin high-nibble byte histogram is a group-by over hex() byte pairs,
+    and the float32 feature values are reproduced exactly — DOUBLE division,
+    cast to REAL (the Arrow float32 truncation), widen back, quantize with
+    floor. Bit-identical to the Python stub on both engines (IEEE-754
+    round-to-nearest at each step)."""
+    hexdigits = "0123456789ABCDEF"  # DuckDB hex() is uppercase
+    count_cols = ",\n               ".join(
+        f"CAST(len(list_filter(pairs, p -> p[1] = '{d}')) AS INT) AS c_{i}"
+        for i, d in enumerate(hexdigits)
+    )
+    feat = ", ".join(
+        f"CAST(floor(CAST(CAST(CAST(c_{i} AS DOUBLE) / greatest(byte_len, 1) AS REAL)"
+        f" AS DOUBLE) * 1000000) AS BIGINT)"
+        for i in range(16)
+    )
+    return f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS byte_len,
+               regexp_extract_all(hex(encode(text)), '..') AS pairs
+        FROM documents
+    ),
+    c AS (SELECT doc_id, byte_len,
+               {count_cols}
+          FROM b)
+    SELECT doc_id, byte_len,
+           CAST(16 + byte_len % 64 AS INT) AS width,
+           CAST(16 + byte_len % 48 AS INT) AS height,
+           array_to_string([{feat}], ',') AS features_q
+    FROM c
+    """
+
+
+@register("multimodal_decode", _decode_oracle())
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow `mapInPandas` decode pass, surfaced through the gate as stable
+    scalars: the `array<float>` features column is quantized to
+    `floor(f * 1e6)` and comma-joined so the driver's canonicalizer (which
+    cannot sort list columns) sees one string per row."""
     with_binary = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
-    return multimodal.extract_media_features(with_binary)
+    feats = multimodal.extract_media_features(with_binary)
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("features_q"),
+    )
 
 
 # ---------------------------------------------------------------------------
