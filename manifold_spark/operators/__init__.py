@@ -618,7 +618,89 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_ivf_kmeans", None)  # iterative Lloyd means: not practical in one SQL oracle
+def _kmeans_oracle(iters: int = 2) -> str:
+    """Unroll `similarity.kmeans_centroids` (fixed `iters` Lloyd rounds) in
+    DuckDB SQL. Each round: assign every vector to its nearest centroid by
+    the SAME left-associated dot product, then recompute per-dimension
+    means with the engine's `decimal_avg` construction
+    (`floor(v*1e8+0.5)` scaled-integer sum / count) — bit-identical to the
+    Spark side, so the refined centroids (and everything downstream) hash-
+    match exactly."""
+
+    def mean_cols(src: str) -> str:
+        return ",\n               ".join(
+            f"((CAST(SUM(CAST(floor(CAST({src}[{j}] AS DOUBLE) * 100000000.0 + 0.5)"
+            f" AS HUGEINT)) AS DOUBLE) / 100000000.0) / COUNT({src}[{j}])) AS m_{j}"
+            for j in range(1, DIM + 1)
+        )
+
+    vec_literal = "[" + ", ".join(f"m_{j}" for j in range(1, DIM + 1)) + "]"
+
+    parts = [
+        f"""cent_0 AS (
+        SELECT vec_id AS centroid_id, embedding AS cent_vec
+        FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""assign_{i} AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ({dot_sql('embedding', 'cent_vec', DIM)}) DESC,
+                                               c.centroid_id) AS crank
+            FROM embeddings e, cent_{i - 1} c
+        ) WHERE crank <= 1
+    )""")
+        parts.append(f"""means_{i} AS (
+        SELECT centroid_id,
+               {mean_cols('embedding')}
+        FROM assign_{i} GROUP BY centroid_id
+    )""")
+        parts.append(f"""cent_{i} AS (
+        SELECT centroid_id, {vec_literal} AS cent_vec FROM means_{i}
+    )""")
+
+    final = f"cent_{iters}"
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    lists AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ({dot_sql('embedding', 'cent_vec', DIM)}) DESC,
+                                               c.centroid_id) AS crank
+            FROM embeddings e, {final} c
+        ) WHERE crank <= 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS q_vec, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ({dot_sql('embedding', 'cent_vec', DIM)}) DESC,
+                                               c.centroid_id) AS crank
+            FROM embeddings e, {final} c
+            WHERE e.vec_id < {N_QUERIES}
+        ) WHERE crank <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, l.vec_id AS neighbor_id,
+               {cosine_sql('q_vec', 'embedding', DIM)} AS cosine
+        FROM probes p JOIN lists l USING (centroid_id)
+        WHERE l.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register("sim_ann_ivf_kmeans", _kmeans_oracle())
 def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.topk_ivf_kmeans(
