@@ -54,6 +54,10 @@ _SHINGLES_SQL = (
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
 
+#: Document-frequency cap for the gate's Jaccard run — mirrored into the
+#: oracle below so both engines drop the same ubiquitous shingles.
+NGRAM_MAX_DF = 50
+
 _NGRAM_JACCARD_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks FROM documents
@@ -61,22 +65,35 @@ _NGRAM_JACCARD_ORACLE = f"""
     sh AS (
         SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles FROM toks
     ),
-    nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0)
-    SELECT a.doc_id AS id_a,
-           b.doc_id AS id_b,
-           len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
-             / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-    FROM nonempty a JOIN nonempty b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))
-             / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.1
+    ex AS (
+        SELECT doc_id, lang, source, unnest(shingles) AS shingle FROM sh
+    ),
+    capped AS (
+        SELECT * FROM ex
+        QUALIFY count(*) OVER (PARTITION BY lang, source, shingle) <= {NGRAM_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM capped a JOIN capped b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.1
 """
 
 
 @register("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", ["lang", "source"], threshold=0.1
+        _t(spark, sf_dir, "documents"), "text", "doc_id", ["lang", "source"],
+        threshold=0.1, max_df=NGRAM_MAX_DF,
     )
 
 

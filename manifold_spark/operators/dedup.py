@@ -334,6 +334,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     shingle_n: int = 3,
     threshold: float = 0.1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard for every pair inside a blocking key (e.g.
     (lang, source)) with `jaccard >= threshold > 0`. The oracle-checkable
@@ -343,9 +344,18 @@ def ngram_jaccard_pairs(
     intersecting dense shingle arrays per pair, shingles join shingles on
     (block, shingle) — only co-occurring shingles produce rows — and the
     pair's intersection size is a count. Pairs sharing nothing never
-    exist, which is exactly the threshold > 0 contract. The shuffle key is
-    (block, shingle): at corpus scale, drop ubiquitous shingles (document
-    frequency cap) before the join — the standard skew guard.
+    exist, which is exactly the threshold > 0 contract.
+
+    ``max_df`` is the skew guard that makes this survive web scale: the
+    shuffle key is (block, shingle), so one boilerplate shingle shared by
+    d documents produces d·(d−1)/2 join rows. With the cap, shingles whose
+    document frequency inside their block exceeds ``max_df`` are removed
+    from the shingle universe entirely — from the intersection AND the doc
+    sizes, keeping Jaccard internally consistent — via a count window that
+    shuffles once on exactly the join key. Ubiquitous shingles carry no
+    near-dup signal (that is what makes them ubiquitous), so the cap
+    bounds every bucket at O(max_df²) pairs at the cost of ignoring
+    boilerplate overlap. Docs left with zero shingles drop out.
     """
     df = ensure_parallelism(df)
     # Three consumers (both join sides + doc sizes): persist the explode so
@@ -354,7 +364,17 @@ def ngram_jaccard_pairs(
         *block_cols,
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(normalized_tokens(F.col(text_col)), shingle_n)).alias("shingle"),
-    ).persist()
+    )
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*block_cols, "shingle")
+        ex = (
+            ex.withColumn("dfreq", F.count(F.lit(1)).over(w))
+            .filter(F.col("dfreq") <= max_df)
+            .drop("dfreq")
+        )
+    ex = ex.persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = ex.select(*block_cols, F.col("doc_id").alias("id_a"), "shingle")

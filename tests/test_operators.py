@@ -66,6 +66,33 @@ def test_ngram_jaccard_exact(spark, docs):
     assert 0.5 < vals[(1, 3)] < 1.0
 
 
+def test_ngram_jaccard_df_cap_bounds_boilerplate(spark):
+    """A viral boilerplate sentence shared by EVERY doc makes the
+    (block, shingle) join quadratic; the document-frequency cap must
+    remove those shingles from the whole universe (pairs AND sizes) so
+    only genuinely similar docs still pair."""
+    boiler = "click here to subscribe to our newsletter today "
+    n = 40
+    rows = [(i, boiler + f"unique content number {i} about topic {i} entirely") for i in range(n)]
+    # docs n and n+1: same unique tail -> genuinely similar beyond boilerplate
+    rows.append((n, boiler + "identical interesting tail sentence about spark shuffles"))
+    rows.append((n + 1, boiler + "identical interesting tail sentence about spark shuffles"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn("block", F.lit("b"))
+
+    uncapped = dedup.ngram_jaccard_pairs(df, "text", "doc_id", ["block"], threshold=0.01)
+    # every pair shares the boilerplate shingles -> quadratic pair count
+    assert uncapped.count() == (n + 2) * (n + 1) // 2
+
+    capped = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", ["block"], threshold=0.01, max_df=10
+    )
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # boilerplate-only pairs are gone; the true near-dup pair survives with
+    # Jaccard computed over the capped universe (identical tails -> 1.0)
+    assert found[(n, n + 1)] == 1.0
+    assert all(a == n and b == n + 1 for (a, b) in found)
+
+
 def test_topk_bruteforce_self_similarity(spark):
     import math
 
