@@ -60,6 +60,26 @@ class TableStore:
             shutil.rmtree(final)
         os.replace(tmp, final)
 
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        database: str,
+        table: str,
+        partition_by: list[str],
+    ) -> None:
+        """Dynamic partition overwrite: replace ONLY the partitions present
+        in ``df``, leaving every other partition's files untouched. The
+        weekly fact load writes one `date_id` partition this way — cost is
+        O(week), not O(table history). Safe without the tmp-swap dance
+        because the written partitions' data derives from staging, never
+        from the table being written."""
+        writer = (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+        )
+        writer.parquet(self.path(database, table))
+
     def append(
         self,
         df: DataFrame,

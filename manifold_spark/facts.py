@@ -75,12 +75,13 @@ def load_fact_stock(
         F.col("f.quantity").alias("quantity"),
         date_key(F.col("f.stock_date")).alias("date_id"),
     )
-    # Fact `id identity(0,1)` (:94): deterministic sequence like the dims.
-    # row_number over the natural fact grain; the weekly batch is windowed
-    # once and appended — re-runs of a week should delete-by-date_id first
-    # (idempotent mode in pipeline).
-    from manifold_spark.scd2 import assign_surrogate_keys
+    # Fact `id identity(0,1)` (:94): deterministic dense sequence like the
+    # dims, but assigned DISTRIBUTED (hash-bucketed row_number + bucket
+    # offsets) — the weekly batch is ~50M rows at reference scale and must
+    # not funnel through a single-partition sort. Re-runs of a week replace
+    # the week's date_id partition (idempotent mode in pipeline).
+    from manifold_spark.scd2 import assign_surrogate_keys_distributed
 
-    return assign_surrogate_keys(
+    return assign_surrogate_keys_distributed(
         resolved, "id", ["date_id", "asset_id", "broker_id", "geography_id", "price"], offset=id_offset
     ).select("id", "broker_id", "asset_id", "geography_id", "price", "quantity", "date_id")

@@ -78,7 +78,14 @@ def run_week(
     if not store.exists("presentation", "dim_date"):
         store.overwrite(date_dimension(spark), "presentation", "dim_date")
 
-    # Stage 6 — fact load (append; idempotent mode deletes the week first).
+    # Stage 6 — fact load: write ONLY the week's date_id partition.
+    # Idempotent mode (default) uses dynamic partition overwrite, so a
+    # re-run replaces the week in place; the id offset comes from the OTHER
+    # partitions' max (a driver-side scalar resolved before the write job
+    # starts, so there is no read-while-write hazard). Cost per week is
+    # O(week), never O(table history); all other partitions' files are
+    # untouched. Readers get partition pruning on the time axis (the
+    # reference's path-partitioning, now as a Catalyst-visible layout).
     fact_staging = store.read(spark, "staging", "fact_stock")
     existing = (
         store.read(spark, "presentation", "fact_stock")
@@ -100,11 +107,10 @@ def run_week(
         store.read(spark, "presentation", "dim_geography"),
         id_offset=id_offset,
     )
-    fact_full = fact_new if existing is None else existing.unionByName(fact_new)
-    # Partition by date_id: weekly loads append one partition; readers get
-    # partition pruning on the time axis (the reference's path-partitioning,
-    # now as a Catalyst-visible physical layout).
-    store.overwrite(fact_full, "presentation", "fact_stock", partition_by=["date_id"])
+    if idempotent_fact:
+        store.overwrite_partitions(fact_new, "presentation", "fact_stock", partition_by=["date_id"])
+    else:
+        store.append(fact_new, "presentation", "fact_stock", partition_by=["date_id"])
     counts["presentation.fact_stock"] = quality.assert_nonempty(
         store.read(spark, "presentation", "fact_stock"), "fact_stock"
     )

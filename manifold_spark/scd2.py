@@ -44,9 +44,69 @@ def assign_surrogate_keys(
 ) -> DataFrame:
     """Deterministic surrogate keys: dense sequence ``offset+1 …`` by
     ``row_number()`` over a total order (replaces Redshift
-    `identity(0,1)`, `sql_queries_presentation.py:11`)."""
+    `identity(0,1)`, `sql_queries_presentation.py:11`).
+
+    Single-partition window — correct for the weekly dimension INSERT
+    delta it serves (thousands of rows); fact-sized batches use
+    `assign_surrogate_keys_distributed` instead."""
     w = Window.orderBy(*[F.col(c) for c in order_by])
     return df.withColumn(sk_col, (F.row_number().over(w) + F.lit(offset)).cast("long"))
+
+
+def assign_surrogate_keys_distributed(
+    df: DataFrame,
+    sk_col: str,
+    order_by: list[str],
+    offset: int = 0,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Dense deterministic ids without a global single-partition sort —
+    the fact-batch path (~50M rows/week at reference scale cannot funnel
+    through one task).
+
+    Rows hash into ``n_buckets`` buckets on the natural grain, get a
+    ``row_number`` within their bucket (a DISTRIBUTED window: the shuffle
+    partitions by bucket), and each bucket adds a starting offset equal to
+    the total count of lower-numbered buckets. Ids are dense
+    ``offset+1 … offset+N`` and reproducible across cluster layouts and
+    reruns — bucket membership is an md5 hash of the grain, in-bucket
+    order is the grain itself, and offsets derive from bucket counts. The
+    global numbering interleaves buckets rather than following the grain
+    order end-to-end (the price of not range-partitioning; Spark's range
+    partitioner samples its boundaries, which would make ids depend on
+    input layout).
+
+    The per-bucket count pass reuses the same shuffled data (one tiny
+    single-partition window over ``n_buckets`` count rows, not over data).
+    """
+    from manifold_spark.functions.hashing import stable_long_hash
+
+    grain = F.concat_ws("||", *[F.col(c).cast("string") for c in order_by])
+    # coalesce makes the bucket provably non-nullable (the hash never IS
+    # null, but Catalyst can't see that), so the offsets join infers no
+    # one-sided isnotnull filter — keeping both branches' exchanges
+    # canonically equal and therefore reused, not recomputed.
+    with_b = df.withColumn(
+        "__sk_bucket",
+        F.coalesce((stable_long_hash(grain) % n_buckets).cast("int"), F.lit(0)),
+    )
+    w = Window.partitionBy("__sk_bucket").orderBy(*[F.col(c) for c in order_by])
+    with_rn = with_b.withColumn("__sk_rn", F.row_number().over(w))
+
+    # Bucket sizes via max(row_number) over the SAME windowed subtree, so
+    # the bucket exchange is reused (AQE ReusedExchange) instead of
+    # recomputing the scan-side plan a second time for a count.
+    counts = with_rn.groupBy("__sk_bucket").agg(F.max("__sk_rn").alias("__sk_n"))
+    wb = Window.orderBy("__sk_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    starts = counts.withColumn(
+        "__sk_start", F.coalesce(F.sum("__sk_n").over(wb), F.lit(0))
+    ).select("__sk_bucket", "__sk_start")
+
+    out = with_rn.join(F.broadcast(starts), "__sk_bucket")
+    return out.withColumn(
+        sk_col,
+        (F.col("__sk_rn") + F.col("__sk_start") + F.lit(offset)).cast("long"),
+    ).drop("__sk_bucket", "__sk_rn", "__sk_start")
 
 
 def _as_date(value: str | dt.date) -> dt.date:

@@ -76,6 +76,42 @@ def test_fact_idempotent_rerun(spark, warehouse, listings_weeks):
     assert before == after  # idempotent re-run doesn't double the week
 
 
+def _partition_snapshot(path):
+    """{relpath: (size, mtime_ns)} for every data file under a table dir."""
+    import os
+
+    snap = {}
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(dirpath, f)
+                st = os.stat(full)
+                snap[os.path.relpath(full, path)] = (st.st_size, st.st_mtime_ns)
+    return snap
+
+
+def test_fact_load_touches_only_its_partition(spark, listings_weeks, tmp_path_factory):
+    """The weekly fact write must be partition-scoped: after week 2 runs,
+    week 1's date_id partition files are bit-for-bit untouched (same
+    paths, sizes, mtimes) — the write cost is O(week), not O(history)."""
+    store = TableStore(str(tmp_path_factory.mktemp("wh-partscope")))
+    meta = listings_weeks
+    run_week(spark, store, meta["root"], meta["week1"])
+    fact_path = store.path("presentation", "fact_stock")
+    week1_key = f"date_id={int(meta['week1'].replace('-', ''))}"
+    before = {
+        p: v for p, v in _partition_snapshot(fact_path).items() if p.startswith(week1_key)
+    }
+    assert before, "week1 partition must exist"
+
+    run_week(spark, store, meta["root"], meta["week2"])
+    snap = _partition_snapshot(fact_path)
+    after = {p: v for p, v in snap.items() if p.startswith(week1_key)}
+    assert after == before  # week1 files untouched by week2's write
+    week2_key = f"date_id={int(meta['week2'].replace('-', ''))}"
+    assert any(p.startswith(week2_key) for p in snap)
+
+
 def test_date_dimension(spark, warehouse):
     store = warehouse["store"]
     dd = store.read(spark, "presentation", "dim_date")

@@ -82,8 +82,33 @@ def test_fact_load_is_broadcast_only(spark):
     )
     fact = load_fact_stock(stock, dim_b, dim_a, dim_g)
     plan = _plan(fact)
-    assert plan.count("BroadcastHashJoin") == 3
+    # every dim lookup broadcasts (static plan also shows the counts branch
+    # pre-reuse, so dims appear twice + the tiny bucket-offset join)
     assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the id window partitions by bucket — never a global single-partition
+    # sort of the fact batch
+    assert "hashpartitioning(__sk_bucket" in plan
+
+
+def test_fact_ids_assigned_distributed(spark, sf_dir):
+    """The fact-batch id window must partition by the hash bucket — a
+    no-partition row_number would funnel the whole weekly batch (~50M rows
+    at reference scale) through ONE task — and the bucket-offset counts
+    branch must REUSE the bucket exchange rather than recompute the
+    scan-side plan."""
+    from manifold_spark.scd2 import assign_surrogate_keys_distributed
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    )
+    out = assign_surrogate_keys_distributed(df, "sk", ["l_orderkey", "l_linenumber"])
+    plan = _plan(out)
+    assert "hashpartitioning(__sk_bucket" in plan
+    out.collect()  # execute THIS df's QueryExecution so AQE finalizes it
+    final = _plan(out)
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") + final.count("ReusedQueryStage") >= 1
 
 
 def test_dedup_exact_single_shuffle(spark, sf_dir):

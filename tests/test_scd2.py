@@ -101,3 +101,24 @@ def test_null_business_keys(spark):
     null_rows = dim2.filter(F.col("broker").isNull()).collect()
     assert len(null_rows) == 2  # expired + new version
     assert duplicate_active_keys(dim2, ["broker"]).count() == 0
+
+
+def test_distributed_surrogate_keys_dense_and_layout_independent(spark):
+    """The distributed id scheme must produce the exact dense set
+    offset+1..offset+N and assign the SAME id to the same row regardless
+    of input partition layout (determinism is the whole point — a rerun
+    on a different cluster must reproduce the table)."""
+    rows = [(i, f"k{i % 13}") for i in range(500)]
+    df1 = spark.createDataFrame(rows, "n long, g string")
+    df8 = spark.createDataFrame(rows, "n long, g string").repartition(8)
+    df3 = spark.createDataFrame(list(reversed(rows)), "n long, g string").repartition(3)
+
+    out1 = scd2.assign_surrogate_keys_distributed(df1, "sk", ["g", "n"], offset=100)
+    ids = sorted(r["sk"] for r in out1.collect())
+    assert ids == list(range(101, 601))  # dense, offset respected
+
+    m1 = {(r["g"], r["n"]): r["sk"] for r in out1.collect()}
+    for other in (df8, df3):
+        out = scd2.assign_surrogate_keys_distributed(other, "sk", ["g", "n"], offset=100)
+        m = {(r["g"], r["n"]): r["sk"] for r in out.collect()}
+        assert m == m1  # layout-independent assignment
