@@ -80,6 +80,35 @@ class TableStore:
         )
         writer.parquet(self.path(database, table))
 
+    def swap_partitions(
+        self,
+        df: DataFrame,
+        database: str,
+        table: str,
+        partition_by: list[str],
+    ) -> None:
+        """Partition-scoped overwrite for plans that READ from the
+        destination table (e.g. an SCD2 merge whose output derives from
+        the dimension being replaced): stage the written partitions to a
+        sibling tmp dir, then swap exactly those `key=value` directories
+        into the table — every other partition's files are untouched.
+        Single-level partitioning only (all this engine uses)."""
+        if len(partition_by) != 1:
+            raise ValueError("swap_partitions supports exactly one partition column")
+        final = self.path(database, table)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+        try:
+            for entry in os.listdir(tmp):
+                if "=" not in entry:
+                    continue  # _SUCCESS and friends
+                src, dst = os.path.join(tmp, entry), os.path.join(final, entry)
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                os.replace(src, dst)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def append(
         self,
         df: DataFrame,

@@ -36,8 +36,16 @@ def run_week(
     execution_date: str | dt.date,
     infer_schema: bool = False,
     idempotent_fact: bool = True,
+    bucketed_dims: int | None = None,
 ) -> dict[str, int]:
-    """Run one weekly timestep end-to-end. Returns row counts per table."""
+    """Run one weekly timestep end-to-end. Returns row counts per table.
+
+    ``bucketed_dims=N`` switches the dimension merges to the bucketed
+    backend (`scd2.scd2_merge_bucketed` with N key-hash buckets): only
+    buckets containing changed/new keys are rewritten instead of the
+    whole dimension — the row-level-merge cost model for dims whose size
+    makes rebuild-overwrite expensive. Default (None) keeps the
+    rebuild-overwrite path; results are row-identical either way."""
     if isinstance(execution_date, dt.date):
         execution_date = execution_date.isoformat()
 
@@ -63,13 +71,19 @@ def run_week(
     # Stage 5 — SCD2 merge per dimension.
     for dim_name, sk_col in _DIMS.items():
         base_df = store.read(spark, "staging", dim_name)
-        target = (
-            store.read(spark, "presentation", dim_name)
-            if store.exists("presentation", dim_name)
-            else None
-        )
-        merged = scd2.scd2_merge(target, base_df, sk_col, DIM_KEYS[dim_name], execution_date)
-        store.overwrite(merged, "presentation", dim_name)
+        if bucketed_dims:
+            scd2.scd2_merge_bucketed(
+                spark, store, "presentation", dim_name, base_df, sk_col,
+                DIM_KEYS[dim_name], execution_date, n_buckets=bucketed_dims,
+            )
+        else:
+            target = (
+                store.read(spark, "presentation", dim_name)
+                if store.exists("presentation", dim_name)
+                else None
+            )
+            merged = scd2.scd2_merge(target, base_df, sk_col, DIM_KEYS[dim_name], execution_date)
+            store.overwrite(merged, "presentation", dim_name)
         dim = store.read(spark, "presentation", dim_name)
         quality.assert_unique_active(dim, DIM_KEYS[dim_name], dim_name)
         counts[f"presentation.{dim_name}"] = quality.assert_nonempty(dim, dim_name)

@@ -139,6 +139,7 @@ def scd2_merge(
     keys: list[str],
     as_of: str | dt.date,
     hash_col: str = "hash",
+    sk_offset: int | None = None,
 ) -> DataFrame:
     """Merge a staging snapshot ``base`` into SCD2 dimension ``target``,
     returning the REBUILT dimension (caller persists it — rebuild-overwrite
@@ -197,8 +198,14 @@ def scd2_merge(
         }
     )
     # Surrogate keys continue from the current max (driver-side scalar — one
-    # tiny action over the dim's sk column only).
-    max_sk = target.agg(F.max(sk_col)).collect()[0][0] or 0
+    # tiny action over the dim's sk column only). `sk_offset` overrides it
+    # when the caller merges a SUBSET of the dimension (bucketed backend)
+    # but keys must stay unique table-wide.
+    max_sk = (
+        sk_offset
+        if sk_offset is not None
+        else (target.agg(F.max(sk_col)).collect()[0][0] or 0)
+    )
     inserts = assign_surrogate_keys(inserts, sk_col, keys, offset=max_sk)
 
     ordered = [sk_col, *payload_cols, *SCD2_COLS]
@@ -208,3 +215,88 @@ def scd2_merge(
         .unionByName(expired.select(*ordered))
         .unionByName(inserts.select(*ordered))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed merge backend: row-level-merge economics on plain Parquet.
+# ---------------------------------------------------------------------------
+
+#: Partition column carrying the key-hash bucket in bucketed dimensions.
+BUCKET_COL = "__kb"
+
+
+def key_bucket(keys: list[str], n_buckets: int):
+    """Deterministic key-hash bucket (md5-derived, layout- and engine-
+    independent); coalesce makes it non-nullable for clean joins/pruning."""
+    from manifold_spark.functions.hashing import stable_long_hash
+
+    grain = F.concat_ws("||", *[F.col(k).cast("string") for k in keys])
+    return F.coalesce((stable_long_hash(grain) % n_buckets).cast("int"), F.lit(0))
+
+
+def scd2_merge_bucketed(
+    spark,
+    store,
+    database: str,
+    table: str,
+    base: DataFrame,
+    sk_col: str,
+    keys: list[str],
+    as_of: str | dt.date,
+    hash_col: str = "hash",
+    n_buckets: int = 16,
+) -> None:
+    """SCD2 merge that REWRITES ONLY the buckets containing changed or new
+    keys — the rebuild-overwrite cost model (O(dimension) per week) drops
+    to O(changed buckets), which is what a Delta/Iceberg MERGE would buy,
+    on plain Parquet.
+
+    The dimension is stored partitioned by ``__kb = hash(keys) % n_buckets``.
+    Per merge: detect changed-or-new keys against the active slice (a read
+    over the whole dim — reads are cheap, writes are the scale problem),
+    collect their bucket ids (≤ n_buckets values), run the ordinary
+    `scd2_merge` on just those buckets' rows, and swap exactly those
+    partition directories in. A snapshot with zero real changes writes
+    NOTHING; unchanged buckets' files stay byte-identical.
+
+    Same merge semantics as `scd2_merge` (keys absent from staging are
+    untouched), same surrogate-key sequence (offset = table-wide max).
+    """
+    if not store.exists(database, table):
+        out = initial_load(base, sk_col, keys, as_of).withColumn(
+            BUCKET_COL, key_bucket(keys, n_buckets)
+        )
+        store.overwrite(out, database, table, partition_by=[BUCKET_COL])
+        return
+
+    target = store.read(spark, database, table)
+    sentinel = F.lit(SCD2_SENTINEL).cast("date")
+    active = target.filter(F.col("record_end_date") == sentinel)
+
+    b, t = base.alias("b"), active.alias("t")
+    key_cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys]
+    delta_keys = (
+        b.join(t, key_cond, "left")
+        .filter(
+            F.col(f"t.{sk_col}").isNull()
+            | (F.col(f"t.{hash_col}") != F.col(f"b.{hash_col}"))
+        )
+        .select(*[F.col(f"b.{k}").alias(k) for k in keys])
+    )
+    affected = [
+        r["kb"]
+        for r in delta_keys.select(key_bucket(keys, n_buckets).alias("kb"))
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return  # nothing changed: zero writes
+
+    max_sk = target.agg(F.max(sk_col)).collect()[0][0] or 0
+    tgt_sub = target.filter(F.col(BUCKET_COL).isin(affected)).drop(BUCKET_COL)
+    base_sub = base.filter(key_bucket(keys, n_buckets).isin(affected))
+    merged = scd2_merge(
+        tgt_sub, base_sub, sk_col, keys, as_of, hash_col, sk_offset=max_sk
+    )
+    out = merged.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+    store.swap_partitions(out, database, table, partition_by=[BUCKET_COL])

@@ -112,6 +112,29 @@ def test_fact_load_touches_only_its_partition(spark, listings_weeks, tmp_path_fa
     assert any(p.startswith(week2_key) for p in snap)
 
 
+def test_bucketed_dims_pipeline_equivalent(spark, warehouse, listings_weeks, tmp_path_factory):
+    """run_week with the bucketed dimension backend must produce tables
+    row-identical to the rebuild-overwrite default."""
+    store_b = TableStore(str(tmp_path_factory.mktemp("wh-bucketed")))
+    meta = listings_weeks
+    run_week(spark, store_b, meta["root"], meta["week1"], bucketed_dims=8)
+    run_week(spark, store_b, meta["root"], meta["week2"], bucketed_dims=8)
+    store = warehouse["store"]
+    from manifold_spark.scd2 import BUCKET_COL
+
+    for dim in DIM_KEYS:
+        plain = store.read(spark, "presentation", dim)
+        bucketed = store_b.read(spark, "presentation", dim).drop(BUCKET_COL)
+        assert sorted(plain.collect(), key=str) == sorted(
+            bucketed.select(*plain.columns).collect(), key=str
+        )
+    fact_p = store.read(spark, "presentation", "fact_stock")
+    fact_b = store_b.read(spark, "presentation", "fact_stock")
+    assert sorted(fact_p.collect(), key=str) == sorted(
+        fact_b.select(*fact_p.columns).collect(), key=str
+    )
+
+
 def test_date_dimension(spark, warehouse):
     store = warehouse["store"]
     dd = store.read(spark, "presentation", "dim_date")
