@@ -74,6 +74,8 @@ def main() -> None:
     # (generated source embeds fresh expression ids), and on a shared
     # machine that single-threaded compile is the dominant noise term. The
     # min is the steady-state data-processing time.
+    from manifold_spark.operators.dedup import release_shingle_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -82,6 +84,9 @@ def main() -> None:
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
+            # each run re-caches its own shingle diamond; release between
+            # runs so a long bench session never accumulates dead caches
+            release_shingle_caches()
         timings[name] = round(best, 3)
 
     # End-to-end ETL throughput: one full weekly pipeline run (ingest →

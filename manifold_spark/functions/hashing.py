@@ -49,6 +49,12 @@ def stable_long_hash(col: Column, seed: int = 0) -> Column:
 
     md5(seed || value) → first 15 hex chars → BIGINT. Engine-portable
     (md5 is standardized), unlike Spark's murmur3 `hash`/`xxhash64`.
+
+    NULL input hashes like the EMPTY STRING (concat_ws skips NULLs), and
+    the SQL mirror (`operators._stable_hash_sql`) coalesces to '' for the
+    same behavior — so null-keyed rows pass sampling/sharding gates
+    identically on every engine. If NULL-vs-'' distinctness ever matters
+    for a key, coalesce to a sentinel before hashing.
     """
     seeded = F.concat_ws("", F.lit(str(seed)), col)
     return F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long")

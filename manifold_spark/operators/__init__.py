@@ -99,8 +99,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DuckDB mirror of `functions.hashing.stable_long_hash` (md5-based, so it
 #: exists in every engine — the whole point of not using murmur3/xxhash64).
+#: NULL handling must match too: Spark's concat_ws treats NULL as '', so
+#: the mirror coalesces — without it, 'seed' || NULL is NULL and null-keyed
+#: rows would pass sampling/sharding gates differently across engines.
 def _stable_hash_sql(expr: str, seed: int = 0) -> str:
-    return f"CAST(('0x' || substr(md5('{seed}' || {expr}), 1, 15)) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5('{seed}' || coalesce({expr}, '')), 1, 15)) AS BIGINT)"
 
 
 def _minhash_oracle(num_perm=32, bands=8, threshold=0.3, max_bucket=50) -> str:

@@ -35,6 +35,35 @@ from pyspark.sql import functions as F
 from manifold_spark.functions.hashing import stable_long_hash
 from manifold_spark.plans.parallelism import ensure_parallelism
 
+#: DataFrames persisted by the pair generators below. The exploded shingle
+#: diamond must be cached WITHIN a query (3 consumers), but the operators
+#: return lazy plans, so they cannot unpersist before the caller consumes
+#: them. Long-lived sessions (bench loops, notebooks) call
+#: `release_shingle_caches()` between queries instead of relying on LRU
+#: eviction under memory pressure.
+_SHINGLE_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _SHINGLE_CACHES.append(df)
+    return df
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every cache created by the dedup pair generators; returns
+    how many were released. Safe to call at any time — plans re-cache on
+    next use."""
+    n = 0
+    while _SHINGLE_CACHES:
+        df = _SHINGLE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def normalized_tokens(text: Column) -> Column:
     """Lowercase, strip non-alphanumerics to spaces, split on whitespace,
@@ -155,8 +184,9 @@ def minhash_lsh_pairs(
     # The shingle rows feed three consumers (signatures + both sides of the
     # verify join). Persist the diamond — same reasoning as the reference's
     # `.cache()` before its 4-way staging fan-out; Spark reuses cached
-    # partitions even within a single job, and LRU eviction reclaims it.
-    sh = shingle_rows(df, text_col, id_col, shingle_n).persist()
+    # partitions even within a single job. Tracked for
+    # `release_shingle_caches()` in long-lived sessions.
+    sh = _persist_tracked(shingle_rows(df, text_col, id_col, shingle_n))
     h0 = sh.withColumn("h0", stable_long_hash(F.col("shingle")) % _MERSENNE)
     sigs = h0.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh"),
@@ -374,7 +404,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("dfreq") <= max_df)
             .drop("dfreq")
         )
-    ex = ex.persist()
+    ex = _persist_tracked(ex)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = ex.select(*block_cols, F.col("doc_id").alias("id_a"), "shingle")

@@ -8,25 +8,62 @@ splits and a blanket `repartition()` would instead inject a full-corpus
 shuffle for nothing.
 
 `ensure_parallelism` resolves the tension: it repartitions ONLY when the
-current partition count is far below the cluster's parallelism — a no-op
-exactly when the data is big enough not to need it, and the shuffled bytes
-are small exactly when it fires.
+input's estimated split count is far below the cluster's parallelism — a
+no-op exactly when the data is big enough not to need it, and the shuffled
+bytes are small exactly when it fires. The estimate comes from the plan's
+input FILES (count + local sizes vs `maxPartitionBytes`), never from
+`df.rdd` — touching `.rdd` forces a physical-plan compile per call.
 """
 
 from __future__ import annotations
 
+import math
+import os
+import re
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
-    """Repartition to the cluster's default parallelism iff the plan's
-    current partitioning is below ``min_fraction`` of it."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+def _max_partition_bytes(df: DataFrame) -> int:
+    raw = str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    digits = re.match(r"\d+", raw.strip())
+    return int(digits.group()) if digits else 128 * 1024 * 1024
+
+
+def estimated_splits(df: DataFrame) -> int | None:
+    """Estimate the scan's split count from its input files: each file
+    contributes ceil(size / maxPartitionBytes) splits. Returns None when
+    the estimate can't be made cheaply (non-file plan, remote filesystem)
+    — callers should then leave the plan alone."""
     try:
-        current = df.rdd.getNumPartitions()
+        files = df.inputFiles()
     except Exception:
-        return df
-    if current < max(2, int(target * min_fraction)):
+        return None
+    if not files:
+        return None
+    max_bytes = _max_partition_bytes(df)
+    total_splits = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            # remote store: listing sizes costs RPCs; Spark's own split
+            # sizing is trustworthy there (many objects, 128 MB parts)
+            return None
+        path = unquote(parsed.path)
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return None
+        total_splits += max(1, math.ceil(size / max_bytes))
+    return total_splits
+
+
+def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Repartition to the cluster's default parallelism iff the scan's
+    estimated split count is below ``min_fraction`` of it."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    splits = estimated_splits(df)
+    if splits is not None and splits < max(2, int(target * min_fraction)):
         return df.repartition(target)
     return df

@@ -71,9 +71,16 @@ def scd2_stream(
 ):
     """Attach the SCD2 merge to a streaming JSON listing source.
     ``as_of_fn(batch_id) -> date`` injects deterministic effective dates
-    (tests); default derives from the wall clock like the reference's
-    getdate(). Returns the started StreamingQuery."""
-    as_of_fn = as_of_fn or (lambda batch_id: dt.date.today())
+    (tests); the default is the UTC wall clock (the engine pins UTC
+    everywhere — `date.today()` would follow the host timezone and stamp
+    a different effective date near midnight). Replay caveat: a
+    checkpoint-recovery re-application of a batch on a LATER day stamps
+    that later date; inject an event-time-derived ``as_of_fn`` where
+    replayed batches must reproduce their original effective dates.
+    Returns the started StreamingQuery."""
+    as_of_fn = as_of_fn or (
+        lambda batch_id: dt.datetime.now(dt.timezone.utc).date()
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         merge_batch(store, batch_df, as_of_fn(batch_id))

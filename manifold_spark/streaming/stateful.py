@@ -72,7 +72,18 @@ def spend_alerts_stream(
     events_stream: DataFrame, thresholds: list[float] | None = None
 ) -> DataFrame:
     """Attach the stateful monitor to a streaming events DataFrame.
-    Each alert appears exactly once across the stream's lifetime."""
+    Each alert appears exactly once across the stream's lifetime.
+
+    Ordering contract: events are sorted by (ts, event_id) WITHIN each
+    micro-batch only. Equivalence with `spend_alerts_batch` therefore
+    requires event-time-ordered arrival ACROSS batches as well as
+    non-negative values — an event arriving in a later batch with an
+    earlier timestamp folds into the cumulative out of event-time order,
+    so the `cumulative` stamped on an alert can differ from the batch
+    twin's. Exact cross-batch ordering would need watermark-buffered
+    folding (hold events until the watermark passes, then fold in event
+    time) at the cost of alert latency; this operator keeps the
+    low-latency fold and documents the contract instead."""
     thresholds = DEFAULT_THRESHOLDS if thresholds is None else thresholds
     return (
         events_stream.select("user_id", "event_id", "ts", "value")
