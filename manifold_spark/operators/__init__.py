@@ -49,10 +49,17 @@ _TOKENS_SQL = (
     "regexp_replace(text, '[^\\p{L}\\p{N}]+', ' ', 'g'))), '\\s+'), x -> x <> '')"
 )
 
-_SHINGLES_SQL = (
-    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
-    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
-)
+def _shingles_sql(n: int) -> str:
+    """Distinct word n-gram list over a `toks` list column — mirrors
+    `dedup.word_shingles` for any n."""
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> {gram}))"
+    )
+
+
+_SHINGLES_SQL = _shingles_sql(3)
 
 #: Document-frequency cap for the gate's Jaccard run — mirrored into the
 #: oracle below so both engines drop the same ubiquitous shingles.
@@ -153,6 +160,41 @@ def _minhash_oracle(num_perm=32, bands=8, threshold=0.3, max_bucket=50) -> str:
 @register("dedup_minhash_lsh", _minhash_oracle())
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3)
+
+
+def _components_oracle() -> str:
+    """Transitive closure of the minhash near-dup graph as a recursive
+    CTE: reach(id, r) starts from self-reach for every document plus the
+    symmetric pair edges, extends one hop per recursion, and the cluster
+    id is the min reachable id — the same fixpoint min-label propagation
+    converges to."""
+    pairs_sql = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM ({pairs_sql}) mp
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+@register("dedup_clusters", _components_oracle())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the minhash-LSH pair
+    graph; every doc carries its canonical representative (min reachable
+    id), singletons carry themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+    return dedup.dedup_components(docs.select("doc_id"), pairs)
 
 
 def _simhash_oracle(num_bits=32, band_bits=8, max_hamming=6, max_bucket=100) -> str:
@@ -824,3 +866,116 @@ def q_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(
         with_tokens, "doc_id", "n_tok", _PACK_BUDGET, n_shards=_PACK_SHARDS
     ).select("doc_id", "shard", "n_tokens", "bin_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization: int8 vectors for ANN memory/IO reduction.
+# ---------------------------------------------------------------------------
+
+_QUANTIZE_ORACLE = """
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, embedding,
+               CASE WHEN am > 0 THEN 127.0 / am ELSE 0.0 END AS scale
+        FROM m
+    )
+    SELECT vec_id, scale,
+           array_to_string(
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)), ',') AS q_str
+    FROM s
+"""
+
+
+@register("emb_quantize_int8", _QUANTIZE_ORACLE)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization, int array comma-joined for the
+    gate canonicalizer. Round is half-away-from-zero on both engines."""
+    out = similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias("q_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary construction: top-k tokens by document frequency — the
+# tokenizer-training precursor (and the df table behind stop-shingle caps).
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+_VOCAB_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token FROM documents
+    ),
+    dfc AS (SELECT token, count(*) AS df FROM toks GROUP BY token)
+    SELECT token, df,
+           CAST(row_number() OVER (ORDER BY df DESC, token) AS INT) AS rank
+    FROM dfc
+    QUALIFY rank <= {_VOCAB_K}
+"""
+
+
+@register("text_vocab_topk", _VOCAB_ORACLE)
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary by document frequency. The heavy part (per-token
+    df counts) is one map-side-combined aggregation; the top-k itself is
+    a distributed TakeOrdered (orderBy+limit), and the rank window runs
+    over only the k surviving rows — no vocabulary-sized single-partition
+    window."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.array_distinct(dedup.normalized_tokens(F.col("text")))).alias("token")
+    )
+    dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    top = dfc.orderBy(F.col("df").desc(), "token").limit(_VOCAB_K)
+    w = Window.orderBy(F.col("df").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Train/eval contamination: n-gram collision against a benchmark source.
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 5
+
+
+def _contamination_oracle() -> str:
+    sh = _shingles_sql(_CONTAM_N)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    sh AS (SELECT doc_id, source, {sh} AS shingles FROM toks),
+    tr AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE source <> 'src0'
+    ),
+    be AS (
+        SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE source = 'src0'
+    )
+    SELECT t.doc_id, count(*) AS n_shared
+    FROM tr t JOIN be USING (shingle)
+    GROUP BY t.doc_id
+    """
+
+
+@register("text_contamination", _contamination_oracle())
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: treat source 'src0' as the benchmark set and
+    flag every other document sharing at least one word 5-gram with it."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.contamination_check(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        shingle_n=_CONTAM_N,
+    )

@@ -422,3 +422,100 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_components(
+    corpus_ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every document gets
+    a ``cluster_id`` = the smallest doc id reachable through pairs (its
+    canonical representative); documents in no pair form singleton
+    clusters. This is the step AFTER pair generation in a dedup pipeline —
+    near-dup is transitive in practice (A≈B≈C), so survivors must be
+    picked per component, not per pair.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels; converges in O(component diameter)
+    rounds — near-dup components are shallow (duplicates of a common
+    original), so this is 2-4 shuffle joins in practice, checked by a
+    driver-side convergence count per round. At extreme graph scale swap
+    the inner loop for alternating star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"); the contract is unchanged.
+
+    Returns (id_col, cluster_id) — deterministic on any layout.
+    """
+    ia, ib = pair_cols
+    edges = pairs.select(F.col(ia).alias("src"), F.col(ib).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+    labels = corpus_ids.select(F.col(id_col).alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("dst_label")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        proposed = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                "label",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+            )
+        )
+        changed = proposed.filter(F.col("new_label") != F.col("label")).count()
+        new_labels = proposed.select("node", F.col("new_label").alias("label")).persist()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    # the returned plan reads the final persisted labels (tracked so
+    # release_shingle_caches() frees it in long-lived sessions)
+    _SHINGLE_CACHES.append(labels)
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Train/eval contamination detection by n-gram collision (the GPT-3
+    style decontamination test): a training document is contaminated if it
+    shares at least one word n-gram with any benchmark document. Returns
+    (doc_id, n_shared) for contaminated training docs, where n_shared is
+    the number of distinct colliding shingles.
+
+    Plan: both sides explode to (doc, shingle) rows; benchmark shingles
+    dedupe (benchmarks are small — broadcastable in practice); one equi
+    join on the shingle. Shapes like the sparse Jaccard join, so the same
+    guards apply at web scale: a document-frequency cap on training-side
+    shingles if boilerplate dominates.
+    """
+    tr = shingle_rows(train, text_col, id_col, shingle_n)
+    be = (
+        shingle_rows(benchmark, text_col, id_col, shingle_n)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        tr.join(be, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(F.col("doc_id").alias(id_col), "n_shared")
+    )

@@ -238,3 +238,27 @@ def topk_ivf_kmeans(
         queries, corpus, dim, k=k, n_centroids=n_centroids, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col, centroids=cent_as_vecs,
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard memory/IO
+    reduction for ANN at corpus scale (4× smaller vectors, SIMD-friendly
+    integer dot products): ``scale = 127 / max|x|``, each element rounds
+    to [-127, 127]. Pure column expressions over the array (JVM-side, no
+    shuffle); zero vectors quantize to all-zero with scale 0.
+
+    Returns (id_col, scale double, q array<int>). Dequantize as
+    ``q[i] / scale``; at 100 TB you persist (q, scale) beside — or
+    instead of — the float vectors and score candidates with integer
+    arithmetic, rescoring the top slice at full precision.
+    """
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("int")
+    )
+    return df.select(F.col(id_col), scale.alias("scale"), q.alias("q"))

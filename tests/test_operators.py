@@ -93,6 +93,57 @@ def test_ngram_jaccard_df_cap_bounds_boilerplate(spark):
     assert all(a == n and b == n + 1 for (a, b) in found)
 
 
+def test_quantize_int8_roundtrip(spark):
+    """Quantized vectors must stay in [-127,127], preserve sign/zero, and
+    dequantize (q/scale) to within one quantization step of the input."""
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, all-zero q
+        (3, [100.0, -0.001, 3.0, 7.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+    assert out[2]["scale"] == 0.0 and out[2]["q"] == [0, 0, 0, 0]
+    for vid, emb in [(1, rows[0][1]), (3, rows[2][1])]:
+        scale, q = out[vid]["scale"], out[vid]["q"]
+        assert max(abs(v) for v in q) == 127  # absmax element saturates
+        for orig, qi in zip(emb, q):
+            assert abs(qi) <= 127
+            assert abs(qi / scale - orig) <= 0.5 / scale + 1e-9
+
+
+def test_contamination_check_flags_ngram_overlap(spark):
+    """A training doc sharing a 5-gram with the benchmark is flagged with
+    the right collision count; disjoint docs are not."""
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words the secret benchmark answer is forty two exactly suffix"),
+            (2, "completely unrelated training text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_shared"] for r in
+           dedup.contamination_check(train, bench, "text", "doc_id", shingle_n=5).collect()}
+    assert 1 in out and out[1] >= 1
+    assert 2 not in out
+
+
+def test_dedup_components_transitive_chain(spark):
+    """A chain A-B, B-C, plus D-E, plus a singleton: components must close
+    transitively (A,B,C share one cluster) and the cluster id is the min
+    member; untouched docs cluster alone."""
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup.dedup_components(ids, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
 def test_topk_bruteforce_self_similarity(spark):
     import math
 
