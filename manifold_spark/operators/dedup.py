@@ -450,8 +450,13 @@ def dedup_components(
     """
     ia, ib = pair_cols
     edges = pairs.select(F.col(ia).alias("src"), F.col(ib).alias("dst"))
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Persist the symmetric edge set: every iteration's convergence count
+    # re-reads it, and `pairs` is usually an expensive lazy plan (the
+    # whole LSH pipeline) that must not recompute per round.
+    sym = _persist_tracked(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
 
     labels = corpus_ids.select(F.col(id_col).alias("node")).distinct().withColumn(
