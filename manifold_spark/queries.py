@@ -787,3 +787,79 @@ def q_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         *[F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(f"n_{lang}") for lang in _PIVOT_LANGS],
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-level rollup (GROUPING SETS): the hypertable-rollup flavor — one
+# pass produces per-(region, year) cells, per-region subtotals, and the
+# grand total, disambiguated by the grouping bitmask. Spark computes
+# ROLLUP with a single expand + one shuffle (map-side combined).
+# ---------------------------------------------------------------------------
+@register(
+    "sales_rollup_sets",
+    """
+    SELECT r.r_name AS region_name,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(grouping(r.r_name, year(o.o_orderdate)) AS INT) AS gid,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, year(o.o_orderdate))
+    """,
+)
+def q_sales_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = ensure_parallelism(_t(spark, sf_dir, "orders"))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup(
+        F.col("r_name").alias("region_name"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        decimal_sum(F.col("o_totalprice"), scale=2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time range-frame window: per-user rolling 1-hour spend at every
+# event. RANGE frames bound by event time (not row counts) are the
+# canonical sliding-aggregate over irregular event streams; microsecond
+# epoch ordering keeps both engines' frames identical (second-granular
+# epochs would bucket sub-second neighbors differently).
+# ---------------------------------------------------------------------------
+@register(
+    "events_rolling_1h",
+    """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS HUGEINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 10000.0 AS rolling_1h
+    FROM events
+    """,
+)
+def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_599_999_999, 0)
+    )
+    scaled = F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast("decimal(38,0)")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        (F.sum(scaled).over(w).cast("double") / F.lit(10000.0)).alias("rolling_1h"),
+    )
