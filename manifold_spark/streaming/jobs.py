@@ -97,3 +97,25 @@ def streaming_hourly_rollup(
             "total_value",
         )
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    id_cols: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once deduplication by key: each key is emitted on
+    first sight and duplicates arriving within the watermark horizon are
+    dropped (`dropDuplicatesWithinWatermark` — state for a key is evicted
+    once the watermark passes it, so state size tracks the horizon, not
+    the stream's lifetime; an unbounded `dropDuplicates` would grow state
+    forever at 100 TB/day ingest rates).
+
+    Contract: duplicates separated by more than the watermark horizon are
+    NOT caught — pick the horizon from the source's real redelivery window
+    (e.g. a Kafka producer's retry ceiling). Batch twin for verification:
+    `df.dropDuplicates(id_cols)` over the same rows."""
+    return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
+        id_cols
+    )

@@ -189,3 +189,32 @@ def test_streaming_scd2_cdc(spark, tmp_path):
     q.awaitTermination(120)
     after = sorted(map(repr, store.read(spark, "presentation", "dim_asset").collect()))
     assert before == after
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Duplicated events drained through the watermarked streaming dedup
+    must collapse to exactly the batch-distinct key set."""
+    from manifold_spark.streaming.jobs import dedup_stream
+
+    events = read_events(spark, sf_dir).limit(2000)
+    src = str(tmp_path / "dedup-src")
+    # inject duplicates: every event appears twice in the source
+    events.unionByName(events).write.parquet(src)
+
+    staged = spark.read.parquet(src)
+    batch_ids = {r["event_id"] for r in staged.dropDuplicates(["event_id"]).collect()}
+    assert staged.count() == 2 * len(batch_ids)
+
+    stream = spark.readStream.schema(staged.schema).parquet(src)
+    q = (
+        dedup_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_test").collect()]
+    assert len(streamed) == len(set(streamed))  # no key emitted twice
+    assert set(streamed) == batch_ids
