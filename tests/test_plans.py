@@ -118,6 +118,28 @@ def test_dedup_exact_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
+def test_ensure_parallelism_file_heuristic(spark, sf_dir, tmp_path):
+    """The parallelism guard must fire on a small single-file scan (the
+    compute-bound-operator case), no-op on a many-file input (repartition
+    would inject a pointless full shuffle), and no-op on non-file plans —
+    all WITHOUT compiling a physical plan via df.rdd."""
+    from manifold_spark.plans.parallelism import ensure_parallelism, estimated_splits
+
+    single = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert estimated_splits(single) == 1
+    assert "Repartition" in _optimized(ensure_parallelism(single))
+
+    many_path = str(tmp_path / "many")
+    single.repartition(64).write.parquet(many_path)
+    many = spark.read.parquet(many_path)
+    assert estimated_splits(many) >= 64
+    assert "Repartition" not in _optimized(ensure_parallelism(many))
+
+    inmem = spark.range(10)
+    assert estimated_splits(inmem) is None
+    assert ensure_parallelism(inmem) is inmem
+
+
 def test_scan_prunes_columns_for_projection(spark, sf_dir):
     """A 2-column projection must read 2 columns, not 11."""
     l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
