@@ -863,3 +863,165 @@ def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         (F.sum(scaled).over(w).cast("double") / F.lit(10000.0)).alias("rolling_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: per user, first 'view', first 'click' at-or-after it,
+# first 'purchase' at-or-after that. Staged conditional aggregation — each
+# stage is an equi-join + min-aggregate on user_id, so all three stages
+# co-partition on the same key (one logical shuffle reused; no window
+# over the whole event stream, no cross join).
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage,
+           strftime(v.t_view, '%Y-%m-%d %H:%M:%S') AS t_view,
+           strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS t_click,
+           strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+        .when(F.col("t_click").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
+    return out.select(
+        "user_id",
+        stage.alias("stage"),
+        F.date_format("t_view", "yyyy-MM-dd HH:mm:ss").alias("t_view"),
+        F.date_format("t_click", "yyyy-MM-dd HH:mm:ss").alias("t_click"),
+        F.date_format("t_purchase", "yyyy-MM-dd HH:mm:ss").alias("t_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users bucketed by signup week (ISO Monday truncation,
+# identical in both engines), activity weeks as offsets from the cohort.
+# The classic growth-analytics rollup: distinct (user, week) activity →
+# one join to the cohort table → count per (cohort, offset).
+# ---------------------------------------------------------------------------
+@register(
+    "events_retention",
+    """
+    WITH s AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT strftime(s.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', s.cohort_week, a.act_week) / 7 AS INT) AS week_offset,
+           count(*) AS n_active
+    FROM a JOIN s ON a.user_id = s.user_id
+    WHERE a.act_week >= s.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    a = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("act_week")).distinct()
+    return (
+        a.join(s, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority: revenue of unshipped BUILDING-segment
+# orders — selective filters pushed to both scans, customer broadcast,
+# distributed top-10 (TakeOrdered, no global sort materialization).
+# ---------------------------------------------------------------------------
+@register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(floor((l.l_extendedprice * (1 - l.l_discount)) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > DATE '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = (
+        l.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("date"))
+        .join(
+            broadcast(o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
