@@ -93,6 +93,40 @@ def test_ngram_jaccard_df_cap_bounds_boilerplate(spark):
     assert all(a == n and b == n + 1 for (a, b) in found)
 
 
+def test_approx_tier_tracks_exact(spark, sf_dir):
+    """The sketch twins must land within their documented error of the
+    exact oracle-gated queries (the 100 TB interactive swap)."""
+    from manifold_spark.operators.approx import approx_distinct_users, approx_percentiles
+    from manifold_spark.queries import read_events
+
+    events = read_events(spark, sf_dir)
+    exact_n = {
+        r["event_type"]: r["n_users"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    for r in approx_distinct_users(events).collect():
+        assert abs(r["n_users_approx"] - exact_n[r["event_type"]]) <= max(
+            3, 0.05 * exact_n[r["event_type"]]
+        )
+
+    exact_p = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for r in approx_percentiles(events).collect():
+        e50, e90 = exact_p[r["event_type"]]
+        spread = max(abs(e90), 1.0)
+        assert abs(r["p50"] - e50) <= 0.05 * spread
+        assert abs(r["p90"] - e90) <= 0.05 * spread
+
+
 def test_quantize_int8_roundtrip(spark):
     """Quantized vectors must stay in [-127,127], preserve sign/zero, and
     dequantize (q/scale) to within one quantization step of the input."""
