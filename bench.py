@@ -155,6 +155,32 @@ def main() -> None:
         shuffles[name] = out._jdf.queryExecution().executedPlan().toString().count("Exchange")
         release_shingle_caches()
 
+    # Multi-file tier: the testdata parquet is single-row-group (scans cap
+    # at 1 task; `ensure_parallelism` repartitions as a crutch). Stage a
+    # 32-file copy and re-run the scan-heavy queries — with ≥32 splits the
+    # guard no-ops, so this measures NATIVE scan parallelism, which is what
+    # a real many-file dataset gets. Compare against the same keys in
+    # "queries" to see what the crutch costs/saves.
+    import shutil
+    import tempfile as _tf
+
+    multi_root = _tf.mkdtemp(prefix="bench-multifile-")
+    for t in ("lineitem", "documents"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").repartition(32).write.parquet(
+            f"{multi_root}/{t}.parquet"
+        )
+    multifile: dict[str, float] = {}
+    for name in ("pricing_summary", "dedup_minhash_lsh", "text_quality"):
+        fn = queries[name]
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, multi_root).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        release_shingle_caches()
+        multifile[name] = round(best, 3)
+    shutil.rmtree(multi_root, ignore_errors=True)
+
     # End-to-end ETL throughput: one full weekly pipeline run (ingest →
     # clean → staging fan-out → 3 SCD2 merges → fact load → quality gates)
     # over generated listings. The reference's implied budget is ~4,600
@@ -184,6 +210,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "scale10": scale10,
+                "multifile": multifile,
                 "plan_shuffles": shuffles,
                 "shuffle_partitions": int(cpus),
                 "sf": sf,
