@@ -119,3 +119,29 @@ def dedup_stream(
     return stream.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(
         id_cols
     )
+
+
+def contamination_stream(
+    doc_stream: DataFrame,
+    benchmark_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Streaming decontamination: incoming documents checked against a
+    STATIC benchmark shingle set as they arrive (stream-static join —
+    Spark broadcasts/rescans the static side per micro-batch; no state
+    beyond the aggregation). The batch twin is
+    `dedup.contamination_check`; same (doc_id, n_shared) contract.
+
+    `benchmark_shingles` is a static DataFrame with one `shingle` column
+    (distinct) — at scale, precompute and persist it once; benchmarks are
+    tiny next to the corpus."""
+    from manifold_spark.operators.dedup import shingle_rows
+
+    tr = shingle_rows(doc_stream, text_col, id_col, shingle_n)
+    return (
+        tr.join(benchmark_shingles, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

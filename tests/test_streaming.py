@@ -218,3 +218,38 @@ def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
     streamed = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_test").collect()]
     assert len(streamed) == len(set(streamed))  # no key emitted twice
     assert set(streamed) == batch_ids
+
+
+def test_streaming_contamination_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static decontamination: documents streamed against a static
+    benchmark shingle set must flag exactly the batch twin's doc set."""
+    from manifold_spark.operators.dedup import contamination_check, shingle_rows
+    from manifold_spark.streaming.jobs import contamination_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+
+    batch = {
+        (r["doc_id"], r["n_shared"])
+        for r in contamination_check(train, bench, "text", "doc_id", shingle_n=5).collect()
+    }
+
+    src = str(tmp_path / "contam-src")
+    train.write.parquet(src)
+    bench_shingles = shingle_rows(bench, "text", "doc_id", 5).select("shingle").distinct()
+    stream = spark.readStream.schema(train.schema).parquet(src)
+    q = (
+        contamination_stream(stream, bench_shingles)
+        .writeStream.format("memory")
+        .queryName("contam_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["n_shared"])
+        for r in spark.sql("SELECT * FROM contam_test").collect()
+    }
+    assert streamed == batch
