@@ -1025,3 +1025,45 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (ANALYZE/SUMMARIZE-style): one pass over the table
+# computing per-column null counts, exact distinct counts, and numeric /
+# temporal ranges. Multiple exact COUNT(DISTINCT)s compile to one Expand
+# + a single shuffle (documented cost: rows × profiled columns); the
+# interactive-scale swap is approx_count_distinct per column, one plain
+# aggregate, no expand (operators/approx.py pattern).
+# ---------------------------------------------------------------------------
+@register(
+    "profile_orders",
+    """
+    SELECT count(*) AS n_rows,
+           count(o_orderkey) AS nn_orderkey,
+           count(DISTINCT o_orderkey) AS nd_orderkey,
+           count(o_custkey) AS nn_custkey,
+           count(DISTINCT o_custkey) AS nd_custkey,
+           count(o_orderstatus) AS nn_status,
+           count(DISTINCT o_orderstatus) AS nd_status,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+    FROM orders
+    """,
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("nn_orderkey"),
+        F.countDistinct("o_orderkey").alias("nd_orderkey"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
