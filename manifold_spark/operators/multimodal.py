@@ -155,3 +155,33 @@ def media_manifest(df: DataFrame, uri_prefix: str, id_col: str = "doc_id") -> Da
         "byte_len",
         "content_sha",
     )
+
+
+#: (media_kind, hex prefix of the payload's magic bytes) — the standard
+#: container signatures. Matching runs JVM-side on hex(substring(bytes)).
+MAGIC_PREFIXES = [
+    ("png", "89504E47"),
+    ("jpeg", "FFD8FF"),
+    ("gif", "474946383"),
+    ("riff", "52494646"),  # WAV/AVI/WebP share the RIFF envelope
+    ("pdf", "25504446"),
+    ("zip", "504B0304"),
+]
+
+
+def sniff_media_kind(content: F.Column) -> F.Column:
+    """Classify an opaque binary payload by magic bytes — the validation
+    step before routing to a decoder (corrupt/mislabeled media is routine
+    at crawl scale; decode failures are expensive, a prefix check is
+    free). Pure column expressions: hex the first 8 bytes, prefix-match
+    the signature table. Unknown payloads classify 'unknown'."""
+    head = F.upper(F.hex(F.substring(content, 1, 8)))
+    expr = F.lit("unknown")
+    for kind, prefix in reversed(MAGIC_PREFIXES):
+        expr = F.when(head.startswith(prefix), F.lit(kind)).otherwise(expr)
+    return expr
+
+
+def classify_media(df_with_binary: DataFrame, content_col: str = "content") -> DataFrame:
+    """Add a `media_kind` column from the payload's magic bytes."""
+    return df_with_binary.withColumn("media_kind", sniff_media_kind(F.col(content_col)))

@@ -92,3 +92,28 @@ def test_bucketed_merge_noop_snapshot_writes_nothing(spark, tmp_path):
         "y_id", ["k"], "2024-01-08", n_buckets=N_BUCKETS,
     )
     assert _snap(tbl) == before  # zero files touched anywhere
+
+
+def test_bucketed_merge_null_business_keys(spark, tmp_path):
+    """Null keys must bucket deterministically and merge null-safely —
+    the same eqNullSafe contract as the plain merge."""
+    store = TableStore(str(tmp_path / "wh"))
+
+    def base(rows):
+        df = spark.createDataFrame(rows, "k string, payload string")
+        return with_fingerprint(df, ["k", "payload"])
+
+    scd2.scd2_merge_bucketed(
+        spark, store, "presentation", "dim_n", base([(None, "x"), ("A", "y")]),
+        "n_id", ["k"], "2024-01-01", n_buckets=4,
+    )
+    scd2.scd2_merge_bucketed(
+        spark, store, "presentation", "dim_n", base([(None, "x2"), ("A", "y")]),
+        "n_id", ["k"], "2024-01-08", n_buckets=4,
+    )
+    dim = store.read(spark, "presentation", "dim_n").drop(scd2.BUCKET_COL)
+    null_rows = dim.filter("k IS NULL").collect()
+    assert len(null_rows) == 2  # expired + new version, never duplicated
+    from manifold_spark.quality import duplicate_active_keys
+
+    assert duplicate_active_keys(dim, ["k"]).count() == 0

@@ -452,3 +452,27 @@ def test_pack_documents(spark):
     for docs_in_bin in by_bin.values():
         docs_in_bin.sort()
         assert sum(t for _, t in docs_in_bin[:-1]) < 2048
+
+
+def test_sniff_media_kind_magic_bytes(spark):
+    """Known container signatures classify correctly; everything else is
+    'unknown' — including short and empty payloads."""
+    from manifold_spark.operators.multimodal import classify_media
+
+    rows = [
+        (1, bytes([0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 1, 2])),
+        (2, bytes([0xFF, 0xD8, 0xFF, 0xE0]) + b"JFIF"),
+        (3, b"GIF89a" + bytes(4)),
+        (4, b"RIFF" + bytes(4) + b"WAVE"),
+        (5, b"%PDF-1.7"),
+        (6, b"PK\x03\x04rest"),
+        (7, b"plain text bytes"),
+        (8, b""),
+        (9, b"\xff"),  # shorter than any signature
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r["media_kind"] for r in classify_media(df).collect()}
+    assert out == {
+        1: "png", 2: "jpeg", 3: "gif", 4: "riff", 5: "pdf", 6: "zip",
+        7: "unknown", 8: "unknown", 9: "unknown",
+    }
