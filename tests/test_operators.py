@@ -476,3 +476,29 @@ def test_sniff_media_kind_magic_bytes(spark):
         1: "png", 2: "jpeg", 3: "gif", 4: "riff", 5: "pdf", 6: "zip",
         7: "unknown", 8: "unknown", 9: "unknown",
     }
+
+
+def test_ewma_by_user_matches_recurrence(spark, sf_dir):
+    """Grouped-map EWMA must equal the hand-rolled recurrence per user,
+    regardless of partition layout."""
+    from manifold_spark.operators.sequential import ewma_by_user
+    from manifold_spark.queries import read_events
+
+    events = read_events(spark, sf_dir).filter("user_id < 10")
+    out = ewma_by_user(events.repartition(7), alpha=0.3).collect()
+
+    rows = sorted(
+        events.select("user_id", "event_id", "ts", "value").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    expected = {}
+    state = {}
+    for r in rows:
+        u = r["user_id"]
+        prev = state.get(u)
+        cur = r["value"] if prev is None else 0.3 * r["value"] + 0.7 * prev
+        state[u] = cur
+        expected[(u, r["event_id"])] = cur
+    assert len(out) == len(rows)
+    for r in out:
+        assert abs(r["ewma"] - expected[(r["user_id"], r["event_id"])]) < 1e-9
