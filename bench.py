@@ -91,6 +91,34 @@ def main() -> None:
         release_shingle_caches()
         timings[name] = round(best, 3)
 
+    # Extended tier: the round-2+ gates, one timed run each — kept OUT of
+    # the headline total so cross-round comparisons of "value" stay
+    # apples-to-apples with round 1's 17-query definition.
+    EXTENDED = [
+        "dedup_clusters",
+        "dedup_simhash",
+        "emb_quantize_int8",
+        "text_vocab_topk",
+        "text_contamination",
+        "events_funnel",
+        "events_retention",
+        "events_rolling_1h",
+        "sales_rollup_sets",
+        "shipping_priority",
+        "profile_orders",
+        "multimodal_decode",
+        "sim_ann_ivf_kmeans",
+        "sim_cosine_near_dup",
+        "sample_mix_sources",
+        "pack_context_windows",
+    ]
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.perf_counter() - start, 3)
+        release_shingle_caches()
+
     # Superlinear-regression tier: the dedup/ANN operators at 10× the
     # documents/embeddings scale (sf0.1 → sf1-equivalent row counts). Each
     # replica's token stream is interleaved with a replica marker so
@@ -209,6 +237,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
                 "scale10": scale10,
                 "multifile": multifile,
                 "plan_shuffles": shuffles,

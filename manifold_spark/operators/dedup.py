@@ -512,9 +512,9 @@ def contamination_check(
     guards apply at web scale: a document-frequency cap on training-side
     shingles if boilerplate dominates.
     """
-    tr = shingle_rows(train, text_col, id_col, shingle_n)
+    tr = shingle_rows(ensure_parallelism(train), text_col, id_col, shingle_n)
     be = (
-        shingle_rows(benchmark, text_col, id_col, shingle_n)
+        shingle_rows(ensure_parallelism(benchmark), text_col, id_col, shingle_n)
         .select("shingle")
         .distinct()
     )
