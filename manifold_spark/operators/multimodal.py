@@ -79,8 +79,12 @@ def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def extract_media_features(df_with_binary: DataFrame) -> DataFrame:
     """Run the (stub) decoder over the binary column with Arrow batching.
     Partition-preserving: no shuffle — Python cost scales linearly and
-    parallelizes per input split."""
-    return df_with_binary.select("doc_id", "content").mapInPandas(
+    parallelizes per input split (guarded for under-split inputs: decode
+    is compute-bound, so a single-file scan must not pin it to one
+    core)."""
+    from manifold_spark.plans.parallelism import ensure_parallelism
+
+    return ensure_parallelism(df_with_binary).select("doc_id", "content").mapInPandas(
         decode_media_batch, MEDIA_FEATURES_SCHEMA
     )
 
