@@ -213,6 +213,13 @@ def kmeans_centroids(
                 ).alias("cent_vec")
             )
         )
+        # Materialize the k-row codebook to a local relation each round.
+        # Perf-neutral at iters=2 (measured — Spark reuses the shared
+        # subplans), but it caps the logical-plan depth: lazily chained,
+        # each round nests the previous round's whole DAG, and analysis/
+        # optimization cost compounds with iters. A k-row driver roundtrip
+        # is free and exact (doubles survive collect bit-identically).
+        cent = corpus.sparkSession.createDataFrame(cent.collect(), cent.schema)
     return cent
 
 
