@@ -197,6 +197,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_components(docs.select("doc_id"), pairs)
 
 
+@register(
+    "dedup_cluster_survivors",
+    f"SELECT doc_id FROM ({_components_oracle()}) c WHERE doc_id = cluster_id",
+)
+def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's last step: keep exactly one representative per
+    near-dup component (the min id). corpus → LSH pairs → components →
+    filter is the full fuzzy-dedup flow end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
+    comps = dedup.dedup_components(docs.select("doc_id"), pairs)
+    return comps.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
 def _simhash_oracle(num_bits=32, band_bits=8, max_hamming=6, max_bucket=100) -> str:
     n_bands = num_bits // band_bits
     mask = (1 << band_bits) - 1
