@@ -46,3 +46,27 @@ def assert_unique_active(df: DataFrame, keys: list[str], name: str) -> None:
     dups = duplicate_active_keys(df, keys).limit(5).collect()
     if dups:
         raise QualityError(f"dimension {name!r} has duplicate active rows, e.g. {dups}")
+
+
+def run_checks(df: DataFrame, checks: dict[str, "F.Column"]) -> DataFrame:
+    """Declarative data-quality suite: each check is a boolean Column over
+    a row ("the row is OK"); the result is one row per check with its
+    violation count and pass flag. ALL checks evaluate in a single
+    aggregate pass over the table (conditional count per check,
+    map-side combined) — never one scan per check, which is the naive
+    DQ-framework cost at warehouse scale. Generalizes the reference's
+    count/duplicate operators into the expectations style.
+
+    Returns (check_name, n_violations, passed) ordered by check_name."""
+    aggs = [
+        F.count(F.when(~cond, F.lit(1))).alias(name) for name, cond in checks.items()
+    ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{name}', `{name}`" for name in checks)
+    return (
+        wide.selectExpr(
+            f"stack({len(checks)}, {stack_expr}) AS (check_name, n_violations)"
+        )
+        .withColumn("passed", (F.col("n_violations") == 0).cast("int"))
+        .orderBy("check_name")
+    )

@@ -1067,3 +1067,46 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality suite: every expectation evaluates in ONE
+# aggregate pass (conditional counts, map-side combined) — never a scan
+# per check. Generalizes reference A2/A3 into the expectations style.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_lineitem",
+    """
+    WITH agg AS (
+        SELECT count(CASE WHEN NOT (l_orderkey IS NOT NULL) THEN 1 END) AS nn_orderkey,
+               count(CASE WHEN NOT (l_quantity > 0) THEN 1 END) AS positive_qty,
+               count(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 END) AS returnflag_domain,
+               count(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0) THEN 1 END) AS discount_range,
+               count(CASE WHEN NOT (l_shipdate IS NOT NULL) THEN 1 END) AS nn_shipdate
+        FROM lineitem
+    )
+    SELECT check_name, n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM (
+        SELECT 'discount_range' AS check_name, discount_range AS n_violations FROM agg
+        UNION ALL SELECT 'nn_orderkey', nn_orderkey FROM agg
+        UNION ALL SELECT 'nn_shipdate', nn_shipdate FROM agg
+        UNION ALL SELECT 'positive_qty', positive_qty FROM agg
+        UNION ALL SELECT 'returnflag_domain', returnflag_domain FROM agg
+    )
+    """,
+)
+def q_dq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from manifold_spark.quality import run_checks
+
+    l = _t(spark, sf_dir, "lineitem")
+    return run_checks(
+        l,
+        {
+            "nn_orderkey": F.col("l_orderkey").isNotNull(),
+            "positive_qty": F.col("l_quantity") > 0,
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "discount_range": F.col("l_discount").between(0.0, 1.0),
+            "nn_shipdate": F.col("l_shipdate").isNotNull(),
+        },
+    )

@@ -126,3 +126,61 @@ def spend_alerts_batch(events: DataFrame, thresholds: list[float] | None = None)
         )
         out = crossed if out is None else out.unionByName(crossed)
     return out
+
+
+#: Streaming EWMA output/state — the streaming twin of
+#: `operators/sequential.ewma_by_user`.
+EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType([T.StructField("ewma", T.DoubleType())])
+
+
+def _ewma_fn(alpha: float):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        prev = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        out = []
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for _, row in batch.iterrows():
+                v = float(row["value"])
+                prev = v if prev is None else alpha * v + (1.0 - alpha) * prev
+                out.append((int(user_id), int(row["event_id"]), v, prev))
+        if prev is not None:
+            state.update((prev,))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "value", "ewma"])
+
+    return fn
+
+
+def ewma_stream(events_stream: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user EWMA carried ACROSS micro-batches via
+    `applyInPandasWithState` — the recurrence state is one double per
+    user, so state size is O(active users) regardless of event volume
+    (the batch twin `operators/sequential.ewma_by_user` needs each key's
+    whole history in one group; this needs only the last value).
+
+    Same ordering contract as `spend_alerts_stream`: rows sort by
+    (ts, event_id) within a micro-batch, so batch/stream equivalence
+    requires event-time-ordered arrival across batches."""
+    return (
+        events_stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fn(alpha),
+            outputStructType=EWMA_OUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

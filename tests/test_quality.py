@@ -46,3 +46,28 @@ def test_expired_only_key_passes(spark):
         "broker string, record_start_date date, record_end_date date",
     )
     assert_unique_active(df, ["broker"], "dim_broker")  # no active rows: OK
+
+
+def test_run_checks_counts_violations(spark):
+    """Planted violations must be counted per check in one pass."""
+    from pyspark.sql import functions as F
+
+    from manifold_spark.quality import run_checks
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, -1.0, "A"), (None, 2.0, "X"), (4, 0.0, "N")],
+        "k int, qty double, flag string",
+    )
+    out = {r["check_name"]: (r["n_violations"], r["passed"]) for r in run_checks(
+        df,
+        {
+            "nn_k": F.col("k").isNotNull(),
+            "positive_qty": F.col("qty") > 0,
+            "flag_domain": F.col("flag").isin("A", "N", "R"),
+        },
+    ).collect()}
+    assert out == {
+        "flag_domain": (1, 0),
+        "nn_k": (1, 0),
+        "positive_qty": (2, 0),
+    }

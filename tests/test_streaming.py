@@ -253,3 +253,46 @@ def test_streaming_contamination_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM contam_test").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path):
+    """The stateful streaming EWMA must equal the grouped-map batch twin
+    when events arrive in event-time order across micro-batches."""
+    from manifold_spark.operators.sequential import ewma_by_user
+    from manifold_spark.streaming.stateful import ewma_stream
+
+    events = read_events(spark, sf_dir).filter("user_id < 20")
+    src = str(tmp_path / "ewma-src")
+    # time-ordered file sequence -> multiple micro-batches, ordered arrival
+    e = events.orderBy("ts", "event_id")
+    rows = e.collect()
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], e.schema).coalesce(1).write.parquet(f"{src}/p0")
+    spark.createDataFrame(rows[half:], e.schema).coalesce(1).write.parquet(f"{src}/p1")
+
+    batch = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma_by_user(events, alpha=0.3).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        ewma_stream(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ewma_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in spark.sql("SELECT * FROM ewma_test").collect()
+    }
+    assert set(streamed) == set(batch)
+    for k in batch:
+        assert abs(streamed[k] - batch[k]) < 1e-9
