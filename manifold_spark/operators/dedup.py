@@ -462,6 +462,7 @@ def dedup_components(
     labels = corpus_ids.select(F.col(id_col).alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).persist()
+    round_cache = labels  # the persisted plan backing the current labels
     for _ in range(max_iters):
         nbr_min = (
             sym.join(
@@ -471,6 +472,9 @@ def dedup_components(
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_label"))
         )
+        # Persist `proposed` itself: the convergence count AND the next
+        # round both read it — persisting only the projected labels would
+        # evaluate the round's join twice (once per consumer).
         proposed = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
@@ -480,16 +484,16 @@ def dedup_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("new_label"),
             )
-        )
+        ).persist()
         changed = proposed.filter(F.col("new_label") != F.col("label")).count()
-        new_labels = proposed.select("node", F.col("new_label").alias("label")).persist()
-        labels.unpersist()
-        labels = new_labels
+        round_cache.unpersist()
+        round_cache = proposed
+        labels = proposed.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    # the returned plan reads the final persisted labels (tracked so
+    # the returned plan reads the final persisted round (tracked so
     # release_shingle_caches() frees it in long-lived sessions)
-    _SHINGLE_CACHES.append(labels)
+    _SHINGLE_CACHES.append(round_cache)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
