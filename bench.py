@@ -119,6 +119,20 @@ def main() -> None:
         extended[name] = round(time.perf_counter() - start, 3)
         release_shingle_caches()
 
+    # Sample-trained Lloyd (the 100 TB quantizer-training path): same ANN
+    # search as sim_ann_ivf_kmeans but centroids train on a 10% hash
+    # sample — compare against the full-corpus entry above.
+    from manifold_spark.operators import similarity as _sim
+    from pyspark.sql import functions as _F
+
+    _emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    start = time.perf_counter()
+    _sim.topk_ivf_kmeans(
+        _emb.filter(_F.col("vec_id") < 8), _emb, 64,
+        k=5, n_centroids=16, nprobe=4, sample_fraction=0.1,
+    ).write.format("noop").mode("overwrite").save()
+    extended["sim_ann_ivf_kmeans_sampled"] = round(time.perf_counter() - start, 3)
+
     # Superlinear-regression tier: the dedup/ANN operators at 10× the
     # documents/embeddings scale (sf0.1 → sf1-equivalent row counts). Each
     # replica's token stream is interleaved with a replica marker so
@@ -175,12 +189,25 @@ def main() -> None:
     # quadratic-ish at scale) and the session's shuffle parallelism.
     scale10: dict[str, float] = {}
     shuffles: dict[str, int] = {}
+    minhash_diag: dict[str, dict] = {}
     for name, build in scale10_queries.items():
         start = time.perf_counter()
         out = build()
         out.write.format("noop").mode("overwrite").save()
         scale10[name] = round(time.perf_counter() - start, 3)
         shuffles[name] = out._jdf.queryExecution().executedPlan().toString().count("Exchange")
+        if name == "dedup_minhash_lsh_10x":
+            # Untimed diagnostics passes (reuse the timed run's shingle
+            # caches): is the max_bucket skew cap binding, and how do
+            # candidate pairs grow 1×→10×? (VERDICT r2: instrument before
+            # tuning the superlinear 10× growth.)
+            for tier, corpus in (("base", docs), ("scale10", docs10)):
+                d: dict = {}
+                verified = dedup_ops.minhash_lsh_pairs(
+                    corpus, "text", "doc_id", threshold=0.3, diagnostics=d
+                )
+                d["verified_pairs"] = verified.count()
+                minhash_diag[tier] = d
         release_shingle_caches()
 
     # Multi-file tier: the testdata parquet is single-row-group (scans cap
@@ -192,13 +219,23 @@ def main() -> None:
     import shutil
     import tempfile as _tf
 
+    from manifold_spark.queries import read_events
+
     multi_root = _tf.mkdtemp(prefix="bench-multifile-")
-    for t in ("lineitem", "documents"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").repartition(32).write.parquet(
+    BIG = ("lineitem", "orders", "customer", "part", "supplier",
+           "documents", "embeddings", "events")
+    SMALL = ("region", "nation")
+    for t in BIG:
+        src = read_events(spark, sf_dir) if t == "events" else spark.read.parquet(
+            f"{sf_dir}/{t}.parquet"
+        )
+        src.repartition(32).write.parquet(f"{multi_root}/{t}.parquet")
+    for t in SMALL:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").coalesce(1).write.parquet(
             f"{multi_root}/{t}.parquet"
         )
     multifile: dict[str, float] = {}
-    for name in ("pricing_summary", "dedup_minhash_lsh", "text_quality"):
+    for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
         for _ in range(2):
@@ -240,6 +277,7 @@ def main() -> None:
                 "extended": extended,
                 "scale10": scale10,
                 "multifile": multifile,
+                "minhash_diag": minhash_diag,
                 "plan_shuffles": shuffles,
                 "shuffle_partitions": int(cpus),
                 "sf": sf,

@@ -20,6 +20,22 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` at ``dst`` using hardlinks for files (copy as a
+    cross-device fallback) — constant-size metadata work per file, no
+    data movement, so staging a full table directory costs O(#files),
+    not O(bytes)."""
+    if os.path.isdir(src):
+        os.makedirs(dst, exist_ok=True)
+        for entry in os.listdir(src):
+            _link_tree(os.path.join(src, entry), os.path.join(dst, entry))
+    else:
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+
 class TableStore:
     """A tiny two-level catalog: ``{root}/{database}/{table}`` Parquet dirs."""
 
@@ -90,24 +106,43 @@ class TableStore:
         """Partition-scoped overwrite for plans that READ from the
         destination table (e.g. an SCD2 merge whose output derives from
         the dimension being replaced): stage the written partitions to a
-        sibling tmp dir, then swap exactly those `key=value` directories
-        into the table — every other partition's files are untouched.
+        sibling tmp dir, assemble a COMPLETE new table directory
+        (hardlinks for every untouched partition — no data copy), then
+        swap the whole directory in. The table is therefore never
+        half-merged (ADVICE r2): before the swap the old state is fully
+        intact; after it the new state is fully live. The swap itself is
+        two renames — a crash exactly between them leaves the table
+        momentarily absent but fully recoverable from the `.old-*` dir it
+        just renamed (never a mix of old and new buckets).
         Single-level partitioning only (all this engine uses)."""
         if len(partition_by) != 1:
             raise ValueError("swap_partitions supports exactly one partition column")
         final = self.path(database, table)
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        token = uuid.uuid4().hex[:8]
+        tmp = f"{final}.tmp-{token}"
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+        if not os.path.isdir(final):
+            os.replace(tmp, final)
+            return
+        stage = f"{final}.stage-{token}"
+        old = f"{final}.old-{token}"
         try:
-            for entry in os.listdir(tmp):
-                if "=" not in entry:
-                    continue  # _SUCCESS and friends
-                src, dst = os.path.join(tmp, entry), os.path.join(final, entry)
-                if os.path.isdir(dst):
-                    shutil.rmtree(dst)
-                os.replace(src, dst)
+            written = {e for e in os.listdir(tmp) if "=" in e}
+            os.makedirs(stage)
+            # untouched partitions + marker files: hardlink from the live
+            # table (same filesystem — the stage dir is a sibling)
+            for entry in os.listdir(final):
+                if entry not in written:
+                    _link_tree(os.path.join(final, entry), os.path.join(stage, entry))
+            # replaced partitions: move in from the staged write
+            for entry in written:
+                os.replace(os.path.join(tmp, entry), os.path.join(stage, entry))
+            os.replace(final, old)
+            os.replace(stage, final)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
 
     def append(
         self,

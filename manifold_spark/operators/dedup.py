@@ -165,9 +165,16 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 50,
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with exact
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Pass ``diagnostics={}`` to have the call fill it with bucket/pair
+    telemetry (band entries, max bucket size, entries dropped by the
+    ``max_bucket`` skew cap, the post-cap pair-formation bound, and the
+    distinct candidate-pair count). Diagnostics run extra Spark actions —
+    use from benches/ops tooling, not inside latency-sensitive paths.
 
     b=8 bands × r=4 rows ≈ an S-curve threshold of (1/b)^(1/r) ≈ 0.6 —
     candidates above ~0.5 Jaccard are found with high probability.
@@ -219,6 +226,29 @@ def minhash_lsh_pairs(
     # Skew guard: drop pathological buckets (boilerplate shared by
     # thousands of docs explodes quadratically otherwise).
     bucket_sizes = band_entries.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    if diagnostics is not None:
+        bucket_sizes = _persist_tracked(bucket_sizes)
+        stats = bucket_sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").alias("n_band_entries"),
+            F.max("n").alias("max_bucket_size"),
+            F.count(F.when(F.col("n") > max_bucket, F.lit(1))).alias("buckets_over_cap"),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > max_bucket, F.col("n"))), F.lit(0)
+            ).alias("entries_dropped_by_cap"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("n") <= max_bucket,
+                        (F.col("n") * (F.col("n") - 1)) / 2,
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("pair_formation_bound"),
+        ).collect()[0]
+        diagnostics.update(
+            {k: stats[k] for k in stats.asDict()}, max_bucket_cap=max_bucket
+        )
     bounded = band_entries.join(
         bucket_sizes.filter(F.col("n") <= max_bucket).select("band", "key"),
         ["band", "key"],
@@ -235,6 +265,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    if diagnostics is not None:
+        candidates = _persist_tracked(candidates)
+        diagnostics["candidate_pairs"] = candidates.count()
 
     # Exact-Jaccard verify via sparse intersection counts: candidate pairs
     # (tiny) are broadcast against the shingle rows; |A∩B| comes from a
@@ -424,12 +457,27 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Telemetry from the most recent `dedup_components` call: which backend
+#: ran and how many iteration rounds (== driver-blocking Spark actions in
+#: the loop) it took. Tests pin this so the convergence-loop cost can't
+#: silently regress; ops dashboards can read it after a run.
+LAST_COMPONENTS_INFO: dict = {"backend": None, "rounds": 0}
+
+
+class ComponentsNotConverged(RuntimeError):
+    """Raised when label propagation hits ``max_iters`` with labels still
+    changing — returning partial labels would silently disagree with the
+    transitive closure. Deep chained-duplicate graphs should use
+    ``backend="star"`` (O(log n) rounds) instead of raising ``max_iters``."""
+
+
 def dedup_components(
     corpus_ids: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("id_a", "id_b"),
     max_iters: int = 20,
+    backend: str = "label",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every document gets
     a ``cluster_id`` = the smallest doc id reachable through pairs (its
@@ -438,32 +486,70 @@ def dedup_components(
     near-dup is transitive in practice (A≈B≈C), so survivors must be
     picked per component, not per pair.
 
-    Min-label propagation: each round every node takes the min of its own
-    label and its neighbors' labels; converges in O(component diameter)
-    rounds — near-dup components are shallow (duplicates of a common
-    original), so this is 2-4 shuffle joins in practice, checked by a
-    driver-side convergence count per round. At extreme graph scale swap
-    the inner loop for alternating star contraction (Kiveris et al.,
-    "Connected Components in MapReduce"); the contract is unchanged.
+    The iteration runs ONLY over nodes that appear in at least one pair:
+    a node with no edges can never change its label, so the corpus-sized
+    id set stays out of the loop entirely — each round shuffles a table
+    the size of the duplicate-graph node set (a small fraction of a
+    deduplicated corpus), and the untouched singletons are attached with
+    one anti-join at the end. At 100 TB that is the difference between
+    per-round corpus shuffles and per-round near-dup-graph shuffles.
+
+    Backends:
+
+    - ``"label"`` (default): min-label propagation — each round every node
+      takes the min of its own and its neighbors' labels; O(component
+      diameter) rounds. Near-dup components are shallow (duplicates of a
+      common original), so this is 2-3 rounds in practice. Raises
+      :class:`ComponentsNotConverged` if labels are still moving after
+      ``max_iters`` — never returns partial (wrong) clusters.
+    - ``"star"``: alternating large-star/small-star contraction (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+      O(log n) rounds regardless of diameter; the fallback for
+      adversarially deep graphs (chained near-dups).
 
     Returns (id_col, cluster_id) — deterministic on any layout.
     """
     ia, ib = pair_cols
     edges = pairs.select(F.col(ia).alias("src"), F.col(ib).alias("dst"))
-    # Persist the symmetric edge set: every iteration's convergence count
-    # re-reads it, and `pairs` is usually an expensive lazy plan (the
-    # whole LSH pipeline) that must not recompute per round.
+    # Persist the symmetric edge set: every iteration re-reads it, and
+    # `pairs` is usually an expensive lazy plan (the whole LSH pipeline)
+    # that must not recompute per round.
     sym = _persist_tracked(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
 
-    labels = corpus_ids.select(F.col(id_col).alias("node")).distinct().withColumn(
+    if backend == "label":
+        linked = _components_label_propagation(sym, max_iters)
+    elif backend == "star":
+        linked = _components_star_contraction(sym, max_iters)
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown components backend: {backend!r}")
+
+    # Singletons (no edges) keep themselves as cluster id; one anti-join,
+    # outside the loop.
+    all_ids = corpus_ids.select(F.col(id_col).alias("node")).distinct()
+    singletons = all_ids.join(linked, "node", "left_anti").select(
+        "node", F.col("node").alias("label")
+    )
+    return (
+        linked.unionByName(singletons)
+        .select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    )
+
+
+def _components_label_propagation(sym: DataFrame, max_iters: int) -> DataFrame:
+    """Min-label propagation over the (persisted, symmetric) edge set.
+    Returns (node, label) for every node with at least one edge."""
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).persist()
     round_cache = labels  # the persisted plan backing the current labels
+    converged = False
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr_min = (
             sym.join(
                 labels.select(F.col("node").alias("dst"), F.col("label").alias("dst_label")),
@@ -472,9 +558,14 @@ def dedup_components(
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_label"))
         )
-        # Persist `proposed` itself: the convergence count AND the next
-        # round both read it — persisting only the projected labels would
-        # evaluate the round's join twice (once per consumer).
+        # Lazy localCheckpoint on `proposed`: the convergence count below
+        # materializes it (ONE action per round — the checkpoint caches
+        # the round AND truncates lineage). Without truncation each
+        # round's logical plan embeds the previous round's whole tree ~2×,
+        # so analysis cost grows 2^rounds — persist() alone does NOT
+        # truncate lineage, it only caches execution. On a real cluster
+        # swap for `checkpoint()` with a reliable dir (localCheckpoint
+        # does not survive executor loss).
         proposed = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
@@ -484,17 +575,116 @@ def dedup_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("new_label"),
             )
-        ).persist()
+        ).localCheckpoint(eager=False)
         changed = proposed.filter(F.col("new_label") != F.col("label")).count()
         round_cache.unpersist()
         round_cache = proposed
         labels = proposed.select("node", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
     # the returned plan reads the final persisted round (tracked so
     # release_shingle_caches() frees it in long-lived sessions)
     _SHINGLE_CACHES.append(round_cache)
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    LAST_COMPONENTS_INFO.update(backend="label", rounds=rounds)
+    if not converged:
+        raise ComponentsNotConverged(
+            f"label propagation still moving after {max_iters} rounds — "
+            "component diameter exceeds max_iters; raise max_iters or use "
+            'backend="star" (O(log n) rounds)'
+        )
+    return labels
+
+
+def _components_star_contraction(sym: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14). Each iteration rewires every node's larger/smaller neighbors
+    to its neighborhood minimum; the edge set converges in O(log n)
+    iterations to a forest of stars rooted at each component's minimum.
+
+    Both phases are one groupBy + one join over the current edge set —
+    edge-shaped shuffles only, never corpus-shaped. Convergence is
+    detected from (count, hash-xor) of the canonical edge set computed in
+    the SAME aggregation job — no extra pass; two independently-seeded
+    64-bit xor-folds make a false "converged" astronomically unlikely
+    (and any true fixed point IS the answer). XOR, not SUM: the edge set
+    is distinct, xor is order-independent, and it cannot overflow under
+    ANSI mode.
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        s = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = s.groupBy("src").agg(F.min("dst").alias("mv"))
+        m = F.least(F.col("mv"), F.col("src"))
+        return (
+            s.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        d = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+        mins = d.groupBy("src").agg(F.min("dst").alias("mv"))
+        rewired = d.join(mins, "src").select(
+            F.col("dst").alias("src"), F.col("mv").alias("dst")
+        )
+        self_edge = mins.select("src", F.col("mv").alias("dst"))
+        return (
+            rewired.unionByName(self_edge)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def signature(e: DataFrame):
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.col("src"), F.col("dst"), F.lit(1))).alias("h1"),
+            F.bit_xor(F.xxhash64(F.col("src"), F.col("dst"), F.lit(2))).alias("h2"),
+        ).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    # Lazy localCheckpoint per iteration: one star round references the
+    # previous edge set ~12 times, so WITHOUT lineage truncation the
+    # logical plan grows 12^rounds and the analyzer, not the data, becomes
+    # the bottleneck (persist() caches execution but keeps full lineage).
+    # The signature action materializes the checkpoint — still one job per
+    # iteration. On a real cluster use `checkpoint()` + a reliable dir.
+    edges = sym.filter(F.col("src") != F.col("dst"))
+    cur = edges.localCheckpoint(eager=False)
+    prev_sig = None
+    converged = False
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=False)
+        sig = signature(nxt)
+        cur.unpersist()
+        cur = nxt
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    _SHINGLE_CACHES.append(cur)
+    LAST_COMPONENTS_INFO.update(backend="star", rounds=rounds)
+    if not converged:
+        raise ComponentsNotConverged(
+            f"star contraction not at fixed point after {max_iters} iterations"
+        )
+    # Fixed point: every edge is (node, component-min). Roots appear only
+    # on the dst side — they label themselves.
+    members = cur.groupBy("src").agg(F.min("dst").alias("label")).select(
+        F.col("src").alias("node"), "label"
+    )
+    roots = (
+        cur.select(F.col("dst").alias("node"))
+        .distinct()
+        .join(members.select("node"), "node", "left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    return members.unionByName(roots)
 
 
 def contamination_check(

@@ -171,6 +171,8 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    sample_seed: int = 0,
 ) -> DataFrame:
     """Deterministic Lloyd refinement of the IVF quantizer: init from the
     first k vectors by id, then `iters` rounds of assign → per-dimension
@@ -179,14 +181,27 @@ def kmeans_centroids(
     order-independent decimal sums, so centroids are identical across
     partitionings and reruns.
 
+    ``sample_fraction`` trains Lloyd on a deterministic hash-sample of the
+    corpus (``hash_sample`` on ``id_col`` — layout/engine-independent, so
+    sampled centroids are still bit-reproducible). This is standard IVF
+    practice at scale: centroid quality needs ~k·10³ training vectors, not
+    the corpus, so at 100 TB you train on a ~0.1% sample and pay the
+    broadcast-assign passes on ~GBs. None/1.0 = full-corpus training (the
+    oracle path — the generated SQL mirror unrolls the full-corpus Lloyd
+    rounds).
+
     Returns (centroid_id, cent_vec array<double>). Cost per iteration:
-    one broadcast pass over the corpus + one groupBy of k·dim cells —
-    at 100 TB you run this on a sample, not the full corpus (standard
-    IVF practice); plan shape is unchanged either way.
+    one broadcast pass over the training set + one groupBy of k·dim cells.
     """
     from manifold_spark.functions.numeric import decimal_avg
 
-    cent = corpus.orderBy(id_col).limit(k).select(
+    train = corpus
+    if sample_fraction is not None and sample_fraction < 1.0:
+        from manifold_spark.operators.sampling import hash_sample
+
+        train = hash_sample(corpus, id_col, sample_fraction, seed=sample_seed)
+
+    cent = train.orderBy(id_col).limit(k).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
     )
     for _ in range(iters):
@@ -196,7 +211,7 @@ def kmeans_centroids(
         cent_as_corpus = cent.select(
             F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
         )
-        assigned = assign_centroids(corpus, cent_as_corpus, dim, id_col=id_col, vec_col=vec_col)
+        assigned = assign_centroids(train, cent_as_corpus, dim, id_col=id_col, vec_col=vec_col)
         cells = assigned.select(
             "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
         )
@@ -219,7 +234,7 @@ def kmeans_centroids(
         # each round nests the previous round's whole DAG, and analysis/
         # optimization cost compounds with iters. A k-row driver roundtrip
         # is free and exact (doubles survive collect bit-identically).
-        cent = corpus.sparkSession.createDataFrame(cent.collect(), cent.schema)
+        cent = train.sparkSession.createDataFrame(cent.collect(), cent.schema)
     return cent
 
 
@@ -233,11 +248,17 @@ def topk_ivf_kmeans(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF ANN over Lloyd-refined centroids — same plan as `topk_ivf`
     with a better quantizer (tighter inverted lists → higher recall at
-    equal nprobe)."""
-    cent = kmeans_centroids(corpus, dim, n_centroids, iters, id_col, vec_col)
+    equal nprobe). ``sample_fraction`` trains the quantizer on a
+    deterministic hash-sample (the 100 TB path); search still covers the
+    full corpus."""
+    cent = kmeans_centroids(
+        corpus, dim, n_centroids, iters, id_col, vec_col,
+        sample_fraction=sample_fraction,
+    )
     cent_as_vecs = cent.select(
         F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
     )

@@ -61,7 +61,15 @@ def estimated_splits(df: DataFrame) -> int | None:
 
 def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Repartition to the cluster's default parallelism iff the scan's
-    estimated split count is below ``min_fraction`` of it."""
+    estimated split count is below ``min_fraction`` of it.
+
+    In-memory inputs (``createDataFrame``, ``spark.range``) and remote
+    filesystems are a deliberate NO-OP: ``estimated_splits`` returns None
+    there, so the plan is left alone. A single-partition in-memory corpus
+    fed to a compute-bound operator therefore stays single-core — if that
+    matters (notebook experiments), call ``df.repartition(n)`` explicitly;
+    the production path is always a file scan, where the guard works.
+    Perf-only semantics either way — never affects results."""
     target = df.sparkSession.sparkContext.defaultParallelism
     splits = estimated_splits(df)
     if splits is not None and splits < max(2, int(target * min_fraction)):

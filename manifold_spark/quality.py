@@ -57,16 +57,37 @@ def run_checks(df: DataFrame, checks: dict[str, "F.Column"]) -> DataFrame:
     DQ-framework cost at warehouse scale. Generalizes the reference's
     count/duplicate operators into the expectations style.
 
+    NULL semantics: a row whose predicate evaluates to NULL (e.g.
+    ``col("qty") > 0`` with NULL qty) COUNTS AS A VIOLATION — the check
+    asserts "the row is demonstrably OK", so unknown fails. This is the
+    opposite of SQL CHECK constraints (where NULL passes); a DQ framework
+    that lets NULLs slip through a domain check masks exactly the bad
+    data it exists to catch (ADVICE r2).
+
+    Check names are carried as literal values (never interpolated into
+    SQL), so any string — quotes, backticks, unicode — is a valid name.
+
     Returns (check_name, n_violations, passed) ordered by check_name."""
+    names = list(checks)
     aggs = [
-        F.count(F.when(~cond, F.lit(1))).alias(name) for name, cond in checks.items()
+        F.count(F.when(~F.coalesce(cond, F.lit(False)), F.lit(1))).alias(f"_c{i}")
+        for i, (_, cond) in enumerate(checks.items())
     ]
     wide = df.agg(*aggs)
-    stack_expr = ", ".join(f"'{name}', `{name}`" for name in checks)
-    return (
-        wide.selectExpr(
-            f"stack({len(checks)}, {stack_expr}) AS (check_name, n_violations)"
+    kv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("check_name"),
+                    F.col(f"_c{i}").alias("n_violations"),
+                )
+                for i, name in enumerate(names)
+            ]
         )
+    )
+    return (
+        wide.select(kv.alias("kv"))
+        .select("kv.*")
         .withColumn("passed", (F.col("n_violations") == 0).cast("int"))
         .orderBy("check_name")
     )

@@ -1113,11 +1113,11 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_lineitem",
     """
     WITH agg AS (
-        SELECT count(CASE WHEN NOT (l_orderkey IS NOT NULL) THEN 1 END) AS nn_orderkey,
-               count(CASE WHEN NOT (l_quantity > 0) THEN 1 END) AS positive_qty,
-               count(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 END) AS returnflag_domain,
-               count(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0) THEN 1 END) AS discount_range,
-               count(CASE WHEN NOT (l_shipdate IS NOT NULL) THEN 1 END) AS nn_shipdate
+        SELECT count(CASE WHEN NOT COALESCE(l_orderkey IS NOT NULL, FALSE) THEN 1 END) AS nn_orderkey,
+               count(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 END) AS positive_qty,
+               count(CASE WHEN NOT COALESCE(l_returnflag IN ('A', 'N', 'R'), FALSE) THEN 1 END) AS returnflag_domain,
+               count(CASE WHEN NOT COALESCE(l_discount BETWEEN 0.0 AND 1.0, FALSE) THEN 1 END) AS discount_range,
+               count(CASE WHEN NOT COALESCE(l_shipdate IS NOT NULL, FALSE) THEN 1 END) AS nn_shipdate
         FROM lineitem
     )
     SELECT check_name, n_violations,

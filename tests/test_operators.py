@@ -337,6 +337,33 @@ def test_kmeans_ivf_recall(spark, sf_dir):
     assert a == b  # deterministic centroids -> identical results
 
 
+def test_kmeans_sampled_training_recall(spark, sf_dir):
+    """Sample-trained Lloyd (the 100 TB path): centroids trained on a
+    deterministic hash-sample must still give a usable quantizer — full
+    k-row codebook, valid IVF recall vs brute force, and reproducible."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 8")
+
+    cent = similarity.kmeans_centroids(emb, 64, k=16, iters=2, sample_fraction=0.5)
+    rows = cent.collect()
+    assert len(rows) == 16 and all(len(r["cent_vec"]) == 64 for r in rows)
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.topk_bruteforce(queries, emb, 64, k=5).collect()}
+    km = similarity.topk_ivf_kmeans(
+        queries, emb, 64, k=5, n_centroids=16, nprobe=4, sample_fraction=0.5
+    )
+    a = {(r["query_id"], r["neighbor_id"]) for r in km.collect()}
+    recall = len(exact & a) / len(exact)
+    assert recall >= 0.5, f"sampled kmeans-IVF recall too low: {recall}"
+
+    # deterministic: same sample gate -> identical centroids
+    rows2 = similarity.kmeans_centroids(
+        emb, 64, k=16, iters=2, sample_fraction=0.5
+    ).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2))
+
+
 def test_frame_sampling(spark, docs):
     with_bin = multimodal.attach_binary(docs.filter("doc_id IN (1, 4)"))
     frames = multimodal.sample_frames(with_bin, n_frames=4).collect()

@@ -71,3 +71,36 @@ def test_run_checks_counts_violations(spark):
         "nn_k": (1, 0),
         "positive_qty": (2, 0),
     }
+
+
+def test_run_checks_null_predicate_fails(spark):
+    """A NULL predicate value is a violation, not a silent pass (ADVICE
+    r2): NULL qty must fail `qty > 0` even without a separate null check."""
+    from pyspark.sql import functions as F
+
+    from manifold_spark.quality import run_checks
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0)], "k int, qty double"
+    )
+    out = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in run_checks(df, {"positive_qty": F.col("qty") > 0}).collect()
+    }
+    assert out == {"positive_qty": (2, 0)}
+
+
+def test_run_checks_hostile_names(spark):
+    """Check names containing quotes/backticks must not break (names are
+    literal values, never interpolated into SQL)."""
+    from pyspark.sql import functions as F
+
+    from manifold_spark.quality import run_checks
+
+    df = spark.createDataFrame([(1,), (2,)], "k int")
+    hostile = "it's a `weird`, name\" -- )"
+    out = {
+        r["check_name"]: (r["n_violations"], r["passed"])
+        for r in run_checks(df, {hostile: F.col("k") > 0}).collect()
+    }
+    assert out == {hostile: (0, 1)}
