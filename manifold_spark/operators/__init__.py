@@ -552,6 +552,67 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_probe_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN n % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(n AS INT) AS byte_len,
+           CAST(CASE WHEN n % 2 = 0
+                     THEN CASE n % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END
+                     ELSE -1 END AS INT) AS sample_rate,
+           CAST(CASE WHEN n % 2 = 0 THEN 1 + ((n // 2) % 2) ELSE -1 END AS INT) AS channels,
+           CAST(CASE WHEN n % 2 = 1 THEN 256 + 16 * (n % 8) ELSE -1 END AS INT) AS width,
+           CAST(CASE WHEN n % 2 = 1 THEN 144 + 16 * (n % 6) ELSE -1 END AS INT) AS height,
+           CAST(CASE WHEN n % 2 = 1
+                     THEN CASE n % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END
+                     ELSE -1 END AS INT) AS fps,
+           CAST(CASE WHEN n % 2 = 1 THEN greatest(1, n // 100) ELSE -1 END AS INT) AS n_frames,
+           CAST(CASE WHEN n % 2 = 0
+                     THEN (n * 500) // ((CASE n % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END)
+                                        * (1 + ((n // 2) % 2)))
+                     ELSE (greatest(1, n // 100) * 1000)
+                          // (CASE n % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END)
+                END AS BIGINT) AS duration_ms
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    """,
+)
+def q_multimodal_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed audio/video metadata probe (ffprobe-shaped) over the binary
+    column — Arrow `mapInPandas` with a deterministic stub prober whose
+    integer arithmetic the oracle reproduces exactly; -1 sentinels (not
+    NULL) for fields the modality doesn't have."""
+    with_binary = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    return multimodal.probe_media_meta(with_binary)
+
+
+@register(
+    "multimodal_chunks",
+    """
+    SELECT doc_id,
+           CAST(u.i AS INT) AS chunk_idx,
+           CAST(u.i * 100 AS BIGINT) AS "offset",
+           CAST(greatest(0, least(100, n - u.i * 100)) AS BIGINT) AS length,
+           's3://media/' || CAST(doc_id AS VARCHAR) || '.bin' AS uri
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) b,
+         UNNEST(range(0, greatest(1, (n + 99) // 100))) u(i)
+    """,
+)
+def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range chunk manifest — the >2 GB media path: payloads never
+    enter a Spark column; workers range-GET (uri, offset, length). Pure
+    sequence+posexplode, scan-side, no shuffle."""
+    docs = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    manifest = multimodal.media_manifest(docs, "s3://media")
+    return multimodal.chunk_ranges(manifest, 100).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "offset",
+        "length",
+        "uri",
+    )
+
+
 def _decode_oracle() -> str:
     """Full SQL oracle for the (deterministic stub) media decoder: the
     16-bin high-nibble byte histogram is a group-by over hex() byte pairs,

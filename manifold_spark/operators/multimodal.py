@@ -148,6 +148,140 @@ def sample_frames(df_with_binary: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+#: Unified audio/video probe output (ffprobe-shaped): one row per item,
+#: modality-specific fields carry -1 when not applicable (explicit
+#: sentinel, not NULL — cross-engine NULL canonicalization is the classic
+#: gate-breaking trap). Fixed contract: swapping the stub prober for
+#: ffprobe/soundfile changes no plan.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+_SAMPLE_RATES = (16000, 22050, 44100)
+_FPS_TABLE = (24, 25, 30)
+
+
+def _fake_probe(content: bytes) -> tuple:
+    """Deterministic stub for a media prober (ffprobe/soundfile are not in
+    this runtime): every field is integer arithmetic on the byte length,
+    so the SQL oracle can reproduce it exactly. Audio duration models
+    16-bit PCM (bytes / (rate·channels·2) seconds → n·500/(rate·ch) ms);
+    video duration is n_frames/fps."""
+    n = len(content)
+    if n % 2 == 0:  # "audio"
+        sample_rate = _SAMPLE_RATES[n % 3]
+        channels = 1 + ((n // 2) % 2)
+        duration_ms = (n * 500) // (sample_rate * channels)
+        return ("audio", n, sample_rate, channels, -1, -1, -1, -1, duration_ms)
+    width = 256 + 16 * (n % 8)
+    height = 144 + 16 * (n % 6)
+    fps = _FPS_TABLE[n % 3]
+    n_frames = max(1, n // 100)
+    duration_ms = (n_frames * 1000) // fps
+    return ("video", n, -1, -1, width, height, fps, n_frames, duration_ms)
+
+
+def probe_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """`mapInPandas` worker: Arrow batches of (doc_id, content) in, one
+    typed metadata row per item out. Swap `_fake_probe` for a real prober
+    without touching the plan."""
+    cols = [f.name for f in MEDIA_META_SCHEMA.fields]
+    for pdf in batches:
+        rows = [
+            (int(doc_id), *_fake_probe(bytes(content)))
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"])
+        ]
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def probe_media_meta(df_with_binary: DataFrame) -> DataFrame:
+    """Audio/video metadata extraction over the binary column — the same
+    Arrow-batched, partition-preserving, parallelism-guarded shape as
+    `extract_media_features`; only the worker differs."""
+    from manifold_spark.plans.parallelism import ensure_parallelism
+
+    return ensure_parallelism(df_with_binary).select("doc_id", "content").mapInPandas(
+        probe_media_batch, MEDIA_META_SCHEMA
+    )
+
+
+def chunk_ranges(
+    df_meta: DataFrame,
+    chunk_bytes: int,
+    id_col: str = "doc_id",
+    len_col: str = "byte_len",
+    uri_col: str | None = "uri",
+) -> DataFrame:
+    """Byte-range chunk manifest for large media: one row per
+    ``chunk_bytes`` range of each item — (id, chunk_idx, offset, length[,
+    uri]). This is how >2 GB items flow through Spark, whose binary
+    columns (and Arrow batches) cap at 2 GB: the payload NEVER enters a
+    column; workers range-GET ``uri`` with (offset, length) from the
+    manifest. Pure column expressions (sequence + posexplode) — generating
+    the manifest for a 100 TB corpus is a scan-side map, no shuffle.
+    Empty items produce one zero-length chunk so every item stays
+    represented downstream."""
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(f"({len_col} + {chunk_bytes - 1}) DIV {chunk_bytes}").cast("int"),
+    )
+    out_cols = [id_col] + ([uri_col] if uri_col else []) + [len_col]
+    exploded = df_meta.select(
+        *out_cols, F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_")
+    ).withColumn("offset", F.col("chunk_idx").cast("long") * chunk_bytes)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        "offset",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.lit(chunk_bytes).cast("long"),
+                F.col(len_col).cast("long") - F.col("offset"),
+            ),
+        ).alias("length"),
+        *([uri_col] if uri_col else []),
+    )
+
+
+def slice_chunks(
+    df_with_binary: DataFrame, chunk_bytes: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize actual chunk payloads for INLINE binaries (< 2 GB) via
+    JVM-side substring over the same ranges `chunk_ranges` would emit —
+    the local twin of the URI range-GET path, and the proof that the
+    range math reassembles: concat(chunks order by chunk_idx) == content.
+    Returns (id, chunk_idx, offset, length, chunk)."""
+    ranges = chunk_ranges(
+        df_with_binary.select(id_col, "content", F.octet_length("content").alias("byte_len")),
+        chunk_bytes,
+        id_col=id_col,
+        uri_col=None,
+    )
+    src = df_with_binary.select(id_col, "content")
+    return ranges.join(src, id_col).select(
+        id_col,
+        "chunk_idx",
+        "offset",
+        "length",
+        # substring is 1-based; int cast is safe: inline payloads < 2 GB
+        F.expr("substring(content, cast(offset + 1 as int), cast(length as int))").alias(
+            "chunk"
+        ),
+    )
+
+
 def media_manifest(df: DataFrame, uri_prefix: str, id_col: str = "doc_id") -> DataFrame:
     """URI-manifest pattern for large media: items above the inline-bytes
     budget live in object storage; the table carries (uri, byte_len,

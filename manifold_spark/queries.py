@@ -475,6 +475,9 @@ _DRIVER_ORDER_HEAD = [
     "text_redact_pii",
     "sample_mix_sources",
     "pack_context_windows",
+    # new in round 3 — never driver-checked
+    "multimodal_probe_meta",
+    "multimodal_chunks",
 ]
 _DRIVER_ORDER_TAIL = [
     # twice-green, structurally trivial — safest to rotate out under a cap
@@ -484,6 +487,8 @@ _DRIVER_ORDER_TAIL = [
     "date_scalar_keys",
     "surrogate_keys",
     "set_ops_customers",
+    "dup_key_check",
+    "pivot_lang_counts",
 ]
 
 

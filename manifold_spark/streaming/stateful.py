@@ -98,6 +98,102 @@ def spend_alerts_stream(
     )
 
 
+#: State for the watermark-buffered monitor: the fold totals plus the
+#: not-yet-finalized events (parallel arrays — Arrow-serializable and
+#: O(events inside the watermark delay) per key, not O(history)).
+WM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total", T.DoubleType()),
+        T.StructField("fired", T.IntegerType()),
+        T.StructField("buf_ts", T.ArrayType(T.LongType())),
+        T.StructField("buf_eid", T.ArrayType(T.LongType())),
+        T.StructField("buf_val", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _monitor_watermarked(thresholds: list[float]):
+    ts_list = sorted(thresholds)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            total, fired, buf_ts, buf_eid, buf_val = state.get
+            buf = list(zip(buf_ts, buf_eid, buf_val))
+        else:
+            total, fired, buf = 0.0, 0, []
+        for pdf in pdfs:  # empty iterator on a timeout invocation
+            for t, e, v in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                buf.append(
+                    (int(pd.Timestamp(t).value // 1_000_000), int(e), float(v))
+                )
+        wm = state.getCurrentWatermarkMs()
+        buf.sort()
+        # Strictly-before-watermark events are FINAL (anything arriving
+        # later with a smaller ts is dropped by the watermark filter), so
+        # folding them in (ts, event_id) order is the event-time order —
+        # an event AT the watermark could still gain same-ts siblings, so
+        # it stays buffered until the watermark passes it.
+        ready = [x for x in buf if x[0] < wm]
+        pending = [x for x in buf if x[0] >= wm]
+        out = []
+        for _, _, v in ready:
+            total += v
+            while fired < len(ts_list) and total >= ts_list[fired]:
+                out.append((int(user_id), ts_list[fired], total))
+                fired += 1
+        state.update(
+            (
+                total,
+                int(fired),
+                [x[0] for x in pending],
+                [x[1] for x in pending],
+                [x[2] for x in pending],
+            )
+        )
+        if pending:
+            # wake this key as soon as the watermark passes its earliest
+            # buffered event (must be > current watermark to be legal)
+            state.setTimeoutTimestamp(max(pending[0][0], wm + 1))
+        yield pd.DataFrame(out, columns=["user_id", "threshold", "cumulative"])
+
+    return fn
+
+
+def spend_alerts_stream_watermarked(
+    events_stream: DataFrame,
+    thresholds: list[float] | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermark-buffered twin of `spend_alerts_stream`: events are held
+    in per-key state until the watermark passes them, then folded in
+    EVENT-TIME order — so the alerts (including the stamped `cumulative`)
+    equal `spend_alerts_batch` even when events arrive out of order
+    across micro-batches, as long as disorder stays within ``delay``.
+    The price is alert latency ≥ the watermark delay (the low-latency
+    arrival-order fold remains available as `spend_alerts_stream`).
+
+    Mechanics: EventTimeTimeout wakes keys whose buffer head falls behind
+    the advancing watermark (no-data micro-batches run these flushes —
+    `spark.sql.streaming.noDataMicroBatches.enabled` is on by default);
+    state carries O(delay-window) events per key, never history."""
+    thresholds = DEFAULT_THRESHOLDS if thresholds is None else thresholds
+    return (
+        events_stream.withWatermark("ts", delay)
+        .select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _monitor_watermarked(thresholds),
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=WM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def spend_alerts_batch(events: DataFrame, thresholds: list[float] | None = None) -> DataFrame:
     """Batch twin for verification: the same alerts from a cumulative
     window pass (first event where the running total reaches each

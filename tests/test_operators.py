@@ -389,6 +389,55 @@ def test_media_manifest(spark, docs):
     assert all(r["byte_len"] >= 0 and len(r["content_sha"]) == 64 for r in man)
 
 
+def test_probe_media_meta(spark, docs):
+    with_bin = multimodal.attach_binary(docs.filter("doc_id <= 6"))
+    rows = {r["doc_id"]: r for r in multimodal.probe_media_meta(with_bin).collect()}
+    src = {r["doc_id"]: r["byte_len"] for r in with_bin.collect()}
+    assert set(rows) == set(src)
+    for doc_id, n in src.items():
+        r = rows[doc_id]
+        assert r["byte_len"] == n
+        if n % 2 == 0:
+            assert r["kind"] == "audio"
+            assert r["sample_rate"] in (16000, 22050, 44100) and r["channels"] in (1, 2)
+            assert r["width"] == r["height"] == r["fps"] == r["n_frames"] == -1
+            assert r["duration_ms"] == (n * 500) // (r["sample_rate"] * r["channels"])
+        else:
+            assert r["kind"] == "video"
+            assert r["sample_rate"] == r["channels"] == -1
+            assert r["width"] >= 256 and r["height"] >= 144 and r["fps"] in (24, 25, 30)
+            assert r["duration_ms"] == (r["n_frames"] * 1000) // r["fps"]
+
+
+def test_chunk_ranges_math(spark):
+    rows = [(1, "A" * 250), (2, ""), (3, "B" * 100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with_bin = multimodal.attach_binary(df)
+    man = multimodal.media_manifest(with_bin, "s3://m")
+    out = {}
+    for r in multimodal.chunk_ranges(man, 100).collect():
+        out.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["offset"], r["length"]))
+    for v in out.values():
+        v.sort()
+    # 250 bytes -> 100+100+50; empty -> one zero-length chunk; 100 -> one exact chunk
+    assert out[1] == [(0, 0, 100), (1, 100, 100), (2, 200, 50)]
+    assert out[2] == [(0, 0, 0)]
+    assert out[3] == [(0, 0, 100)]
+
+
+def test_slice_chunks_reassemble(spark, docs):
+    """The byte-range math must reassemble: concat(chunks) == content."""
+    with_bin = multimodal.attach_binary(docs.filter("doc_id <= 4"))
+    original = {r["doc_id"]: bytes(r["content"]) for r in with_bin.collect()}
+    parts: dict[int, list] = {}
+    for r in multimodal.slice_chunks(with_bin, 37).collect():
+        parts.setdefault(r["doc_id"], []).append((r["chunk_idx"], bytes(r["chunk"])))
+    for doc_id, chunks in parts.items():
+        joined = b"".join(c for _, c in sorted(chunks))
+        assert joined == original[doc_id], doc_id
+    assert set(parts) == set(original)
+
+
 def test_redact_pii(spark):
     from manifold_spark.operators.textstats import redact_pii
 

@@ -296,3 +296,74 @@ def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path):
     assert set(streamed) == set(batch)
     for k in batch:
         assert abs(streamed[k] - batch[k]) < 1e-9
+
+
+def test_stateful_spend_alerts_watermarked_disorder(spark, tmp_path):
+    """Watermark-buffered fold: with events arriving OUT of event-time
+    order across micro-batches (disorder within the watermark delay), the
+    alerts — including the stamped cumulative — must equal the batch twin
+    exactly. The arrival-order variant documents that it can differ; this
+    one must not."""
+    import datetime as dt
+
+    from manifold_spark.streaming.stateful import (
+        spend_alerts_batch,
+        spend_alerts_stream_watermarked,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for user in range(5):
+        for minute in range(0, 100):
+            eid += 1
+            rows.append(
+                (user, eid, base + dt.timedelta(minutes=minute), (eid % 13 + 1) * 3.7)
+            )
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    events = spark.createDataFrame(rows, schema)
+
+    batch = {
+        (r["user_id"], r["threshold"], round(r["cumulative"], 6))
+        for r in spend_alerts_batch(events).collect()
+    }
+    assert batch  # thresholds actually cross
+
+    # Batch files with cross-batch disorder: events from minutes 20-40
+    # are HELD BACK into the second file (≤20 min late; delay=25 min
+    # covers it); a far-future zero-value sentinel closes the watermark.
+    early, held = [], []
+    for r in rows:
+        minute = (r[2] - base).total_seconds() / 60
+        if 20 <= minute < 40 and r[1] % 3 == 0:
+            held.append(r)
+        elif minute < 40:
+            early.append(r)
+    mid = [r for r in rows if 40 <= (r[2] - base).total_seconds() / 60 < 70]
+    late = [r for r in rows if (r[2] - base).total_seconds() / 60 >= 70]
+    sentinel = [(9999, 10**6, base + dt.timedelta(minutes=300), 0.0)]
+
+    src = str(tmp_path / "wm-src")
+    for i, part in enumerate((early, mid + held, late, sentinel)):
+        spark.createDataFrame(part, schema).coalesce(1).write.parquet(f"{src}/p{i}")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        spend_alerts_stream_watermarked(stream, delay="25 minutes")
+        .writeStream.format("memory")
+        .queryName("alerts_wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM alerts_wm_test WHERE user_id < 9999").collect()
+    streamed = {
+        (r["user_id"], r["threshold"], round(r["cumulative"], 6)) for r in out
+    }
+    assert len(out) == len(streamed)  # exactly-once per (user, threshold)
+    assert streamed == batch
