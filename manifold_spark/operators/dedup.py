@@ -477,7 +477,8 @@ def dedup_components(
     id_col: str = "doc_id",
     pair_cols: tuple[str, str] = ("id_a", "id_b"),
     max_iters: int = 20,
-    backend: str = "label",
+    backend: str = "auto",
+    small_graph_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every document gets
     a ``cluster_id`` = the smallest doc id reachable through pairs (its
@@ -496,18 +497,33 @@ def dedup_components(
 
     Backends:
 
-    - ``"label"`` (default): min-label propagation — each round every node
-      takes the min of its own and its neighbors' labels; O(component
-      diameter) rounds. Near-dup components are shallow (duplicates of a
-      common original), so this is 2-3 rounds in practice. Raises
-      :class:`ComponentsNotConverged` if labels are still moving after
-      ``max_iters`` — never returns partial (wrong) clusters.
+    - ``"auto"`` (default): count the symmetric edge set once (the same
+      action that materializes its cache) and pick: at most
+      ``small_graph_edges`` rows → ``"driver"``, else ``"label"``. The
+      broadcast-join move applied to connected components — the dup GRAPH
+      is orders of magnitude smaller than the corpus (only documents with
+      a near-duplicate appear), so even a 100 TB corpus usually yields a
+      driver-sized graph; the distributed loop is the safety net, not the
+      common case.
+    - ``"driver"``: collect the edge set and run union-find on the driver
+      (exact, deterministic, microseconds for the graphs the threshold
+      admits — 500k edge rows ≈ 12 MB of longs); every per-round shuffle
+      and blocking action disappears.
+    - ``"label"``: min-label propagation — each round every node takes
+      the min of its own and its neighbors' labels; O(component diameter)
+      rounds, one Spark action per round. Near-dup components are shallow
+      (duplicates of a common original), so this is 2-3 rounds in
+      practice. Raises :class:`ComponentsNotConverged` if labels are
+      still moving after ``max_iters`` — never returns partial (wrong)
+      clusters.
     - ``"star"``: alternating large-star/small-star contraction (Kiveris
       et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
       O(log n) rounds regardless of diameter; the fallback for
       adversarially deep graphs (chained near-dups).
 
-    Returns (id_col, cluster_id) — deterministic on any layout.
+    All backends converge to the identical fixpoint (min reachable id per
+    component). Returns (id_col, cluster_id) — deterministic on any
+    layout.
     """
     ia, ib = pair_cols
     edges = pairs.select(F.col(ia).alias("src"), F.col(ib).alias("dst"))
@@ -520,7 +536,11 @@ def dedup_components(
         )
     )
 
-    if backend == "label":
+    if backend == "auto":
+        backend = "driver" if sym.count() <= small_graph_edges else "label"
+    if backend == "driver":
+        linked = _components_driver_union_find(sym)
+    elif backend == "label":
         linked = _components_label_propagation(sym, max_iters)
     elif backend == "star":
         linked = _components_star_contraction(sym, max_iters)
@@ -537,6 +557,38 @@ def dedup_components(
         linked.unionByName(singletons)
         .select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     )
+
+
+def _components_driver_union_find(sym: DataFrame) -> DataFrame:
+    """Exact union-find over a driver-collected edge set — the small-graph
+    fast path ('auto' guarantees the collect is bounded). Returns
+    (node, label) for every node with at least one edge."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    # one collect, bounded by small_graph_edges (toLocalIterator would
+    # fetch the 32 cached partitions as 32 sequential jobs)
+    for row in sym.select("src", "dst").collect():
+        a, b = row["src"], row["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = [(n, find(n)) for n in parent]
+    LAST_COMPONENTS_INFO.update(backend="driver", rounds=0)
+    spark = sym.sparkSession
+    schema = "node long, label long"
+    if not labels:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(labels, schema)
 
 
 def _components_label_propagation(sym: DataFrame, max_iters: int) -> DataFrame:

@@ -61,6 +61,36 @@ def test_components_match_union_find(spark, data):
         r["doc_id"]: r["cluster_id"] for r in dedup_components(ids, pairs).collect()
     }
     assert got == expected
+    # these graphs are tiny, so 'auto' must have routed to the driver path
+    assert LAST_COMPONENTS_INFO["backend"] == "driver"
+
+
+@given(
+    data=st.tuples(
+        st.integers(min_value=2, max_value=25),
+        st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)), max_size=40),
+    )
+)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_label_backend_matches_union_find(spark, data):
+    n, raw_edges = data
+    edges = [(a % n, b % n) for a, b in raw_edges if a % n != b % n]
+    expected = _union_find_reference(n, edges)
+
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    if edges:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    else:
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_components(ids, pairs, backend="label").collect()
+    }
+    assert got == expected
 
 
 @given(
@@ -107,7 +137,7 @@ def test_label_backend_raises_beyond_diameter(spark):
     # (ADVICE r2: silent non-convergence was the one medium finding).
     ids, pairs = _path_graph(spark, 30)
     with pytest.raises(ComponentsNotConverged):
-        dedup_components(ids, pairs, max_iters=5)
+        dedup_components(ids, pairs, max_iters=5, backend="label")
 
 
 def test_star_backend_logarithmic_on_path(spark):
@@ -144,7 +174,7 @@ def test_label_backend_rounds_and_jobs_bounded(spark):
     try:
         got = {
             r["doc_id"]: r["cluster_id"]
-            for r in dedup_components(ids, pairs).collect()
+            for r in dedup_components(ids, pairs, backend="label").collect()
         }
     finally:
         sc.setJobGroup(None, None)
