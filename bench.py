@@ -135,13 +135,20 @@ def main() -> None:
 
     # Superlinear-regression tier: the dedup/ANN operators at 10× the
     # documents/embeddings scale (sf0.1 → sf1-equivalent row counts). Each
-    # replica's token stream is interleaved with a replica marker so
-    # shingles never cross replicas — the dup structure of the corpus is
-    # preserved at 10× size instead of creating artificial 10-way dup
-    # groups whose verify cost is quadratic by construction. One timed run
-    # each (these are the heavy ones); a plan that is linear in corpus
-    # size should land near 10× its sf0.1 number, and a quadratic
-    # regression lands at 100× — visible immediately.
+    # replica fuses a replica marker INTO every word (`w` → `wxrN`) so each
+    # replica's shingle set is isomorphic to the base corpus with zero
+    # cross-replica overlap — the dup structure is preserved at 10× size
+    # (verified-pair count lands at exactly 10× the base corpus's). The
+    # marker must be alphanumeric-fused, NOT a separate/`_`-joined token:
+    # the shingle tokenizer strips non-alphanumerics, and a standalone
+    # marker token inserted between words puts the constant marker in
+    # every 3-gram, inflating pairwise Jaccard between UNRELATED docs in
+    # the same replica — measured at sf0.1×10 that artifact produced 218k
+    # band-collision candidates vs the true 2,560 (85× spurious verify
+    # work misread as superlinear operator growth in BENCH_r02).
+    # One timed run each (these are the heavy ones); a plan that is
+    # linear in corpus size should land near 10× its sf0.1 number, and a
+    # quadratic regression lands at 100× — visible immediately.
     from pyspark.sql import functions as F
 
     from manifold_spark.operators import dedup as dedup_ops
@@ -156,7 +163,8 @@ def main() -> None:
         .select(
             (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
             F.regexp_replace(
-                F.col("text"), r"\s+", F.concat(F.lit(" r"), F.col("rep").cast("string"), F.lit(" "))
+                F.col("text"), r"(\S+)",
+                F.concat(F.lit(r"$1xr"), F.col("rep").cast("string")),
             ).alias("text"),
             "lang",
             "source",
@@ -177,7 +185,11 @@ def main() -> None:
         ),
         "dedup_ngram_jaccard_10x": lambda: dedup_ops.ngram_jaccard_pairs(
             docs10, "text", "doc_id", ["lang", "source"],
-            threshold=0.1, max_df=NGRAM_MAX_DF * factor,
+            # max_df stays at the BASE value: marker-fused shingles never
+            # cross replicas, so each shingle's document frequency at 10×
+            # equals its base-corpus df (scaling by `factor` would admit
+            # 10× heavier blocks than the base run ever verifies).
+            threshold=0.1, max_df=NGRAM_MAX_DF,
         ),
         "sim_ann_ivf_10x": lambda: sim_ops.topk_ivf(
             emb10.filter(F.col("vec_id") < 8), emb10, 64,
