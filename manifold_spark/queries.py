@@ -47,19 +47,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to plain TIMESTAMP. Testdata generators
+    have flip-flopped on parquet `isAdjustedToUTC`; with the session tz
+    pinned UTC the cast is value-identical to how DuckDB reads the same
+    naive values, and downstream code (unix_micros, RANGE frames,
+    window specs) only accepts TIMESTAMP."""
+    ntz = [name for name, dtype in df.dtypes if dtype == "timestamp_ntz"]
+    for name in ntz:
+        df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores `ts` as parquet TIMESTAMP(NANOS), which the
-    Spark reader rejects outright. Read nanos as raw long (legacy conf) and
-    convert with integer division — float division would lose precision on
-    1.7e18-scale nanosecond values."""
+    """Normalize the events table's `ts` to a plain TIMESTAMP (LTZ) whatever
+    the parquet physical type is. Generators have produced two layouts:
+
+    - TIMESTAMP(NANOS): the Spark reader rejects it outright; read nanos as
+      raw long (legacy conf) and convert with integer division — float
+      division would lose precision on 1.7e18-scale nanosecond values.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers TIMESTAMP_NTZ,
+      which `unix_micros` / RANGE window frames reject; cast to TIMESTAMP.
+      The session timezone is pinned UTC (see `_t`), so the naive wall-clock
+      values are interpreted exactly as DuckDB renders them.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return _normalize_ntz(df)
 
 
 def register(name: str, oracle: str | None):
