@@ -385,8 +385,11 @@ def simhash_pairs(
             F.col("b.doc_id").alias("id_b"),
             F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
         )
-        .distinct()
+        # Hamming is deterministic per pair, so filtering BEFORE the
+        # distinct is result-identical and the dedup shuffle carries only
+        # survivors instead of every candidate pair.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -526,14 +529,21 @@ def dedup_components(
     layout.
     """
     ia, ib = pair_cols
-    edges = pairs.select(F.col(ia).alias("src"), F.col(ib).alias("dst"))
-    # Persist the symmetric edge set: every iteration re-reads it, and
-    # `pairs` is usually an expensive lazy plan (the whole LSH pipeline)
-    # that must not recompute per round.
+    # Symmetrize with ONE pass over `pairs` — usually an expensive lazy
+    # plan (the whole LSH pipeline). A unionByName of the plan with its
+    # swapped self would execute that pipeline once per union branch when
+    # the persisted union first materializes; explode emits both edge
+    # directions from a single traversal. Persisted because every
+    # iteration of the distributed backends re-reads the edge set.
     sym = _persist_tracked(
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(ia).alias("src"), F.col(ib).alias("dst")),
+                    F.struct(F.col(ib).alias("src"), F.col(ia).alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
 
     if backend == "auto":

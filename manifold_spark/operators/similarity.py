@@ -159,8 +159,12 @@ def cosine_near_dup(
             & (F.col("id_a") < F.col("id_b")),
         )
         .select("id_a", "id_b", cosine_expr("vec_a", "vec_b", dim).alias("cosine"))
-        .distinct()
+        # Cosine is deterministic per pair, so filtering BEFORE the
+        # distinct is result-identical; the dedup shuffle then carries
+        # only pairs above the threshold (at production thresholds like
+        # 0.95 that's a large cut of the rank-2 candidate set).
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 
