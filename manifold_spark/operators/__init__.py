@@ -382,106 +382,72 @@ def _marker_count_sql(markers: list[str]) -> str:
     return f"CAST(len(list_filter({toks}, t -> list_contains({lst}, t))) AS INT)"
 
 
-def _langid_oracle() -> str:
+def _text_stats_oracle() -> str:
+    """Merged oracle for the whole scan-side text-analysis surface —
+    language id + quality metrics + token counts + document fingerprint in
+    ONE projection. Replaces the round-1 single-concept keys
+    `text_language_id` / `text_quality` / `text_tokens` /
+    `text_fingerprint` under the driver's 50-key cap; one pass is also the
+    scale-correct layout (each extra gate re-scanned the corpus)."""
     counts = {lang: _marker_count_sql(m) for lang, m in textstats.LANG_MARKERS.items()}
     count_cols = ",\n           ".join(f"{sql} AS c_{lang}" for lang, sql in counts.items())
     best = "greatest(" + ", ".join(f"c_{lang}" for lang in textstats.LANG_MARKERS) + ")"
     whens = "\n                ".join(
         f"WHEN c_{lang} = {best} THEN '{lang}'" for lang in textstats.LANG_MARKERS
     )
-    return f"""
-    WITH counted AS (
-        SELECT doc_id,
-           {count_cols},
-           CAST(len(regexp_extract_all(text, '{textstats.CJK_PATTERN}')) AS INT) AS n_cjk
-        FROM documents
-    )
-    SELECT doc_id, n_cjk,
-           CASE WHEN n_cjk > 0 THEN 'zh'
-                WHEN {best} = 0 THEN 'und'
-                {whens}
-           END AS pred_lang
-    FROM counted
-    """
-
-
-@register("text_language_id", _langid_oracle())
-def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.regexp_count(F.col("text"), F.lit(textstats.CJK_PATTERN)).cast("int").alias("n_cjk"),
-        textstats.language_id(F.col("text")).alias("pred_lang"),
-    )
-
-
-def _quality_oracle() -> str:
     all_markers = sorted({m for ms in textstats.LANG_MARKERS.values() for m in ms})
     n_stop = _marker_count_sql(all_markers)
     toks = _ws_tokens_sql("text")
     return f"""
     WITH m AS (
         SELECT doc_id,
-               CAST(len({toks}) AS INT) AS n_tokens,
-               CAST(length(text) AS INT) AS n_chars,
-               CAST(len(regexp_extract_all(text, '{textstats.PUNCT_PATTERN}')) AS INT) AS n_punct,
-               CAST(len(regexp_extract_all(text, '{textstats.ALPHA_PATTERN}')) AS INT) AS n_alpha,
-               {n_stop} AS n_stop
+           {count_cols},
+           CAST(len(regexp_extract_all(text, '{textstats.CJK_PATTERN}')) AS INT) AS n_cjk,
+           CAST(len({toks}) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{textstats.PUNCT_PATTERN}')) AS INT) AS n_punct,
+           CAST(len(regexp_extract_all(text, '{textstats.ALPHA_PATTERN}')) AS INT) AS n_alpha,
+           {n_stop} AS n_stop,
+           CAST(len(regexp_extract_all(text, '{textstats.BPE_PATTERN}')) AS INT) AS n_tokens_bpe,
+           sha256(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(trim(lower(
+                   regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), '\\s+'),
+                   x -> x <> ''))), ' ')) AS fingerprint
         FROM documents
     )
-    SELECT doc_id, n_tokens, n_chars,
+    SELECT doc_id, n_cjk,
+           CASE WHEN n_cjk > 0 THEN 'zh'
+                WHEN {best} = 0 THEN 'und'
+                {whens}
+           END AS pred_lang,
+           n_tokens, n_chars,
            n_punct / greatest(n_chars, 1) AS punct_ratio,
            n_alpha / greatest(n_chars, 1) AS alpha_ratio,
            n_stop / greatest(n_tokens, 1) AS stop_ratio,
            n_chars / greatest(n_tokens, 1) AS mean_token_len,
            least(1.0, n_tokens / 200.0) * 0.4
              + (n_alpha / greatest(n_chars, 1)) * 0.4
-             + least(0.2, n_stop / greatest(n_tokens, 1)) AS quality_score
+             + least(0.2, n_stop / greatest(n_tokens, 1)) AS quality_score,
+           n_tokens_bpe, fingerprint
     FROM m
     """
 
 
-@register("text_quality", _quality_oracle())
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("text_stats", _text_stats_oracle())
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All scan-side text signals in one projection (zero shuffle, zero
+    UDF): n-gram language id, quality metrics, whitespace + BPE-ish token
+    counts, sorted-distinct-token fingerprint."""
     docs = _t(spark, sf_dir, "documents")
     metrics = textstats.quality_metrics(F.col("text"))
     return docs.select(
-        "doc_id", *[c.alias(name) for name, c in metrics.items()]
-    )
-
-
-@register(
-    "text_tokens",
-    f"""
-    SELECT doc_id,
-           CAST(len({_ws_tokens_sql('text')}) AS INT) AS n_tokens_ws,
-           CAST(len(regexp_extract_all(text, '{textstats.BPE_PATTERN}')) AS INT) AS n_tokens_bpe
-    FROM documents
-    """,
-)
-def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
         "doc_id",
-        textstats.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        F.regexp_count(F.col("text"), F.lit(textstats.CJK_PATTERN)).cast("int").alias("n_cjk"),
+        textstats.language_id(F.col("text")).alias("pred_lang"),
+        *[c.alias(name) for name, c in metrics.items()],
         textstats.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+        textstats.doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
-
-
-@register(
-    "text_fingerprint",
-    """
-    SELECT doc_id,
-           sha256(array_to_string(list_sort(list_distinct(
-               list_filter(regexp_split_to_array(trim(lower(
-                   regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), '\\s+'),
-                   x -> x <> ''))), ' ')) AS fingerprint
-    FROM documents
-    """,
-)
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", textstats.doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
 # ---------------------------------------------------------------------------
@@ -705,40 +671,22 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Distinct-count rollup (exact; the approx_count_distinct variant is the
-# one-line HLL swap for 100 TB interactive use, not oracle-comparable).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "events_distinct_users",
-    """
-    SELECT event_type,
-           count(DISTINCT user_id) AS n_users,
-           count(*) AS n_events
-    FROM events
-    GROUP BY event_type
-    """,
-)
-def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Exact percentiles (sort-based; DuckDB quantile_cont interpolates
-# identically). At interactive 100 TB scale the one-line swap is
+# Per-event-type stats: exact distinct counts AND exact percentiles in
+# one aggregate (merged from the round-2 keys `events_distinct_users` +
+# `events_percentiles` under the driver's 50-key cap — one shuffle
+# instead of two over the same grouping key). DuckDB `quantile_cont`
+# interpolates identically to Spark `percentile`. At interactive 100 TB
+# scale the one-line swaps are approx_count_distinct (HLL) and
 # approx_percentile (t-digest) — kept exact here for the oracle gate.
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "events_percentiles",
+    "events_type_stats",
     """
     SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
            quantile_cont(value, 0.5) AS p50,
            quantile_cont(value, 0.9) AS p90,
            quantile_cont(value, 0.99) AS p99
@@ -746,23 +694,31 @@ def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
 )
-def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
         F.expr("percentile(value, 0.5)").alias("p50"),
         F.expr("percentile(value, 0.9)").alias("p90"),
         F.expr("percentile(value, 0.99)").alias("p99"),
     )
 
 
-def _kmeans_oracle(iters: int = 2) -> str:
+def _kmeans_oracle(iters: int = 2, sample_bps: int | None = None) -> str:
     """Unroll `similarity.kmeans_centroids` (fixed `iters` Lloyd rounds) in
     DuckDB SQL. Each round: assign every vector to its nearest centroid by
     the SAME left-associated dot product, then recompute per-dimension
     means with the engine's `decimal_avg` construction
     (`floor(v*1e8+0.5)` scaled-integer sum / count) — bit-identical to the
     Spark side, so the refined centroids (and everything downstream) hash-
-    match exactly."""
+    match exactly.
+
+    ``sample_bps`` mirrors `kmeans_centroids(sample_fraction=bps/10000)`:
+    Lloyd trains on the deterministic md5 hash-sample of the corpus
+    (`_stable_hash_sql` ≡ `functions.hashing.stable_long_hash`), while the
+    final inverted lists and probes still cover the FULL corpus — the
+    100 TB quantizer-training path, fully oracled."""
 
     def mean_cols(src: str) -> str:
         return ",\n               ".join(
@@ -773,12 +729,24 @@ def _kmeans_oracle(iters: int = 2) -> str:
 
     vec_literal = "[" + ", ".join(f"m_{j}" for j in range(1, DIM + 1)) + "]"
 
-    parts = [
+    if sample_bps is None:
+        train = "embeddings"
+        parts = []
+    else:
+        train = "train"
+        gate = _stable_hash_sql("CAST(vec_id AS VARCHAR)")
+        parts = [
+            f"""train AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {gate} % 10000 < {sample_bps}
+    )"""
+        ]
+    parts.append(
         f"""cent_0 AS (
         SELECT vec_id AS centroid_id, embedding AS cent_vec
-        FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+        FROM {train} ORDER BY vec_id LIMIT {IVF_CENTROIDS}
     )"""
-    ]
+    )
     for i in range(1, iters + 1):
         parts.append(f"""assign_{i} AS (
         SELECT vec_id, embedding, centroid_id FROM (
@@ -786,7 +754,7 @@ def _kmeans_oracle(iters: int = 2) -> str:
                    row_number() OVER (PARTITION BY e.vec_id
                                       ORDER BY ({dot_sql('embedding', 'cent_vec', DIM)}) DESC,
                                                c.centroid_id) AS crank
-            FROM embeddings e, cent_{i - 1} c
+            FROM {train} e, cent_{i - 1} c
         ) WHERE crank <= 1
     )""")
         parts.append(f"""means_{i} AS (
@@ -843,6 +811,25 @@ def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivf_kmeans(
         emb.filter(F.col("vec_id") < N_QUERIES), emb, DIM,
         k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+    )
+
+
+#: Sampling rate for the 100 TB quantizer-training path, in basis points
+#: (mirrored into the oracle's hash gate — both sides read this constant).
+KMEANS_SAMPLE_BPS = 1000
+
+
+@register("sim_ann_ivf_kmeans_sampled", _kmeans_oracle(sample_bps=KMEANS_SAMPLE_BPS))
+def q_sim_ann_ivf_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-default kmeans-IVF: Lloyd trains on a 10% deterministic
+    hash-sample (centroid quality needs ~k·10³ vectors, not the corpus),
+    search covers the full corpus. Same plan as `sim_ann_ivf_kmeans`
+    downstream of the (much cheaper) training passes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_ivf_kmeans(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, DIM,
+        k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+        sample_fraction=KMEANS_SAMPLE_BPS / 10000,
     )
 
 

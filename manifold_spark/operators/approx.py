@@ -1,6 +1,6 @@
 """Approximate-tier twins of the exact gate queries.
 
-The exact `events_distinct_users` / `events_percentiles` gates are
+The exact `events_type_stats` gate (distinct counts + percentiles) is
 oracle-hash-checked, so they stay exact. At interactive 100 TB scale the
 standard swaps are sketch-based:
 
@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 
 def approx_distinct_users(events: DataFrame, rsd: float = 0.01) -> DataFrame:
-    """HLL twin of the exact `events_distinct_users` gate."""
+    """HLL twin of the exact `events_type_stats` distinct counts."""
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=rsd).alias("n_users_approx"),
         F.count(F.lit(1)).alias("n_events"),
@@ -31,7 +31,7 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.01) -> DataFrame:
 
 
 def approx_percentiles(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
-    """Sketch twin of the exact `events_percentiles` gate."""
+    """Sketch twin of the exact `events_type_stats` percentiles."""
     pcts = F.expr(
         f"approx_percentile(value, array(0.5, 0.9, 0.99), {accuracy})"
     )

@@ -124,22 +124,62 @@ def q_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# P9 — row fingerprint: sha2(concat_ws('||', cols), 256)
-# (reference `el_to_parquet.py:180-181`)
+# Combined scalar-surface gate: P6/P7 (rename + snake_case), F2/F3/F10
+# (date→int keys), P9 (sha256 row fingerprint), and surrogate-key
+# assignment (identity replacement, SURVEY §7 risk 2) in ONE row-level
+# query over `orders`. Replaces the single-concept keys
+# `snake_case_rename` / `date_scalar_keys` / `fingerprint_rows` /
+# `surrogate_keys` so every registry key fits the driver's 50-key cap
+# (each concept still exercises its real engine function below).
 # ---------------------------------------------------------------------------
 @register(
-    "fingerprint_rows",
+    "scalar_key_surface",
     """
-    SELECT n_nationkey,
-           sha256(concat_ws('||', n_name, CAST(n_regionkey AS VARCHAR))) AS row_hash
-    FROM nation
+    WITH prio AS (
+        SELECT CAST(row_number() OVER (ORDER BY order_priority) AS BIGINT) AS priority_sk,
+               order_priority
+        FROM (SELECT DISTINCT o_orderpriority AS order_priority FROM orders)
+    )
+    SELECT o.o_orderkey AS order_key,
+           CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS date_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS full_date,
+           CAST(year(o.o_orderdate) AS INT) AS year_number,
+           CAST(quarter(o.o_orderdate) AS INT) AS quarter_number,
+           CAST(dayofweek(o.o_orderdate) + 1 AS INT) AS weekday_number,
+           sha256(concat_ws('||', o.o_orderstatus, o.o_orderpriority)) AS row_hash,
+           p.priority_sk
+    FROM orders o JOIN prio p ON o.o_orderpriority = p.order_priority
     """,
 )
-def q_fingerprint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = _t(spark, sf_dir, "nation")
-    return nation.select(
-        "n_nationkey",
-        fingerprint([F.col("n_name"), F.col("n_regionkey").cast("string")]).alias("row_hash"),
+def q_scalar_key_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from manifold_spark.scd2 import assign_surrogate_keys
+
+    orders = _t(spark, sf_dir, "orders")
+    # P6/P7: CamelCase contract → the engine's one-projection normalizer.
+    camel = orders.select(
+        F.col("o_orderkey").alias("OrderKey"),
+        F.col("o_orderdate").alias("OrderDate"),
+        F.col("o_orderstatus").alias("OrderStatus"),
+        F.col("o_orderpriority").alias("OrderPriority"),
+    )
+    snaked = clean.snake_case_columns(camel)
+    # Surrogate keys over the distinct priority dimension (broadcast-sized).
+    prio = assign_surrogate_keys(
+        snaked.select("order_priority").distinct(), "priority_sk", ["order_priority"]
+    )
+    d = F.col("order_date")
+    return (
+        snaked.join(broadcast(prio), "order_priority")
+        .select(
+            F.col("order_key"),
+            F.date_format(d, "yyyyMMdd").cast("int").alias("date_id"),
+            F.date_format(d, "yyyy-MM-dd").alias("full_date"),
+            F.year(d).cast("int").alias("year_number"),
+            F.quarter(d).cast("int").alias("quarter_number"),
+            F.dayofweek(d).cast("int").alias("weekday_number"),
+            fingerprint([F.col("order_status"), F.col("order_priority")]).alias("row_hash"),
+            F.col("priority_sk"),
+        )
     )
 
 
@@ -162,46 +202,105 @@ def q_stage_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A2 — row-count assertion surface (reference data_quality_count_operator)
+# Combined audit-counts gate: A2 (row-count asserts), A3 (duplicate-key
+# group-by + having), set operations (INTERSECT / EXCEPT cohorts), and
+# pivot (long→wide conditional aggregation, stacked back via unpivot) in
+# ONE (cohort, n) union. Replaces the single-concept keys `count_rows` /
+# `dup_key_check` / `set_ops_customers` / `pivot_lang_counts` under the
+# driver's 50-key cap; each concept keeps its real engine primitive
+# (count agg, having-filter, intersect/exceptAll, pivot+unpivot).
 # ---------------------------------------------------------------------------
-@register(
-    "count_rows",
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+_AUDIT_COUNTS_ORACLE = (
     """
-    SELECT 'lineitem' AS table_name, count(*) AS row_count FROM lineitem
-    UNION ALL SELECT 'orders', count(*) FROM orders
-    UNION ALL SELECT 'customer', count(*) FROM customer
-    UNION ALL SELECT 'documents', count(*) FROM documents
-    """,
+    WITH wide AS (
+        SELECT source,
+    """
+    + ", ".join(
+        f"count(*) FILTER (WHERE lang = '{lang}') AS n_{lang}" for lang in _PIVOT_LANGS
+    )
+    + """
+        FROM documents GROUP BY source
+    )
+    """
+    + "\n    UNION ALL ".join(
+        f"SELECT 'docs_' || source || '_{lang}' AS cohort, n_{lang} AS n FROM wide"
+        for lang in _PIVOT_LANGS
+    )
+    + """
+    UNION ALL SELECT 'rows_customer', count(*) FROM customer
+    UNION ALL SELECT 'rows_documents', count(*) FROM documents
+    UNION ALL SELECT 'rows_lineitem', count(*) FROM lineitem
+    UNION ALL SELECT 'rows_orders', count(*) FROM orders
+    UNION ALL SELECT 'dup_key_groups', (
+        SELECT count(*) FROM (
+            SELECT user_id, event_type FROM events
+            GROUP BY user_id, event_type HAVING count(*) > 1))
+    UNION ALL SELECT 'cust_both_halves', (
+        SELECT count(*) FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) < 1995
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) >= 1995))
+    UNION ALL SELECT 'cust_never_ordered', (
+        SELECT count(*) FROM (
+            SELECT c_custkey FROM customer
+            EXCEPT
+            SELECT o_custkey FROM orders))
+    """
 )
-def q_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = None
-    for name in ("lineitem", "orders", "customer", "documents"):
-        one = _t(spark, sf_dir, name).agg(F.count(F.lit(1)).alias("row_count")).select(
-            F.lit(name).alias("table_name"), "row_count"
-        )
-        out = one if out is None else out.unionByName(one)
-    return out
 
 
-# ---------------------------------------------------------------------------
-# A3 — duplicate-key check: group-by + having count > 1
-# (reference data_quality_dimension_operator intent)
-# ---------------------------------------------------------------------------
-@register(
-    "dup_key_check",
-    """
-    SELECT user_id, event_type, count(*) AS active_rows
-    FROM events
-    GROUP BY user_id, event_type
-    HAVING count(*) > 1
-    """,
-)
-def q_dup_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("audit_counts", _AUDIT_COUNTS_ORACLE)
+def q_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
     events = _t(spark, sf_dir, "events")
-    return (
+
+    # Pivot (explicit value list → conditional aggregation, data-independent
+    # schema) then unpivot back to the (cohort, n) shape of the union.
+    wide = docs.groupBy("source").pivot("lang", _PIVOT_LANGS).agg(F.count(F.lit(1)))
+    pivot_rows = (
+        wide.unpivot("source", _PIVOT_LANGS, "lang", "n_raw")
+        .select(
+            F.concat_ws("_", F.lit("docs"), F.col("source"), F.col("lang")).alias("cohort"),
+            F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+    counts = None
+    for name, df in (("rows_customer", c), ("rows_documents", docs),
+                     ("rows_lineitem", _t(spark, sf_dir, "lineitem")), ("rows_orders", o)):
+        one = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("cohort"), "n")
+        counts = one if counts is None else counts.unionByName(one)
+
+    dup_groups = (
         events.groupBy("user_id", "event_type")
-        .agg(F.count(F.lit(1)).alias("active_rows"))
-        .filter(F.col("active_rows") > 1)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("dup_key_groups").alias("cohort"), "n")
+    )
+    early = o.filter(F.year("o_orderdate") < 1995).select("o_custkey").distinct()
+    late = o.filter(F.year("o_orderdate") >= 1995).select("o_custkey").distinct()
+    both_halves = (
+        early.intersect(late)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("cust_both_halves").alias("cohort"), "n")
+    )
+    never = (
+        c.select(F.col("c_custkey").alias("o_custkey"))
+        .exceptAll(o.select("o_custkey"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("cust_never_ordered").alias("cohort"), "n")
+    )
+    return (
+        pivot_rows.unionByName(counts)
+        .unionByName(dup_groups)
+        .unionByName(both_halves)
+        .unionByName(never)
     )
 
 
@@ -406,108 +505,27 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_dimension(spark)
 
 
-# ---------------------------------------------------------------------------
-# F2/F3/F10 — date-key scalar surface on a real fact column
-# ---------------------------------------------------------------------------
-@register(
-    "date_scalar_keys",
-    """
-    SELECT o_orderkey,
-           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_id,
-           strftime(o_orderdate, '%Y-%m-%d') AS full_date,
-           CAST(year(o_orderdate) AS INT) AS year_number,
-           CAST(quarter(o_orderdate) AS INT) AS quarter_number,
-           CAST(dayofweek(o_orderdate) + 1 AS INT) AS weekday_number
-    FROM orders
-    """,
-)
-def q_date_scalar_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    d = F.col("o_orderdate")
-    return orders.select(
-        "o_orderkey",
-        F.date_format(d, "yyyyMMdd").cast("int").alias("date_id"),
-        F.date_format(d, "yyyy-MM-dd").alias("full_date"),
-        F.year(d).cast("int").alias("year_number"),
-        F.quarter(d).cast("int").alias("quarter_number"),
-        F.dayofweek(d).cast("int").alias("weekday_number"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Surrogate-key assignment (identity replacement, SURVEY §7 risk 2)
-# ---------------------------------------------------------------------------
-@register(
-    "surrogate_keys",
-    """
-    SELECT CAST(row_number() OVER (ORDER BY c_mktsegment) AS BIGINT) AS segment_sk,
-           c_mktsegment AS segment,
-           sha256(concat_ws('||', c_mktsegment)) AS hash
-    FROM (SELECT DISTINCT c_mktsegment FROM customer)
-    """,
-)
-def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from manifold_spark.scd2 import assign_surrogate_keys
-
-    customer = _t(spark, sf_dir, "customer")
-    segs = with_fingerprint(
-        customer.select(F.col("c_mktsegment").alias("segment")).distinct(), ["segment"]
-    )
-    return assign_surrogate_keys(segs, "segment_sk", ["segment"]).select("segment_sk", "segment", "hash")
-
-
-# ---------------------------------------------------------------------------
-# P6/P7 — rename + snake_case normalizer as a projection
-# ---------------------------------------------------------------------------
-@register(
-    "snake_case_rename",
-    """
-    SELECT l_orderkey AS order_key,
-           l_linenumber AS line_number,
-           l_quantity AS quantity,
-           l_returnflag AS return_flag
-    FROM lineitem
-    """,
-)
-def q_snake_case_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = _t(spark, sf_dir, "lineitem")
-    camel = l.select(
-        F.col("l_orderkey").alias("OrderKey"),
-        F.col("l_linenumber").alias("LineNumber"),
-        F.col("l_quantity").alias("Quantity"),
-        F.col("l_returnflag").alias("ReturnFlag"),
-    )
-    return clean.snake_case_columns(camel)
-
-
 #: The driver's correctness gate evaluates registry keys in insertion
-#: order and caps the per-round key set (r02 recorded exactly the first
-#: 50 of 56). Rotate ordering so never/least-recently driver-verified
-#: keys come first; keys that were driver-green in BOTH prior rounds and
-#: are trivially stable sit at the tail where a cap can only drop them.
+#: order and caps the per-round key set at 50 (r02 recorded exactly the
+#: first 50 of 56). Round 5 consolidated the registry to ≤50 keys — the
+#: 8 single-concept tail keys merged into `scalar_key_surface` +
+#: `audit_counts`, the 4 text-stat scans into `text_stats`, the 2
+#: per-event-type aggregates into `events_type_stats` — so EVERY key now
+#: gets a fresh driver row each round. The head still front-loads keys
+#: never (or least recently) driver-checked, in case the cap ever drops.
 _DRIVER_ORDER_HEAD = [
-    # never driver-checked (absent from CORRECTNESS_r01 and _r02)
-    "emb_quantize_int8",
-    "text_vocab_topk",
-    "text_contamination",
-    # green in r01 only — displaced from r02 by the key cap
-    "text_redact_pii",
-    "sample_mix_sources",
-    "pack_context_windows",
-    # new in round 3 — never driver-checked
-    "multimodal_probe_meta",
-    "multimodal_chunks",
+    # new in round 5 — never driver-checked
+    "scalar_key_surface",
+    "audit_counts",
+    "text_stats",
+    "events_type_stats",
+    "sim_ann_ivf_kmeans_sampled",
 ]
 _DRIVER_ORDER_TAIL = [
-    # twice-green, structurally trivial — safest to rotate out under a cap
-    "snake_case_rename",
-    "count_rows",
-    "fingerprint_rows",
-    "date_scalar_keys",
-    "surrogate_keys",
-    "set_ops_customers",
-    "dup_key_check",
-    "pivot_lang_counts",
+    # r4-green, structurally trivial — safest to drop if a cap ever binds
+    "clean_project",
+    "stage_dimension",
+    "dedup_exact",
 ]
 
 
@@ -719,38 +737,6 @@ def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Set operations (INTERSECT / EXCEPT): customers with orders in BOTH
-# halves of the date range, and those never ordering at all.
-# ---------------------------------------------------------------------------
-@register(
-    "set_ops_customers",
-    """
-    WITH early AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) < 1995),
-         late  AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) >= 1995),
-         both_halves AS (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late),
-         never AS (SELECT c_custkey AS o_custkey FROM customer
-                   EXCEPT SELECT o_custkey FROM orders)
-    SELECT 'both_halves' AS cohort, count(*) AS n FROM both_halves
-    UNION ALL SELECT 'never', count(*) FROM never
-    """,
-)
-def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    early = o.filter(F.year("o_orderdate") < 1995).select("o_custkey").distinct()
-    late = o.filter(F.year("o_orderdate") >= 1995).select("o_custkey").distinct()
-    both_halves = early.intersect(late)
-    never = c.select(F.col("c_custkey").alias("o_custkey")).exceptAll(
-        o.select("o_custkey")
-    ).distinct()
-    a = both_halves.agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("both_halves").alias("cohort"), "n"
-    )
-    b = never.agg(F.count(F.lit(1)).alias("n")).select(F.lit("never").alias("cohort"), "n")
-    return a.unionByName(b)
-
-
-# ---------------------------------------------------------------------------
 # Running total (cumulative window): per-user cumulative event value over
 # time — the unbounded-preceding frame both engines define identically.
 # ---------------------------------------------------------------------------
@@ -815,37 +801,6 @@ def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("without_any_order").alias("cohort"), "n")
     )
     return with_urgent.unionByName(without_any)
-
-
-# ---------------------------------------------------------------------------
-# Pivot (long → wide): per-source document counts by language. Spark's
-# pivot with an EXPLICIT value list compiles to the same conditional
-# aggregation the oracle spells out (an implicit list would add a
-# distinct-scan job AND make the output schema data-dependent).
-# ---------------------------------------------------------------------------
-_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
-
-
-@register(
-    "pivot_lang_counts",
-    "SELECT source, "
-    + ", ".join(
-        f"count(*) FILTER (WHERE lang = '{lang}') AS n_{lang}" for lang in _PIVOT_LANGS
-    )
-    + " FROM documents GROUP BY source",
-)
-def q_pivot_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    out = (
-        docs.groupBy("source")
-        .pivot("lang", _PIVOT_LANGS)
-        .agg(F.count(F.lit(1)))
-    )
-    # pivot leaves absent combinations NULL; the FILTER'd counts give 0
-    return out.select(
-        "source",
-        *[F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(f"n_{lang}") for lang in _PIVOT_LANGS],
-    )
 
 
 # ---------------------------------------------------------------------------
