@@ -65,6 +65,16 @@ _SHINGLES_SQL = _shingles_sql(3)
 #: oracle below so both engines drop the same ubiquitous shingles.
 NGRAM_MAX_DF = 50
 
+
+#: DuckDB mirror of `functions.hashing.stable_long_hash` (md5-based, so it
+#: exists in every engine — the whole point of not using murmur3/xxhash64).
+#: NULL handling must match too: Spark's concat_ws treats NULL as '', so
+#: the mirror coalesces — without it, 'seed' || NULL is NULL and null-keyed
+#: rows would pass sampling/sharding gates differently across engines.
+def _stable_hash_sql(expr: str, seed: int = 0) -> str:
+    return f"CAST(('0x' || substr(md5('{seed}' || coalesce({expr}, '')), 1, 15)) AS BIGINT)"
+
+
 _NGRAM_JACCARD_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks FROM documents
@@ -73,18 +83,20 @@ _NGRAM_JACCARD_ORACLE = f"""
         SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles FROM toks
     ),
     ex AS (
-        SELECT doc_id, lang, source, unnest(shingles) AS shingle FROM sh
+        SELECT doc_id, lang, source,
+               {_stable_hash_sql('shingle')} AS h
+        FROM (SELECT doc_id, lang, source, unnest(shingles) AS shingle FROM sh)
     ),
     capped AS (
         SELECT * FROM ex
-        QUALIFY count(*) OVER (PARTITION BY lang, source, shingle) <= {NGRAM_MAX_DF}
+        QUALIFY count(*) OVER (PARTITION BY lang, source, h) <= {NGRAM_MAX_DF}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
         FROM capped a JOIN capped b
           ON a.lang = b.lang AND a.source = b.source
-         AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         AND a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT i.id_a, i.id_b,
@@ -104,16 +116,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: DuckDB mirror of `functions.hashing.stable_long_hash` (md5-based, so it
-#: exists in every engine — the whole point of not using murmur3/xxhash64).
-#: NULL handling must match too: Spark's concat_ws treats NULL as '', so
-#: the mirror coalesces — without it, 'seed' || NULL is NULL and null-keyed
-#: rows would pass sampling/sharding gates differently across engines.
-def _stable_hash_sql(expr: str, seed: int = 0) -> str:
-    return f"CAST(('0x' || substr(md5('{seed}' || coalesce({expr}, '')), 1, 15)) AS BIGINT)"
-
-
-def _minhash_oracle(num_perm=32, bands=8, threshold=0.3, max_bucket=50) -> str:
+def _minhash_oracle(num_perm=24, bands=6, threshold=0.3, max_bucket=50) -> str:
     """Generate the FULL banded-LSH pipeline in SQL from the same
     permutation constants the Spark side uses."""
     perms = dedup._permutation_constants(num_perm)

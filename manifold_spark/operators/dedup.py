@@ -137,7 +137,7 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> D
     )
 
 
-def minhash_signature(shingles: Column, num_perm: int = 32) -> Column:
+def minhash_signature(shingles: Column, num_perm: int = 24) -> Column:
     """Array-form MinHash signature for a shingles column (small-data /
     single-doc convenience; the corpus path uses `shingle_rows` +
     aggregation in `minhash_lsh_pairs` instead)."""
@@ -160,8 +160,8 @@ def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_perm: int = 32,
-    bands: int = 8,
+    num_perm: int = 24,
+    bands: int = 6,
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 50,
@@ -176,12 +176,17 @@ def minhash_lsh_pairs(
     distinct candidate-pair count). Diagnostics run extra Spark actions —
     use from benches/ops tooling, not inside latency-sensitive paths.
 
-    b=8 bands × r=4 rows ≈ an S-curve threshold of (1/b)^(1/r) ≈ 0.6 —
-    candidates above ~0.5 Jaccard are found with high probability.
+    b=6 bands × r=4 rows ≈ an S-curve threshold of (1/b)^(1/r) ≈ 0.64 —
+    candidates above ~0.5 Jaccard are found with high probability (a
+    0.8-Jaccard pair is missed with prob (1−0.8⁴)^6 ≈ 2.7%, 0.9 → 0.2%).
+    The signature stage is the dominant cost at corpus scale and is linear
+    in num_perm: 24 permutations at the same r keeps the verify threshold
+    honest while cutting signature cost 25% vs the former b=8×r=4.
 
     Plan shape (the 100 TB story): explode shingles → ONE md5 per shingle
-    (whole-stage codegen) → groupBy(doc) with 32 cheap min-aggregates
-    (map-side combined, so the shuffle carries one 32-long row per doc) →
+    (whole-stage codegen) → groupBy(doc) with num_perm cheap min-aggregates
+    (map-side combined, so the shuffle carries one num_perm-long row per
+    doc) →
     banded bucket join → exact verify on the candidate pairs only.
     """
     rows = num_perm // bands
@@ -413,15 +418,24 @@ def ngram_jaccard_pairs(
     exist, which is exactly the threshold > 0 contract.
 
     ``max_df`` is the skew guard that makes this survive web scale: the
-    shuffle key is (block, shingle), so one boilerplate shingle shared by
-    d documents produces d·(d−1)/2 join rows. With the cap, shingles whose
-    document frequency inside their block exceeds ``max_df`` are removed
-    from the shingle universe entirely — from the intersection AND the doc
-    sizes, keeping Jaccard internally consistent — via a count window that
-    shuffles once on exactly the join key. Ubiquitous shingles carry no
-    near-dup signal (that is what makes them ubiquitous), so the cap
-    bounds every bucket at O(max_df²) pairs at the cost of ignoring
-    boilerplate overlap. Docs left with zero shingles drop out.
+    shuffle key is (block, shingle-hash), so one boilerplate shingle
+    shared by d documents produces d·(d−1)/2 join rows. With the cap,
+    shingles whose document frequency inside their block exceeds
+    ``max_df`` are removed from the shingle universe entirely — from the
+    intersection AND the doc sizes, keeping Jaccard internally
+    consistent — via a count window that shuffles once on exactly the
+    join key. Ubiquitous shingles carry no near-dup signal (that is what
+    makes them ubiquitous), so the cap bounds every bucket at O(max_df²)
+    pairs at the cost of ignoring boilerplate overlap. Docs left with
+    zero shingles drop out.
+
+    The shingle STRING never shuffles: each shingle maps once (codegen'd
+    md5) to a 63-bit long (`stable_long_hash` — the same engine-portable
+    hash minhash uses, mirrored in the oracle by `_stable_hash_sql`), so
+    the df-count window and the self-join carry an 8-byte key instead of
+    a ~25-byte string. Distinctness per doc is over the hash; a
+    within-doc 63-bit collision (≈ n²/2⁶⁴) merges two shingles on BOTH
+    engines identically.
     """
     df = ensure_parallelism(df)
     # Three consumers (both join sides + doc sizes): persist the explode so
@@ -430,11 +444,13 @@ def ngram_jaccard_pairs(
         *block_cols,
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(normalized_tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+    ).select(
+        *block_cols, "doc_id", stable_long_hash(F.col("shingle")).alias("h")
     )
     if max_df is not None:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*block_cols, "shingle")
+        w = Window.partitionBy(*block_cols, "h")
         ex = (
             ex.withColumn("dfreq", F.count(F.lit(1)).over(w))
             .filter(F.col("dfreq") <= max_df)
@@ -443,10 +459,10 @@ def ngram_jaccard_pairs(
     ex = _persist_tracked(ex)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
-    a = ex.select(*block_cols, F.col("doc_id").alias("id_a"), "shingle")
-    b = ex.select(*block_cols, F.col("doc_id").alias("id_b"), "shingle")
+    a = ex.select(*block_cols, F.col("doc_id").alias("id_a"), "h")
+    b = ex.select(*block_cols, F.col("doc_id").alias("id_b"), "h")
     inter = (
-        a.join(b, [*block_cols, "shingle"])
+        a.join(b, [*block_cols, "h"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -500,9 +516,9 @@ def dedup_components(
 
     Backends:
 
-    - ``"auto"`` (default): count the symmetric edge set once (the same
-      action that materializes its cache) and pick: at most
-      ``small_graph_edges`` rows → ``"driver"``, else ``"label"``. The
+    - ``"auto"`` (default): count the directed pair set once (the same
+      action that materializes its cache; edges = 2 × pairs) and pick: at
+      most ``small_graph_edges`` edges → ``"driver"``, else ``"label"``. The
       broadcast-join move applied to connected components — the dup GRAPH
       is orders of magnitude smaller than the corpus (only documents with
       a near-duplicate appear), so even a 100 TB corpus usually yields a
@@ -529,33 +545,45 @@ def dedup_components(
     layout.
     """
     ia, ib = pair_cols
-    # Symmetrize with ONE pass over `pairs` — usually an expensive lazy
-    # plan (the whole LSH pipeline). A unionByName of the plan with its
-    # swapped self would execute that pipeline once per union branch when
-    # the persisted union first materializes; explode emits both edge
-    # directions from a single traversal. Persisted because every
-    # iteration of the distributed backends re-reads the edge set.
-    sym = _persist_tracked(
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(ia).alias("src"), F.col(ib).alias("dst")),
-                    F.struct(F.col(ib).alias("src"), F.col(ia).alias("dst")),
-                )
-            ).alias("e")
-        ).select("e.src", "e.dst")
+    # Persist the DIRECTED pair set — `pairs` is usually an expensive lazy
+    # plan (the whole LSH pipeline), and every backend re-reads the edges.
+    # Persisting pairs (not the symmetrized set) means the auto-route
+    # count, the driver collect, and a same-session sibling call (e.g.
+    # `dedup_cluster_survivors` right after `dedup_clusters` — Spark's
+    # CacheManager matches the canonicalized plan) all traverse the LSH
+    # pipeline ONCE and touch half the rows the old explode-first layout
+    # materialized.
+    directed = _persist_tracked(
+        pairs.select(F.col(ia).alias("src"), F.col(ib).alias("dst"))
     )
 
     if backend == "auto":
-        backend = "driver" if sym.count() <= small_graph_edges else "label"
+        # union-find is direction-blind, so the driver bound counts
+        # directed pairs (edges = 2 × pairs).
+        backend = "driver" if 2 * directed.count() <= small_graph_edges else "label"
     if backend == "driver":
-        linked = _components_driver_union_find(sym)
-    elif backend == "label":
-        linked = _components_label_propagation(sym, max_iters)
-    elif backend == "star":
-        linked = _components_star_contraction(sym, max_iters)
-    else:  # pragma: no cover - caller bug
-        raise ValueError(f"unknown components backend: {backend!r}")
+        linked = _components_driver_union_find(directed)
+    else:
+        # The distributed iterations need both edge directions; explode
+        # emits them in one pass over the (now cached) pair set.
+        sym = _persist_tracked(
+            directed.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src"), F.col("dst")),
+                        F.struct(
+                            F.col("dst").alias("src"), F.col("src").alias("dst")
+                        ),
+                    )
+                ).alias("e")
+            ).select("e.src", "e.dst")
+        )
+        if backend == "label":
+            linked = _components_label_propagation(sym, max_iters)
+        elif backend == "star":
+            linked = _components_star_contraction(sym, max_iters)
+        else:  # pragma: no cover - caller bug
+            raise ValueError(f"unknown components backend: {backend!r}")
 
     # Singletons (no edges) keep themselves as cluster id; one anti-join,
     # outside the loop.
@@ -569,10 +597,12 @@ def dedup_components(
     )
 
 
-def _components_driver_union_find(sym: DataFrame) -> DataFrame:
+def _components_driver_union_find(edges: DataFrame) -> DataFrame:
     """Exact union-find over a driver-collected edge set — the small-graph
-    fast path ('auto' guarantees the collect is bounded). Returns
-    (node, label) for every node with at least one edge."""
+    fast path ('auto' guarantees the collect is bounded). union(a,b) is
+    direction-blind, so the DIRECTED pair set suffices (half the rows of
+    the symmetrized set). Returns (node, label) for every node with at
+    least one edge."""
     parent: dict = {}
 
     def find(x):
@@ -585,7 +615,7 @@ def _components_driver_union_find(sym: DataFrame) -> DataFrame:
 
     # one collect, bounded by small_graph_edges (toLocalIterator would
     # fetch the 32 cached partitions as 32 sequential jobs)
-    for row in sym.select("src", "dst").collect():
+    for row in edges.select("src", "dst").collect():
         a, b = row["src"], row["dst"]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -594,7 +624,7 @@ def _components_driver_union_find(sym: DataFrame) -> DataFrame:
             parent[max(ra, rb)] = min(ra, rb)
     labels = [(n, find(n)) for n in parent]
     LAST_COMPONENTS_INFO.update(backend="driver", rounds=0)
-    spark = sym.sparkSession
+    spark = edges.sparkSession
     schema = "node long, label long"
     if not labels:
         return spark.createDataFrame([], schema)
