@@ -134,8 +134,9 @@ def _minhash_oracle(num_perm=24, bands=6, threshold=0.3, max_bucket=50) -> str:
     return f"""
     WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
     sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
-    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
-    h0 AS (SELECT doc_id, shingle, {_stable_hash_sql('shingle')} % {M} AS h0 FROM ex),
+    ex AS (SELECT doc_id, {_stable_hash_sql('shingle')} AS h
+           FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh0)),
+    h0 AS (SELECT doc_id, h, h % {M} AS h0 FROM ex),
     sigs AS (SELECT doc_id, count(*) AS n_sh,
                {sig_cols}
              FROM h0 GROUP BY doc_id),
@@ -149,7 +150,7 @@ def _minhash_oracle(num_perm=24, bands=6, threshold=0.3, max_bucket=50) -> str:
     inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
               FROM cand c
               JOIN ex ea ON ea.doc_id = c.id_a
-              JOIN ex eb ON eb.doc_id = c.id_b AND eb.shingle = ea.shingle
+              JOIN ex eb ON eb.doc_id = c.id_b AND eb.h = ea.h
               GROUP BY 1, 2)
     SELECT i.id_a, i.id_b,
            i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard

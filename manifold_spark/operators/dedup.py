@@ -198,8 +198,19 @@ def minhash_lsh_pairs(
     # `.cache()` before its 4-way staging fan-out; Spark reuses cached
     # partitions even within a single job. Tracked for
     # `release_shingle_caches()` in long-lived sessions.
-    sh = _persist_tracked(shingle_rows(df, text_col, id_col, shingle_n))
-    h0 = sh.withColumn("h0", stable_long_hash(F.col("shingle")) % _MERSENNE)
+    #
+    # The cache stores (doc_id, h) with h the 63-bit md5-derived hash —
+    # the shingle STRING (~25 B) never persists or shuffles; the verify
+    # join matches on h (8 B) and the signature stage reduces h mod the
+    # Mersenne prime. A within-doc 63-bit collision (≈ n²/2⁶⁴) merges two
+    # shingles identically on both engines (the oracle hashes the same
+    # way), keeping |A|, |B|, |A∩B| consistent.
+    sh = _persist_tracked(
+        shingle_rows(df, text_col, id_col, shingle_n).select(
+            "doc_id", stable_long_hash(F.col("shingle")).alias("h")
+        )
+    )
+    h0 = sh.withColumn("h0", F.col("h") % _MERSENNE)
     sigs = h0.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh"),
         *[
@@ -275,15 +286,15 @@ def minhash_lsh_pairs(
         diagnostics["candidate_pairs"] = candidates.count()
 
     # Exact-Jaccard verify via sparse intersection counts: candidate pairs
-    # (tiny) are broadcast against the shingle rows; |A∩B| comes from a
-    # count over matching shingles, |A∪B| = |A|+|B|−|A∩B|. Candidates with
-    # an empty intersection have Jaccard 0 and drop out — below any
+    # (tiny) are broadcast against the hashed shingle rows; |A∩B| comes
+    # from a count over matching hashes, |A∪B| = |A|+|B|−|A∩B|. Candidates
+    # with an empty intersection have Jaccard 0 and drop out — below any
     # meaningful threshold by construction.
-    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    sa = sh.select(F.col("doc_id").alias("id_a"), "h")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "h")
     inter = (
         candidates.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .join(sb, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
