@@ -121,6 +121,9 @@ def main() -> None:
         "scalar_key_surface",
         "audit_counts",
         "events_type_stats",
+        # r5: random-hyperplane embedding LSH (the bucketed sibling of
+        # sim_cosine_near_dup).
+        "sim_rp_lsh_near_dup",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

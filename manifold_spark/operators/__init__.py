@@ -837,6 +837,69 @@ def q_sim_ann_ivf_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rp_lsh_oracle(threshold=0.2, num_bits=24, band_bits=8, max_bucket=100) -> str:
+    """Full SQL mirror of `similarity.rp_lsh_near_dup`: the hyperplane
+    coefficients are embedded as literals from the SAME generator, the
+    bit sums use the identical scaled-integer quantization (exact,
+    order-independent), and the band/bucket/verify stages mirror the
+    Spark plan 1:1."""
+    planes = similarity.rp_hyperplanes(num_bits, DIM)
+    rows = ",\n        ".join(
+        "(" + ", ".join([str(d + 1)] + [repr(planes[j][d]) for j in range(num_bits)]) + ")"
+        for d in range(DIM)
+    )
+    cols = ", ".join(["pos"] + [f"c_{j}" for j in range(num_bits)])
+    sum_cols = ",\n               ".join(
+        f"SUM(CAST(floor(val * c_{j} * 1000000.0 + 0.5) AS BIGINT)) AS s_{j}"
+        for j in range(num_bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(num_bits)
+    )
+    n_bands = num_bits // band_bits
+    mask = (1 << band_bits) - 1
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT vid, fp, {b} AS band, (fp >> {b * band_bits}) & {mask} AS key FROM fp"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH coefs({cols}) AS (VALUES
+        {rows}
+    ),
+    ex AS (
+        SELECT e.vec_id AS vid, CAST(r.range AS INT) AS pos,
+               CAST(e.embedding[r.range] AS DOUBLE) AS val
+        FROM embeddings e, range(1, {DIM + 1}) r
+    ),
+    bits AS (
+        SELECT vid,
+               {sum_cols}
+        FROM ex JOIN coefs USING (pos) GROUP BY vid
+    ),
+    fp AS (SELECT vid, CAST({packed} AS BIGINT) AS fp FROM bits),
+    bands AS ({band_selects}),
+    bsizes AS (SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2),
+    bounded AS (SELECT b.vid, b.band, b.key FROM bands b
+                JOIN bsizes s USING (band, key) WHERE s.n <= {max_bucket}),
+    cand AS (SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+             FROM bounded a JOIN bounded b
+               ON a.band = b.band AND a.key = b.key AND a.vid < b.vid)
+    SELECT c.id_a, c.id_b,
+           {cosine_sql('ea.embedding', 'eb.embedding', DIM)} AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {cosine_sql('ea.embedding', 'eb.embedding', DIM)} >= {threshold}
+    """
+
+
+@register("sim_rp_lsh_near_dup", _rp_lsh_oracle())
+def q_sim_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) embedding near-dup — the
+    bucketed 100 TB sibling of the IVF-blocked `sim_cosine_near_dup`."""
+    return similarity.rp_lsh_near_dup(_t(spark, sf_dir, "embeddings"), DIM, threshold=0.2)
+
+
 def _redact_oracle() -> str:
     expr = "text"
     for pattern, token in textstats.PII_PATTERNS:

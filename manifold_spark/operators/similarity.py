@@ -272,6 +272,142 @@ def topk_ivf_kmeans(
     )
 
 
+#: Fixed-point scale for hyperplane projections: products are quantized
+#: to 1e-6 before summation so bit signs are exact integer comparisons —
+#: order-independent AND engine-exact (a raw double Σ would depend on
+#: Spark's partition-order float addition and could flip a near-zero sign
+#: vs the oracle).
+_RP_SCALE = 1_000_000.0
+
+
+def rp_hyperplanes(num_bits: int, dim: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane coefficients in [-1, 1),
+    derived from md5 (no RNG state — reproducible on any engine; the
+    oracle embeds the identical literals). Uniform rather than Gaussian
+    coordinates: for sign-of-dot-product LSH the collision-probability
+    monotonicity only needs symmetric coordinates, and uniform keeps the
+    literals short."""
+    import hashlib
+
+    planes = []
+    for j in range(num_bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"rp-{seed}-{j}-{d}".encode()).hexdigest()
+            row.append(round((int(h[:12], 16) / float(1 << 48)) * 2.0 - 1.0, 9))
+        planes.append(row)
+    return planes
+
+
+def rp_lsh_near_dup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.2,
+    num_bits: int = 24,
+    band_bits: int = 8,
+    max_bucket: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs by random-hyperplane LSH (SimHash
+    for cosine; Charikar STOC'02): bit j of a vector's fingerprint is the
+    sign of its projection onto hyperplane j, so P(bit match) = 1 − θ/π —
+    banded fingerprints bucket high-cosine pairs together without any
+    corpus-sized pairwise work. Candidates sharing ≥1 exact band verify
+    with the exact cosine and filter at ``threshold``. Returns
+    (id_a, id_b, cosine), a subset of the exact ≥-threshold pair set
+    (LSH recall < 1 by design; the IVF-blocked `cosine_near_dup` is the
+    high-recall sibling).
+
+    100 TB plan shape: posexplode the vectors once → broadcast-join the
+    64-row hyperplane table → ONE groupBy(vec) with num_bits map-side-
+    combined integer sums (the shuffle carries one num_bits-long row per
+    vector, exactly the minhash signature layout) → byte-band buckets
+    with the same ``max_bucket`` skew cap as every LSH here → verify on
+    candidates only. The fingerprint costs num_bits·dim multiply-adds
+    per vector ONCE and is the thing you'd persist next to the corpus.
+    """
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    n_bands = num_bits // band_bits
+    mask = (1 << band_bits) - 1
+    planes = rp_hyperplanes(num_bits, dim)
+
+    spark = corpus.sparkSession
+    coef_schema = StructType(
+        [StructField("pos", IntegerType())]
+        + [StructField(f"c_{j}", DoubleType()) for j in range(num_bits)]
+    )
+    coef = spark.createDataFrame(
+        [tuple([d + 1] + [planes[j][d] for j in range(num_bits)]) for d in range(dim)],
+        coef_schema,
+    )
+
+    ex = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos0", "val"),
+    ).select(
+        "vid", (F.col("pos0") + 1).cast("int").alias("pos"), F.col("val").cast("double").alias("val")
+    )
+    proj = ex.join(broadcast(coef), "pos")
+    bitsums = proj.groupBy("vid").agg(
+        *[
+            F.sum(
+                F.floor(
+                    F.col("val") * F.col(f"c_{j}") * F.lit(_RP_SCALE) + F.lit(0.5)
+                ).cast("long")
+            ).alias(f"s_{j}")
+            for j in range(num_bits)
+        ]
+    )
+    packed = None
+    for j in range(num_bits):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed + bit
+    fp = bitsums.select("vid", packed.alias("fp"))
+
+    bands = fp.select(
+        "vid",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vid", "bk.band", "bk.key")
+
+    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    bounded = bands.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band", "key"), ["band", "key"]
+    )
+    a, b = bounded.alias("a"), bounded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_expr("vec_a", "vec_b", dim).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",

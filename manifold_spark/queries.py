@@ -520,6 +520,7 @@ _DRIVER_ORDER_HEAD = [
     "text_stats",
     "events_type_stats",
     "sim_ann_ivf_kmeans_sampled",
+    "sim_rp_lsh_near_dup",
 ]
 _DRIVER_ORDER_TAIL = [
     # r4-green, structurally trivial — safest to drop if a cap ever binds

@@ -208,6 +208,36 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_rp_lsh_near_dup_subset_and_deterministic(spark, sf_dir):
+    """RP-LSH pairs must be a SUBSET of the exact >=threshold pair set
+    (the verify stage guarantees precision 1.0; LSH only costs recall),
+    and two runs must be identical (md5-derived hyperplanes, integer bit
+    sums — no RNG, no float-order dependence)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["id_a"], r["id_b"]) for r in
+        similarity.rp_lsh_near_dup(emb, 64, threshold=0.2).collect()
+    }
+    again = {
+        (r["id_a"], r["id_b"]) for r in
+        similarity.rp_lsh_near_dup(emb, 64, threshold=0.2).collect()
+    }
+    assert got == again
+    # exact ground truth via the unblocked pairwise cosine
+    a = emb.selectExpr("vec_id AS id_a", "embedding AS va")
+    b = emb.selectExpr("vec_id AS id_b", "embedding AS vb")
+    from manifold_spark.operators.linalg import cosine_expr
+    exact = {
+        (r["id_a"], r["id_b"]) for r in
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_expr("va", "vb", 64).alias("c"))
+        .filter(F.col("c") >= 0.2)
+        .collect()
+    }
+    assert got <= exact
+    assert got, "RP-LSH found no pairs at all — banding is broken"
+
+
 def test_language_id(spark, docs):
     out = {r["doc_id"]: r["pred"] for r in docs.select("doc_id", language_id(F.col("text")).alias("pred")).collect()}
     assert out[1] == "en"
