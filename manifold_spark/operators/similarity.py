@@ -65,7 +65,17 @@ def assign_centroids(
 ) -> DataFrame:
     """Assign each vector to its `rank_limit` nearest centroids by dot
     product (vectors here are same-scale, so dot ≈ cosine ranking; using
-    dot keeps the quantizer cheap). Centroids are broadcast."""
+    dot keeps the quantizer cheap). Centroids are broadcast.
+
+    ``rank_limit=1`` (the corpus-assignment path every IVF op takes over
+    its BIG side) avoids the sort-window entirely: `max_by` over
+    `struct(cdist, −centroid_id)` is the same argmax with the same
+    tie-break (highest dot, then smallest centroid id), but it partially
+    aggregates map-side — the shuffle carries ONE pre-reduced row per
+    vector instead of n_centroids scored rows into a sort. At 1000
+    executors that is the difference between shuffling the corpus ×16
+    and shuffling it ×1. Multi-rank probes (`rank_limit>1`, query-sized)
+    keep the window."""
     c = broadcast(
         centroids.select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
@@ -74,12 +84,24 @@ def assign_centroids(
     scored = ensure_parallelism(corpus).crossJoin(c).withColumn(
         "cdist", dot_expr(vec_col, "cent_vec", dim)
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cdist").desc(), F.col("centroid_id"))
-    out = (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= rank_limit)
-        .drop("cent_vec", "cdist", "crank")
-    )
+    if rank_limit == 1:
+        other = [col for col in corpus.columns if col != id_col]
+        out = scored.groupBy(id_col).agg(
+            *[F.first(col).alias(col) for col in other],
+            F.max_by(
+                F.col("centroid_id"),
+                F.struct(F.col("cdist"), (-F.col("centroid_id")).alias("neg_id")),
+            ).alias("centroid_id"),
+        )
+    else:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cdist").desc(), F.col("centroid_id")
+        )
+        out = (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= rank_limit)
+            .drop("cent_vec", "cdist", "crank")
+        )
     if out_prefix:
         out = out.withColumnRenamed("centroid_id", f"{out_prefix}centroid_id")
     return out

@@ -111,6 +111,24 @@ def test_fact_ids_assigned_distributed(spark, sf_dir):
     assert final.count("ReusedExchange") + final.count("ReusedQueryStage") >= 1
 
 
+def test_ivf_corpus_assignment_is_aggregate_not_window(spark, sf_dir):
+    """Rank-1 centroid assignment (the corpus-sized side of every IVF op)
+    must be a max_by HASH AGGREGATE — map-side combined, one pre-reduced
+    row per vector into the shuffle — not a sort-window over the
+    corpus × n_centroids scored rows (16× the shuffle volume at scale)."""
+    from manifold_spark.operators.similarity import assign_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = emb.orderBy("vec_id").limit(16)
+    out = assign_centroids(emb, cent, 64)
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "max_by" in plan or "HashAggregate" in plan
+    # the multi-rank probe path (query-sized) legitimately keeps the window
+    probes = assign_centroids(emb.filter("vec_id < 8"), cent, 64, rank_limit=4)
+    assert "Window" in _plan(probes)
+
+
 def test_dedup_exact_single_shuffle(spark, sf_dir):
     """Exact dedup is one hash-aggregate shuffle, nothing more."""
     df = all_queries()["dedup_exact"](spark, sf_dir)
