@@ -67,15 +67,21 @@ def assign_centroids(
     product (vectors here are same-scale, so dot ≈ cosine ranking; using
     dot keeps the quantizer cheap). Centroids are broadcast.
 
-    ``rank_limit=1`` (the corpus-assignment path every IVF op takes over
-    its BIG side) avoids the sort-window entirely: `max_by` over
-    `struct(cdist, −centroid_id)` is the same argmax with the same
-    tie-break (highest dot, then smallest centroid id), but it partially
-    aggregates map-side — the shuffle carries ONE pre-reduced row per
-    vector instead of n_centroids scored rows into a sort. At 1000
-    executors that is the difference between shuffling the corpus ×16
-    and shuffling it ×1. Multi-rank probes (`rank_limit>1`, query-sized)
-    keep the window."""
+    No sort-window anywhere: a window would shuffle all n_centroids
+    scored copies of every row (vector payload included — ×16 the corpus
+    bytes) into a sort. Instead:
+
+    - ``rank_limit=1`` (the corpus-assignment path every IVF op takes
+      over its BIG side): `max_by` over `struct(cdist, −centroid_id)` —
+      the same argmax with the same tie-break (highest dot, then
+      smallest centroid id), partially aggregated map-side, so the
+      shuffle carries ONE pre-reduced row per vector.
+    - ``rank_limit=k``: collect the (−cdist, centroid_id) structs,
+      `array_sort` + `slice` the top k scan-side, posexplode — the
+      shuffle carries one row per vector whose list state is k·12-byte
+      structs, not k copies of the vector. Identical rank order and
+      tie-break (struct sort = cdist desc, centroid_id asc).
+    """
     c = broadcast(
         centroids.select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
@@ -84,8 +90,8 @@ def assign_centroids(
     scored = ensure_parallelism(corpus).crossJoin(c).withColumn(
         "cdist", dot_expr(vec_col, "cent_vec", dim)
     )
+    other = [col for col in corpus.columns if col != id_col]
     if rank_limit == 1:
-        other = [col for col in corpus.columns if col != id_col]
         out = scored.groupBy(id_col).agg(
             *[F.first(col).alias(col) for col in other],
             F.max_by(
@@ -94,13 +100,23 @@ def assign_centroids(
             ).alias("centroid_id"),
         )
     else:
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("cdist").desc(), F.col("centroid_id")
+        ranked = scored.groupBy(id_col).agg(
+            *[F.first(col).alias(col) for col in other],
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cdist")).alias("neg"),
+                            F.col("centroid_id"),
+                        )
+                    )
+                ),
+                1,
+                rank_limit,
+            ).alias("__top"),
         )
-        out = (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= rank_limit)
-            .drop("cent_vec", "cdist", "crank")
+        out = ranked.select(
+            id_col, *other, F.explode(F.col("__top").getField("centroid_id")).alias("centroid_id")
         )
     if out_prefix:
         out = out.withColumnRenamed("centroid_id", f"{out_prefix}centroid_id")

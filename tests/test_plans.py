@@ -124,9 +124,10 @@ def test_ivf_corpus_assignment_is_aggregate_not_window(spark, sf_dir):
     plan = _plan(out)
     assert "Window" not in plan
     assert "max_by" in plan or "HashAggregate" in plan
-    # the multi-rank probe path (query-sized) legitimately keeps the window
+    # the multi-rank path aggregates too (collect+sort+slice per vector):
+    # no scored-row sort-window for ANY rank
     probes = assign_centroids(emb.filter("vec_id < 8"), cent, 64, rank_limit=4)
-    assert "Window" in _plan(probes)
+    assert "Window" not in _plan(probes)
 
 
 def test_dedup_exact_single_shuffle(spark, sf_dir):
