@@ -40,9 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query. Keys absent here (minhash/simhash
-    LSH, ANN buckets, …) are non-SQL-expressible and get the driver's
-    rows-only check."""
+    """DuckDB-equivalent SQL per query. Every registered key has a full
+    oracle — including the banded-LSH pipelines, the unrolled two-round
+    Lloyd k-means (full-corpus AND hash-sampled), random-hyperplane LSH
+    with literal-embedded hyperplanes, and recursive-CTE connected
+    components — so the driver's strongest (rows+schema+hash) check
+    applies to 100% of the registry."""
     from manifold_spark.queries import all_oracles
 
     return all_oracles()

@@ -198,7 +198,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     id), singletons carry themselves."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
-    return dedup.dedup_components(docs.select("doc_id"), pairs)
+    return dedup.dedup_components(docs.select("doc_id"), pairs, assume_unique_ids=True)
 
 
 @register(
@@ -211,7 +211,7 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is the full fuzzy-dedup flow end-to-end."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
-    comps = dedup.dedup_components(docs.select("doc_id"), pairs)
+    comps = dedup.dedup_components(docs.select("doc_id"), pairs, assume_unique_ids=True)
     return comps.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
 
 

@@ -509,6 +509,7 @@ def dedup_components(
     max_iters: int = 20,
     backend: str = "auto",
     small_graph_edges: int = 500_000,
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every document gets
     a ``cluster_id`` = the smallest doc id reachable through pairs (its
@@ -597,8 +598,12 @@ def dedup_components(
             raise ValueError(f"unknown components backend: {backend!r}")
 
     # Singletons (no edges) keep themselves as cluster id; one anti-join,
-    # outside the loop.
-    all_ids = corpus_ids.select(F.col(id_col).alias("node")).distinct()
+    # outside the loop. ``assume_unique_ids=True`` (an id column that is
+    # already a key — the normal dedup-pipeline case) skips the distinct,
+    # which is otherwise a CORPUS-scale shuffle just to dedupe ids.
+    all_ids = corpus_ids.select(F.col(id_col).alias("node"))
+    if not assume_unique_ids:
+        all_ids = all_ids.distinct()
     singletons = all_ids.join(linked, "node", "left_anti").select(
         "node", F.col("node").alias("label")
     )
