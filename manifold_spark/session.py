@@ -38,6 +38,23 @@ def get_spark(
     ``master=None`` defers to the environment (spark-submit / existing
     session); tests pass ``local[N]`` and a small ``shuffle_partitions``.
     """
+    # Python workers (mapInPandas / applyInPandasWithState) are separate
+    # processes that inherit PYTHONPATH, NOT the driver's sys.path — a
+    # script that did `sys.path.insert(0, repo)` would run every JVM-side
+    # query fine and then fail only on Arrow-UDF operators with
+    # "ModuleNotFoundError: manifold_spark". Exporting the package root
+    # before the first session launch makes the factory location-proof.
+    # (On a real cluster, ship the package via --py-files/pex instead.)
+    import os
+    import sys
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
+    if pkg_root not in sys.path:
+        sys.path.insert(0, pkg_root)
+
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
