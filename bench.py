@@ -125,12 +125,20 @@ def main() -> None:
         # sim_cosine_near_dup).
         "sim_rp_lsh_near_dup",
     ]
+    # min-of-2 here too (r5): single-shot extended numbers produced two
+    # rounds of phantom "regressions" on this shared machine (r3's
+    # sim_ann_ivf_kmeans 17.6 s and multimodal_decode 9.6 s both
+    # recovered with zero code changes). Caches release between runs, so
+    # the min is a clean re-execution, not cache reuse.
     extended: dict[str, float] = {}
     for name in EXTENDED:
-        start = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extended[name] = round(time.perf_counter() - start, 3)
-        release_shingle_caches()
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+            release_shingle_caches()
+        extended[name] = round(best, 3)
 
     # Superlinear-regression tier: the dedup/ANN operators at 10× the
     # documents/embeddings scale (sf0.1 → sf1-equivalent row counts). Each
@@ -202,10 +210,17 @@ def main() -> None:
     shuffles: dict[str, int] = {}
     minhash_diag: dict[str, dict] = {}
     for name, build in scale10_queries.items():
-        start = time.perf_counter()
-        out = build()
-        out.write.format("noop").mode("overwrite").save()
-        scale10[name] = round(time.perf_counter() - start, 3)
+        # min-of-2 (r5) — same phantom-regression rationale as the
+        # extended tier; each run starts cold (caches released between).
+        best = float("inf")
+        out = None
+        for _ in range(2):
+            start = time.perf_counter()
+            out = build()
+            out.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+            release_shingle_caches()
+        scale10[name] = round(best, 3)
         shuffles[name] = out._jdf.queryExecution().executedPlan().toString().count("Exchange")
         if name == "dedup_minhash_lsh_10x":
             # Untimed diagnostics passes (reuse the timed run's shingle

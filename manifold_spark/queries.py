@@ -233,6 +233,13 @@ _AUDIT_COUNTS_ORACLE = (
     UNION ALL SELECT 'rows_documents', count(*) FROM documents
     UNION ALL SELECT 'rows_lineitem', count(*) FROM lineitem
     UNION ALL SELECT 'rows_orders', count(*) FROM orders
+    UNION ALL SELECT 'rows_part', count(*) FROM part
+    UNION ALL SELECT 'rows_supplier', count(*) FROM supplier
+    UNION ALL SELECT 'suppliers_in_europe', (
+        SELECT count(*) FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE')
     UNION ALL SELECT 'dup_key_groups', (
         SELECT count(*) FROM (
             SELECT user_id, event_type FROM events
@@ -271,9 +278,23 @@ def q_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counts = None
     for name, df in (("rows_customer", c), ("rows_documents", docs),
-                     ("rows_lineitem", _t(spark, sf_dir, "lineitem")), ("rows_orders", o)):
+                     ("rows_lineitem", _t(spark, sf_dir, "lineitem")), ("rows_orders", o),
+                     ("rows_part", _t(spark, sf_dir, "part")),
+                     ("rows_supplier", _t(spark, sf_dir, "supplier"))):
         one = df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("cohort"), "n")
         counts = one if counts is None else counts.unionByName(one)
+
+    s = _t(spark, sf_dir, "supplier")
+    n_dim = _t(spark, sf_dir, "nation")
+    r_dim = _t(spark, sf_dir, "region")
+    europe = (
+        s.join(broadcast(n_dim), s.s_nationkey == n_dim.n_nationkey)
+        .join(broadcast(r_dim.filter(F.col("r_name") == "EUROPE")),
+              n_dim.n_regionkey == r_dim.r_regionkey)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("suppliers_in_europe").alias("cohort"), "n")
+    )
+    counts = counts.unionByName(europe)
 
     dup_groups = (
         events.groupBy("user_id", "event_type")
