@@ -287,10 +287,15 @@ def main() -> None:
     raw_root = tempfile.mkdtemp(prefix="bench-raw-")
     n_listings = int(100_000 * max(sf / 0.1, 0.01))
     generate_week(raw_root, "2024-01-01", n_listings)
-    store = TableStore(tempfile.mkdtemp(prefix="bench-wh-"))
-    start = time.perf_counter()
-    run_week(spark, store, raw_root, "2024-01-01")
-    timings["pipeline_run_week"] = round(time.perf_counter() - start, 3)
+    # min-of-2 like every other tier (r5): each run gets a FRESH empty
+    # warehouse, so both measure the same initial-load work.
+    best = float("inf")
+    for _ in range(2):
+        store = TableStore(tempfile.mkdtemp(prefix="bench-wh-"))
+        start = time.perf_counter()
+        run_week(spark, store, raw_root, "2024-01-01")
+        best = min(best, time.perf_counter() - start)
+    timings["pipeline_run_week"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     full = {

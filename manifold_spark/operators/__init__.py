@@ -3,10 +3,13 @@ registration.
 
 Each query below registers into `manifold_spark.queries.REGISTRY`. Oracle
 SQL is GENERATED from the same module constants the Spark side uses
-(marker lists, regex patterns, vector dims, centroid counts), so the two
-sides cannot drift. Queries whose algorithm is not SQL-expressible
-(banded-LSH minhash/simhash, the Arrow decode pass) register without an
-oracle → the driver records a rows-only check.
+(marker lists, regex patterns, permutation/hyperplane constants, vector
+dims, centroid counts), so the two sides cannot drift. EVERY key has a
+full oracle — the banded-LSH pipelines, the Arrow decode stub, the
+unrolled Lloyd rounds, and the recursive-CTE components included — so
+the driver's strongest rows+schema+hash check covers 100% of the
+registry (only the Structured Streaming twins live outside the gate, by
+nature).
 """
 
 from __future__ import annotations
