@@ -1,0 +1,101 @@
+"""Property-based LSH testing: for ANY generated corpus, every pair an
+LSH operator returns must satisfy its verify predicate exactly (precision
+1.0 — LSH may miss pairs, it must never invent them), and reruns must be
+bit-identical (md5-derived constants, no RNG, no float-order dependence).
+
+Hypothesis drives corpus shapes that unit fixtures never cover: repeated
+documents, empty/short documents, single-token docs, shared boilerplate.
+Spark jobs are expensive, so examples are few but each checks the full
+pipeline against an independently computed ground truth.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from manifold_spark.operators import dedup
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+#: A document: 0-12 words drawn from a tiny vocabulary, so collisions,
+#: shared shingles, and exact duplicates all occur naturally.
+doc = st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join)
+corpus = st.lists(doc, min_size=2, max_size=10)
+
+
+def _shingle_set(text: str, n: int = 3) -> set[str]:
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 0.0
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+@given(texts=corpus)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minhash_pairs_exact_jaccard_and_deterministic(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = dedup.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.3).collect()
+    dedup.release_shingle_caches()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    # precision: every reported jaccard equals the independently computed
+    # exact shingle jaccard and clears the threshold
+    shingles = {i: _shingle_set(t) for i, t in enumerate(texts)}
+    for (a, b), j in got.items():
+        exact = _jaccard(shingles[a], shingles[b])
+        assert abs(j - exact) < 1e-12, (a, b, j, exact)
+        assert j >= 0.3
+    # determinism: a rerun returns the identical pair->jaccard mapping
+    rows2 = dedup.minhash_lsh_pairs(df, "text", "doc_id", threshold=0.3).collect()
+    dedup.release_shingle_caches()
+    assert {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows2} == got
+    # recall floor that IS guaranteed: identical non-empty shingle sets
+    # produce identical signatures, land in every band bucket together,
+    # and verify at jaccard 1.0 >= threshold — they can never be missed
+    # (bucket cap is far above these corpus sizes).
+    for a in shingles:
+        for b in shingles:
+            if a < b and shingles[a] and shingles[a] == shingles[b]:
+                assert (a, b) in got, f"exact dup pair ({a},{b}) missed"
+
+
+@given(texts=corpus)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ngram_jaccard_matches_python_ground_truth(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t, "b") for i, t in enumerate(texts)],
+        "doc_id long, text string, blk string",
+    )
+    rows = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", ["blk"], threshold=0.1
+    ).collect()
+    dedup.release_shingle_caches()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    shingles = {i: _shingle_set(t) for i, t in enumerate(texts)}
+    # the EXACT operator must return precisely the >=threshold pairs with
+    # a nonzero intersection (pairs sharing nothing never exist by
+    # construction of the sparse join)
+    expect = {}
+    for a in shingles:
+        for b in shingles:
+            if a < b and shingles[a] & shingles[b]:
+                j = _jaccard(shingles[a], shingles[b])
+                if j >= 0.1:
+                    expect[(a, b)] = j
+    assert set(got) == set(expect), (set(got) ^ set(expect))
+    for k, j in got.items():
+        assert abs(j - expect[k]) < 1e-12
