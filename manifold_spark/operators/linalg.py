@@ -39,8 +39,15 @@ def norm_expr(a: Column | str, dim: int) -> Column:
 
 
 def cosine_expr(a: Column | str, b: Column | str, dim: int) -> Column:
-    """Cosine similarity; 0/0 yields NULL (no vectors are zero in practice)."""
-    return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
+    """Cosine similarity, with zero-norm vectors defined as similarity
+    0.0 — NOT left to x/0: under Spark's ANSI mode (default since 4.x) a
+    raw division throws `DIVIDE_BY_ZERO` the first time a real corpus
+    contains a zero embedding (found by the hypothesis property test in
+    `test_lsh_properties.py`). The guard compares the exact product of
+    norms, so every nonzero pair divides by the identical value as
+    before — bit-identical to the SQL mirror either way."""
+    denom = norm_expr(a, dim) * norm_expr(b, dim)
+    return F.when(denom > 0, dot_expr(a, b, dim) / denom).otherwise(F.lit(0.0))
 
 
 def dot_sql(a: str, b: str, dim: int) -> str:
@@ -51,4 +58,6 @@ def dot_sql(a: str, b: str, dim: int) -> str:
 
 
 def cosine_sql(a: str, b: str, dim: int) -> str:
-    return f"(({dot_sql(a, b, dim)}) / (sqrt({dot_sql(a, a, dim)}) * sqrt({dot_sql(b, b, dim)})))"
+    """Mirrors `cosine_expr` including its zero-norm guard."""
+    denom = f"(sqrt({dot_sql(a, a, dim)}) * sqrt({dot_sql(b, b, dim)}))"
+    return f"(CASE WHEN {denom} > 0 THEN ({dot_sql(a, b, dim)}) / {denom} ELSE 0.0 END)"

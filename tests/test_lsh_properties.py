@@ -99,3 +99,50 @@ def test_ngram_jaccard_matches_python_ground_truth(spark, texts):
     assert set(got) == set(expect), (set(got) ^ set(expect))
     for k, j in got.items():
         assert abs(j - expect[k]) < 1e-12
+
+
+rp_vec = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=8,
+    max_size=8,
+)
+
+
+@given(vecs=st.lists(rp_vec, min_size=2, max_size=8))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rp_lsh_precision_and_deterministic(spark, vecs):
+    """Every RP-LSH pair must clear the exact-cosine threshold (precision
+    1.0), and reruns are identical — for ANY vector set, including zero
+    vectors and duplicated rows."""
+    import math
+
+    from manifold_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    out = similarity.rp_lsh_near_dup(df, 8, threshold=0.5, num_bits=16, band_bits=8)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    again = {(r["id_a"], r["id_b"]): r["cosine"] for r in out.collect()}
+    assert got == again
+
+    def cos(a, b):
+        # mirror linalg float32 storage: compare on the float32-rounded values
+        import struct
+
+        a = [struct.unpack("f", struct.pack("f", x))[0] for x in a]
+        b = [struct.unpack("f", struct.pack("f", x))[0] for x in b]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    for (a, b), c in got.items():
+        assert a < b
+        exact = cos(vecs[a], vecs[b])
+        assert abs(c - exact) < 1e-5, (a, b, c, exact)
+        assert c >= 0.5
