@@ -146,3 +146,45 @@ def test_rp_lsh_precision_and_deterministic(spark, vecs):
         exact = cos(vecs[a], vecs[b])
         assert abs(c - exact) < 1e-5, (a, b, c, exact)
         assert c >= 0.5
+
+
+def _py_stable_hash(s: str, seed: int = 0) -> int:
+    """Pure-python mirror of functions.hashing.stable_long_hash."""
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}{s}".encode()).hexdigest()[:15], 16)
+
+
+def _py_simhash(text: str, num_bits: int = 32) -> int | None:
+    toks = [t for t in text.lower().split() if t]
+    if not toks:
+        return None
+    fp = 0
+    for j in range(num_bits):
+        s = sum(((_py_stable_hash(t) >> j) & 1) * 2 - 1 for t in toks)
+        if s > 0:
+            fp |= 1 << j
+    return fp
+
+
+@given(texts=corpus)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_simhash_pairs_match_python_fingerprints(spark, texts):
+    """Every simhash pair's Hamming distance must equal the distance
+    between independently recomputed pure-python fingerprints, and no
+    returned pair may exceed the max_hamming bound."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = dedup.simhash_pairs(df, "text", "doc_id", max_hamming=6).collect()
+    dedup.release_shingle_caches()
+    fps = {i: _py_simhash(t) for i, t in enumerate(texts)}
+    for r in rows:
+        a, b, h = r["id_a"], r["id_b"], r["hamming"]
+        assert a < b and h <= 6
+        assert fps[a] is not None and fps[b] is not None
+        assert bin(fps[a] ^ fps[b]).count("1") == h, (a, b, h)
