@@ -27,7 +27,10 @@ pair list, which is tiny relative to the corpus.
 from __future__ import annotations
 
 import functools
+import logging
 import operator
+
+_log = logging.getLogger(__name__)
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -60,8 +63,8 @@ def release_shingle_caches() -> int:
         try:
             df.unpersist()
             n += 1
-        except Exception:
-            pass
+        except Exception as exc:  # dead session / already-freed block
+            _log.debug("release_shingle_caches: unpersist failed: %s", exc)
     return n
 
 
@@ -202,9 +205,12 @@ def minhash_lsh_pairs(
     # The cache stores (doc_id, h) with h the 63-bit md5-derived hash —
     # the shingle STRING (~25 B) never persists or shuffles; the verify
     # join matches on h (8 B) and the signature stage reduces h mod the
-    # Mersenne prime. A within-doc 63-bit collision (≈ n²/2⁶⁴) merges two
-    # shingles identically on both engines (the oracle hashes the same
-    # way), keeping |A|, |B|, |A∩B| consistent.
+    # Mersenne prime. Distinctness is enforced on shingle STRINGS
+    # (array_distinct in `word_shingles`) before hashing, so a within-doc
+    # 63-bit collision (≈ n²/2⁶⁴) yields two identical h rows for that
+    # doc — duplicate rows, not a merge — counted the same way by the
+    # oracle (which hashes identically), keeping |A|, |B|, |A∩B| and the
+    # resulting Jaccard consistent across engines.
     sh = _persist_tracked(
         shingle_rows(df, text_col, id_col, shingle_n).select(
             "doc_id", stable_long_hash(F.col("shingle")).alias("h")
@@ -444,9 +450,11 @@ def ngram_jaccard_pairs(
     md5) to a 63-bit long (`stable_long_hash` — the same engine-portable
     hash minhash uses, mirrored in the oracle by `_stable_hash_sql`), so
     the df-count window and the self-join carry an 8-byte key instead of
-    a ~25-byte string. Distinctness per doc is over the hash; a
-    within-doc 63-bit collision (≈ n²/2⁶⁴) merges two shingles on BOTH
-    engines identically.
+    a ~25-byte string. Distinctness per doc is enforced on the shingle
+    STRING (array_distinct in `word_shingles`) before hashing, so a
+    within-doc 63-bit collision (≈ n²/2⁶⁴) yields duplicate h rows for
+    that doc rather than a merge — both engines hash and count them the
+    same way, so sizes and intersections stay consistent.
     """
     df = ensure_parallelism(df)
     # Three consumers (both join sides + doc sizes): persist the explode so

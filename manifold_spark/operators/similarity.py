@@ -91,9 +91,14 @@ def assign_centroids(
         "cdist", dot_expr(vec_col, "cent_vec", dim)
     )
     other = [col for col in corpus.columns if col != id_col]
+    # any_value for carried-through columns: every row in an id_col group
+    # is an identical copy produced by the crossJoin fan-out (id_col is a
+    # key of `corpus`), so ANY value is THE value — any_value states that
+    # invariant explicitly instead of leaning on first()'s accidental
+    # determinism under a plan change or duplicate caller ids.
     if rank_limit == 1:
         out = scored.groupBy(id_col).agg(
-            *[F.first(col).alias(col) for col in other],
+            *[F.any_value(col).alias(col) for col in other],
             F.max_by(
                 F.col("centroid_id"),
                 F.struct(F.col("cdist"), (-F.col("centroid_id")).alias("neg_id")),
@@ -101,7 +106,7 @@ def assign_centroids(
         )
     else:
         ranked = scored.groupBy(id_col).agg(
-            *[F.first(col).alias(col) for col in other],
+            *[F.any_value(col).alias(col) for col in other],
             F.slice(
                 F.array_sort(
                     F.collect_list(

@@ -225,7 +225,7 @@ _AUDIT_COUNTS_ORACLE = (
     )
     """
     + "\n    UNION ALL ".join(
-        f"SELECT 'docs_' || source || '_{lang}' AS cohort, n_{lang} AS n FROM wide"
+        f"SELECT 'docs_' || coalesce(source, 'null') || '_{lang}' AS cohort, n_{lang} AS n FROM wide"
         for lang in _PIVOT_LANGS
     )
     + """
@@ -271,7 +271,12 @@ def q_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot_rows = (
         wide.unpivot("source", _PIVOT_LANGS, "lang", "n_raw")
         .select(
-            F.concat_ws("_", F.lit("docs"), F.col("source"), F.col("lang")).alias("cohort"),
+            # coalesce BEFORE concat: concat_ws silently skips NULLs (would
+            # label 'docs_<lang>') while the oracle's || yields NULL — a NULL
+            # source must produce the same 'docs_null_<lang>' on both engines.
+            F.concat_ws(
+                "_", F.lit("docs"), F.coalesce(F.col("source"), F.lit("null")), F.col("lang")
+            ).alias("cohort"),
             F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n"),
         )
     )

@@ -49,11 +49,17 @@ def get_spark(
     import sys
 
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    existing = os.environ.get("PYTHONPATH", "")
-    if pkg_root not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
-    if pkg_root not in sys.path:
-        sys.path.insert(0, pkg_root)
+    # Mutate process state only when a session is actually being CREATED —
+    # repeated get_spark calls against a live session must not keep
+    # re-writing os.environ (the var outlives the session and leaks into
+    # unrelated subprocesses). An active session already launched its
+    # workers with whatever PYTHONPATH it got.
+    if SparkSession.getActiveSession() is None:
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + existing if existing else "")
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
 
     builder = SparkSession.builder.appName(app_name)
     if master:
