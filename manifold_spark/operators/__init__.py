@@ -36,15 +36,26 @@ IVF_NPROBE = 4
 @register(
     "dedup_exact",
     """
-    SELECT min(doc_id) AS doc_id,
-           sha256(text) AS content_hash,
-           count(*) AS dup_count
-    FROM documents
-    GROUP BY sha256(text)
+    WITH d AS (
+        SELECT min(doc_id) AS doc_id,
+               sha256(text) AS content_hash,
+               count(*) AS dup_count
+        FROM documents
+        GROUP BY sha256(text)
+    )
+    SELECT d.doc_id, d.content_hash, d.dup_count, s.lang, s.source
+    FROM d JOIN documents s ON s.doc_id = d.doc_id
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    """Exact dedup + survivor payload in one gate (r6 fold of the former
+    `dedup_survivors` key): the hash group-by picks min-id survivors and
+    the join back to the corpus re-attaches their (lang, source) payload
+    — the full "drop duplicates, keep the original rows" flow."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id").join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
 
 
 _TOKENS_SQL = (
@@ -119,9 +130,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_perm=24, bands=6, threshold=0.3, max_bucket=50) -> str:
+def _minhash_oracle(num_perm=24, bands=6, threshold=0.3, max_bucket=50, table="documents") -> str:
     """Generate the FULL banded-LSH pipeline in SQL from the same
-    permutation constants the Spark side uses."""
+    permutation constants the Spark side uses. ``table`` lets the skew
+    gate point the identical pipeline at a derived corpus CTE."""
     perms = dedup._permutation_constants(num_perm)
     M = dedup._MERSENNE
     rows = num_perm // bands
@@ -135,7 +147,7 @@ def _minhash_oracle(num_perm=24, bands=6, threshold=0.3, max_bucket=50) -> str:
         for b in range(bands)
     )
     return f"""
-    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM {table}),
     sh0 AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
     ex AS (SELECT doc_id, {_stable_hash_sql('shingle')} AS h
            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh0)),
@@ -194,28 +206,27 @@ def _components_oracle() -> str:
     """
 
 
-@register("dedup_clusters", _components_oracle())
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: connected components over the minhash-LSH pair
-    graph; every doc carries its canonical representative (min reachable
-    id), singletons carry themselves."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
-    return dedup.dedup_components(docs.select("doc_id"), pairs, assume_unique_ids=True)
-
-
 @register(
-    "dedup_cluster_survivors",
-    f"SELECT doc_id FROM ({_components_oracle()}) c WHERE doc_id = cluster_id",
+    "dedup_clusters",
+    f"""
+    SELECT doc_id, cluster_id, CAST(doc_id = cluster_id AS INT) AS is_survivor
+    FROM ({_components_oracle()}) c
+    """,
 )
-def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup pipeline's last step: keep exactly one representative per
-    near-dup component (the min id). corpus → LSH pairs → components →
-    filter is the full fuzzy-dedup flow end-to-end."""
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering + survivor election in one gate (r6 fold of the
+    former `dedup_cluster_survivors` key): connected components over the
+    minhash-LSH pair graph — every doc carries its canonical
+    representative (min reachable id), singletons carry themselves — and
+    `is_survivor` marks the one representative kept per component, so the
+    full corpus → LSH pairs → components → elect flow is verified
+    end-to-end by a single driver row."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.3)
     comps = dedup.dedup_components(docs.select("doc_id"), pairs, assume_unique_ids=True)
-    return comps.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return comps.withColumn(
+        "is_survivor", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+    )
 
 
 def _simhash_oracle(num_bits=32, band_bits=8, max_hamming=6, max_bucket=100) -> str:
@@ -254,6 +265,242 @@ def _simhash_oracle(num_bits=32, band_bits=8, max_hamming=6, max_bucket=100) -> 
 @register("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=6)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial-skew gates (r6): corpora engineered so the skew defenses —
+# minhash `max_bucket`, ngram `max_df`, star-contraction components —
+# actually ENGAGE (bench diagnostics had only ever shown them
+# non-binding). Both corpora are derived from documents with deterministic
+# md5 arithmetic both engines reproduce exactly, so the capped results
+# stay under the full rows+schema+hash oracle.
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+#: ~60-word boilerplate paragraph every even-id document is replaced
+#: with (plus a 2-word per-doc unique tail) — one viral template shared
+#: by half the corpus, the classic web-scale LSH pathology.
+SKEW_BOILERPLATE = " ".join(
+    _hashlib.md5(f"bp-{i}".encode()).hexdigest()[:8] for i in range(60)
+)
+#: Caps sized to BIND at every test scale (the boilerplate cluster is
+#: ≥250 docs even at sf0.001, far over 20) while leaving organic
+#: buckets untouched.
+SKEW_MAX_BUCKET = 20
+SKEW_MAX_DF = 20
+
+#: Deep-graph corpus: CHAIN_N parallel word-window chains; adjacent
+#: positions overlap 14/20 words (exact 3-gram Jaccard 0.5), two apart
+#: only 8 (0.2) — so threshold 0.3 yields pure PATH graphs whose
+#: diameter (~corpus/CHAIN_N) far exceeds label-propagation's default
+#: round budget; only star contraction (O(log n) rounds) converges.
+CHAIN_N = 8
+CHAIN_WORDS = 20
+CHAIN_STEP = 6
+
+
+def skewed_corpus(docs: DataFrame) -> DataFrame:
+    """Replace even-id documents with boilerplate + md5 unique tail."""
+    sid = F.col("doc_id").cast("string")
+    tail = F.concat_ws(
+        " ",
+        F.substring(F.md5(F.concat(F.lit("u1-"), sid)), 1, 8),
+        F.substring(F.md5(F.concat(F.lit("u2-"), sid)), 1, 8),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws(" ", F.lit(SKEW_BOILERPLATE), tail),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    )
+
+
+_SKEWED_CTE = f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN '{SKEW_BOILERPLATE}' || ' '
+                         || substr(md5('u1-' || CAST(doc_id AS VARCHAR)), 1, 8) || ' '
+                         || substr(md5('u2-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    ELSE text END AS text,
+               lang, source
+        FROM documents
+"""
+
+
+def _skew_ngram_oracle(max_df: int, threshold: float, table: str) -> str:
+    """Single-block exact n-gram Jaccard with the df cap — the oracle twin
+    of `ngram_jaccard_pairs(block_cols=[const], max_df=...)`."""
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM {table}),
+    sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM toks),
+    ex AS (SELECT doc_id, {_stable_hash_sql('shingle')} AS h
+           FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)),
+    capped AS (SELECT * FROM ex QUALIFY count(*) OVER (PARTITION BY h) <= {max_df}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {threshold}
+    """
+
+
+@register(
+    "dedup_skew_guard",
+    f"""
+    WITH skewed AS ({_SKEWED_CTE})
+    SELECT 'minhash' AS method, id_a, id_b, jaccard
+    FROM ({_minhash_oracle(threshold=0.3, max_bucket=SKEW_MAX_BUCKET, table="skewed")})
+    UNION ALL
+    SELECT 'ngram' AS method, id_a, id_b, jaccard
+    FROM ({_skew_ngram_oracle(SKEW_MAX_DF, 0.3, "skewed")})
+    """,
+)
+def q_dedup_skew_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew caps UNDER FIRE, oracle-exact: half the corpus collapses
+    onto one boilerplate template, so the minhash band buckets and the
+    ngram shingle document-frequencies blow far past the caps — both
+    engines drop the SAME over-cap buckets/shingles (the cap is a
+    deterministic function of mirrored hashes), so the capped pair sets
+    hash-match while the un-capped plan would be quadratic in the
+    cluster size. Diagnostics (`buckets_over_cap > 0`,
+    `rows_dropped_by_cap > 0`) are asserted in tests and published by
+    the bench skew tier."""
+    sk = skewed_corpus(_t(spark, sf_dir, "documents"))
+    mh = dedup.minhash_lsh_pairs(
+        sk, "text", "doc_id", threshold=0.3, max_bucket=SKEW_MAX_BUCKET
+    ).select(F.lit("minhash").alias("method"), "id_a", "id_b", "jaccard")
+    ng = dedup.ngram_jaccard_pairs(
+        sk.withColumn("blk", F.lit(1)), "text", "doc_id", ["blk"],
+        threshold=0.3, max_df=SKEW_MAX_DF,
+    ).select(F.lit("ngram").alias("method"), "id_a", "id_b", "jaccard")
+    return mh.unionByName(ng)
+
+
+def chain_corpus(docs: DataFrame) -> DataFrame:
+    """Sliding word-window chain docs: doc_id → (chain = id % CHAIN_N,
+    pos = id // CHAIN_N); text = CHAIN_WORDS md5-words starting at
+    chain·1e6 + pos·CHAIN_STEP. Adjacent positions are near-dups, chains
+    never overlap (disjoint word-index ranges)."""
+    start = (F.col("doc_id") % CHAIN_N) * 1_000_000 + F.expr(
+        f"doc_id DIV {CHAIN_N}"
+    ) * CHAIN_STEP
+    idx = F.sequence(start.cast("long"), (start + CHAIN_WORDS - 1).cast("long"))
+    text = F.array_join(
+        F.transform(
+            idx,
+            lambda j: F.substring(F.md5(F.concat(F.lit("cw-"), j.cast("string"))), 1, 8),
+        ),
+        " ",
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+_CHAIN_CTE = f"""
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   range((doc_id % {CHAIN_N}) * 1000000 + (doc_id // {CHAIN_N}) * {CHAIN_STEP},
+                         (doc_id % {CHAIN_N}) * 1000000 + (doc_id // {CHAIN_N}) * {CHAIN_STEP} + {CHAIN_WORDS}),
+                   j -> substr(md5('cw-' || CAST(j AS VARCHAR)), 1, 8)), ' ') AS text
+        FROM documents
+"""
+
+
+@register(
+    "dedup_clusters_deep",
+    f"""
+    WITH RECURSIVE chain AS ({_CHAIN_CTE}),
+    pairs AS (
+        SELECT id_a, id_b FROM ({_skew_ngram_oracle(10**9, 0.3, "chain")}) p
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM chain
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on an adversarially DEEP graph: CHAIN_N (8)
+    disjoint path graphs of diameter ~corpus/CHAIN_N (≈62 at 500 docs)
+    — label propagation's O(diameter) rounds would blow its budget
+    (pinned by a ComponentsNotConverged test), so this gate routes to
+    star contraction, whose O(log n) rounds converge in single digits.
+    Pairs come from EXACT n-gram Jaccard (no LSH recall noise), and the
+    oracle walks the same graph with a recursive CTE."""
+    ch = chain_corpus(_t(spark, sf_dir, "documents").select("doc_id"))
+    pairs = dedup.ngram_jaccard_pairs(
+        ch.withColumn("blk", F.lit(1)), "text", "doc_id", ["blk"], threshold=0.3
+    )
+    return dedup.dedup_components(
+        ch.select("doc_id"), pairs, backend="star", assume_unique_ids=True
+    )
+
+
+@register(
+    "stream_dedup_batches",
+    """
+    WITH b AS (
+        SELECT event_id, user_id, event_type, ts, event_id % 4 AS batch_no
+        FROM events
+    ),
+    fb AS (
+        SELECT user_id, event_type, min(batch_no) AS batch_no
+        FROM b GROUP BY 1, 2
+    ),
+    fe AS (
+        SELECT b.user_id, b.event_type, min(b.event_id) AS first_event_id
+        FROM b JOIN fb USING (user_id, event_type, batch_no)
+        GROUP BY 1, 2
+    )
+    SELECT fe.user_id, fe.event_type, fe.first_event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM fe JOIN events e ON e.event_id = fe.first_event_id
+    """,
+)
+def q_stream_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence gate for the streaming first-seen dedup (r6):
+    the `foreachBatch` upsert body runs over a deterministic 4-way
+    micro-batch split of `events` (batch = event_id mod 4 — adversarial:
+    arrival order uncorrelated with event order, so late batches
+    constantly re-probe state), and the final state must equal the
+    batch-SQL answer: per (user_id, event_type), the min-event_id row of
+    the first batch containing that key. The REAL
+    writeStream.foreachBatch + availableNow path is pinned equal to this
+    loop in tests/test_streaming.py."""
+    from manifold_spark.streaming.jobs import incremental_first_seen
+
+    events = _t(spark, sf_dir, "events")
+    state = incremental_first_seen(
+        events.select("event_id", "user_id", "event_type", "ts"),
+        ["user_id", "event_type"],
+        "event_id",
+        n_batches=4,
+    )
+    return state.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -514,23 +761,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_meta",
     """
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS INT) AS byte_len,
-           sha256(text) AS content_sha
-    FROM documents
-    """,
-)
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return multimodal.attach_binary(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "byte_len", "content_sha"
-    )
-
-
-@register(
-    "multimodal_probe_meta",
-    """
-    SELECT doc_id,
-           CASE WHEN n % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
            CAST(n AS INT) AS byte_len,
+           sha256(text) AS content_sha,
+           CASE WHEN n % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
            CAST(CASE WHEN n % 2 = 0
                      THEN CASE n % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END
                      ELSE -1 END AS INT) AS sample_rate,
@@ -547,16 +780,19 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE (greatest(1, n // 100) * 1000)
                           // (CASE n % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END)
                 END AS BIGINT) AS duration_ms
-    FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
     """,
 )
-def q_multimodal_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed audio/video metadata probe (ffprobe-shaped) over the binary
-    column — Arrow `mapInPandas` with a deterministic stub prober whose
-    integer arithmetic the oracle reproduces exactly; -1 sentinels (not
-    NULL) for fields the modality doesn't have."""
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary metadata + typed media probe in one gate (r6 fold of the
+    former `multimodal_probe_meta` key): scan-side byte_len/content_sha
+    from `attach_binary`, joined to the Arrow `mapInPandas` ffprobe-shaped
+    stub prober whose integer arithmetic the oracle reproduces exactly
+    (-1 sentinels, not NULL, for fields the modality doesn't have). The
+    join is doc_id equi — both sides partition-preserving scans."""
     with_binary = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
-    return multimodal.probe_media_meta(with_binary)
+    probed = multimodal.probe_media_meta(with_binary).drop("byte_len")
+    return with_binary.select("doc_id", "byte_len", "content_sha").join(probed, "doc_id")
 
 
 @register(

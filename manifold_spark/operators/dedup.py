@@ -423,6 +423,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.1,
     max_df: int | None = None,
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard for every pair inside a blocking key (e.g.
     (lang, source)) with `jaccard >= threshold > 0`. The oracle-checkable
@@ -440,11 +441,25 @@ def ngram_jaccard_pairs(
     shingles whose document frequency inside their block exceeds
     ``max_df`` are removed from the shingle universe entirely — from the
     intersection AND the doc sizes, keeping Jaccard internally
-    consistent — via a count window that shuffles once on exactly the
-    join key. Ubiquitous shingles carry no near-dup signal (that is what
-    makes them ubiquitous), so the cap bounds every bucket at O(max_df²)
-    pairs at the cost of ignoring boilerplate overlap. Docs left with
-    zero shingles drop out.
+    consistent. Ubiquitous shingles carry no near-dup signal (that is
+    what makes them ubiquitous), so the cap bounds every bucket at
+    O(max_df²) pairs at the cost of ignoring boilerplate overlap. Docs
+    left with zero shingles drop out.
+
+    The cap is applied as a broadcast STOP-LIST (r6): one aggregate over
+    the cached shingle rows finds the over-cap (block, hash) keys — its
+    output is tiny (≤ shingle_rows / max_df keys by pigeonhole) — and a
+    broadcast left-anti join removes them. vs the former count-window:
+    the aggregate shuffles pre-reduced map-side-combined counts instead
+    of sorting EVERY exploded row inside window partitions, and the
+    capped rows never carry a dfreq column. If a corpus is so
+    boilerplate-ridden that the stop-list itself outgrows broadcast
+    range, raise ``max_df`` or pre-filter — at that point the corpus
+    needs cleaning, not a bigger hash table.
+
+    Pass ``diagnostics={}`` to record cap telemetry (distinct shingle
+    keys, max document frequency observed, keys over the cap, shingle
+    rows dropped) — extra Spark actions; benches/ops only.
 
     The shingle STRING never shuffles: each shingle maps once (codegen'd
     md5) to a 63-bit long (`stable_long_hash` — the same engine-portable
@@ -466,16 +481,25 @@ def ngram_jaccard_pairs(
     ).select(
         *block_cols, "doc_id", stable_long_hash(F.col("shingle")).alias("h")
     )
-    if max_df is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*block_cols, "h")
-        ex = (
-            ex.withColumn("dfreq", F.count(F.lit(1)).over(w))
-            .filter(F.col("dfreq") <= max_df)
-            .drop("dfreq")
-        )
+    # Persist BEFORE the cap: the stop-list aggregate plus the three
+    # downstream consumers all read the cached pre-cap rows; the anti-join
+    # itself is a per-row broadcast-hash probe, re-evaluated cheaply per
+    # consumer, never a shuffle.
     ex = _persist_tracked(ex)
+    if max_df is not None:
+        key_counts = ex.groupBy(*block_cols, "h").agg(F.count(F.lit(1)).alias("dfreq"))
+        if diagnostics is not None:
+            stats = key_counts.agg(
+                F.count(F.lit(1)).alias("n_shingle_keys"),
+                F.max("dfreq").alias("max_dfreq"),
+                F.count(F.when(F.col("dfreq") > max_df, F.lit(1))).alias("keys_over_cap"),
+                F.coalesce(
+                    F.sum(F.when(F.col("dfreq") > max_df, F.col("dfreq"))), F.lit(0)
+                ).alias("rows_dropped_by_cap"),
+            ).collect()[0]
+            diagnostics.update({k: stats[k] for k in stats.asDict()}, max_df_cap=max_df)
+        stop = key_counts.filter(F.col("dfreq") > max_df).select(*block_cols, "h")
+        ex = ex.join(F.broadcast(stop), [*block_cols, "h"], "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = ex.select(*block_cols, F.col("doc_id").alias("id_a"), "h")

@@ -672,25 +672,11 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Dedup survivors: the "apply the dedup decision" half of exact dedup —
-# the corpus with duplicates removed (survivor = min doc_id per hash).
-# ---------------------------------------------------------------------------
-@register(
-    "dedup_survivors",
-    """
-    SELECT d.doc_id, d.lang, d.source
-    FROM documents d
-    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)) s
-      ON d.doc_id = s.doc_id
-    """,
-)
-def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from manifold_spark.operators.dedup import exact_dedup
-
-    docs = _t(spark, sf_dir, "documents")
-    survivors = exact_dedup(docs, "text", "doc_id").select("doc_id")
-    return docs.join(survivors, "doc_id", "left_semi").select("doc_id", "lang", "source")
+# (r6: the former `dedup_survivors` key — the "apply the decision" half
+# of exact dedup — folded INTO `dedup_exact` in operators/__init__.py under
+# the driver's 50-key cap: the combined key emits survivor rows WITH
+# their lang/source payload, exercising both the hash group-by and the
+# survivor join in one gate.)
 
 
 # ---------------------------------------------------------------------------

@@ -121,6 +121,60 @@ def dedup_stream(
     )
 
 
+def first_seen_upsert(
+    batch: DataFrame,
+    state: DataFrame | None,
+    key_cols: list[str],
+    order_col: str = "event_id",
+) -> DataFrame:
+    """One micro-batch of incremental first-seen deduplication — the body
+    a `foreachBatch` sink runs per trigger: keep each key's minimum-order
+    row within the batch, drop keys the accumulated state already holds
+    (anti-join), append the rest. Exactly-once layering: re-running a
+    batch against state that already contains its keys is a no-op.
+
+    Scale shape: the batch-internal pick is one map-side-combined min-agg
+    + an equi self-join on (key, order) — `order_col` is unique per row
+    (event ids), so the join re-attaches exactly one payload row. The
+    state probe is a key-only anti-join: at 100 TB state lives in a
+    bucketed/Delta table keyed on `key_cols`, so the probe prunes to the
+    buckets the batch touches."""
+    picked = batch.join(
+        batch.groupBy(*key_cols).agg(F.min(order_col).alias(order_col)),
+        [*key_cols, order_col],
+    )
+    if state is None:
+        return picked
+    return state.unionByName(
+        picked.join(state.select(*key_cols).distinct(), key_cols, "left_anti")
+    )
+
+
+def incremental_first_seen(
+    events: DataFrame,
+    key_cols: list[str],
+    order_col: str = "event_id",
+    n_batches: int = 4,
+) -> DataFrame:
+    """Run the `first_seen_upsert` foreachBatch body over a DETERMINISTIC
+    micro-batch split of a bounded input: batch i = rows with
+    ``order_col % n_batches == i``, processed in i-order. The split is a
+    worst case on purpose — arrival order is uncorrelated with event
+    order, so later batches constantly probe state for already-seen keys
+    (exactly what a redelivering source does).
+
+    The final state is SQL-checkable: a key's surviving row is the
+    min-order row of the FIRST batch (by i) containing that key. The
+    real-stream twin (`writeStream.foreachBatch` + availableNow over
+    per-batch files) is pinned equal in tests/test_streaming.py."""
+    state: DataFrame | None = None
+    for i in range(n_batches):
+        batch = events.filter(F.col(order_col) % n_batches == i)
+        state = first_seen_upsert(batch, state, key_cols, order_col)
+    assert state is not None
+    return state
+
+
 def contamination_stream(
     doc_stream: DataFrame,
     benchmark_shingles: DataFrame,

@@ -367,3 +367,54 @@ def test_stateful_spend_alerts_watermarked_disorder(spark, tmp_path):
     }
     assert len(out) == len(streamed)  # exactly-once per (user, threshold)
     assert streamed == batch
+
+
+def test_foreachbatch_first_seen_matches_incremental_loop(spark, sf_dir, tmp_path):
+    """The REAL writeStream.foreachBatch path (file source, one file per
+    trigger, availableNow) must land on the same final state as the
+    deterministic `incremental_first_seen` loop the `stream_dedup_batches`
+    gate runs — same splits (event_id % 4), same upsert body
+    (`first_seen_upsert`), state persisted between triggers as parquet
+    versions (the local stand-in for a MERGE into a keyed table)."""
+    import os
+
+    from manifold_spark.streaming.jobs import first_seen_upsert, incremental_first_seen
+
+    events = read_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    keys = ["user_id", "event_type"]
+
+    # Stage the 4 deterministic splits as files with strictly increasing
+    # mtimes — FileStreamSource triggers oldest-first, so trigger order ==
+    # split order, matching the loop's i-order.
+    src = str(tmp_path / "fb-src")
+    for i in range(4):
+        part_dir = f"{src}/b{i}"
+        events.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(part_dir)
+        for name in os.listdir(part_dir):
+            os.utime(os.path.join(part_dir, name), (1_000_000 + i * 100,) * 2)
+
+    state_root = str(tmp_path / "fb-state")
+    state_paths: list[str] = []
+
+    def sink(batch_df, batch_id):
+        prev = spark.read.parquet(state_paths[-1]) if state_paths else None
+        new_state = first_seen_upsert(batch_df, prev, keys, "event_id")
+        path = f"{state_root}/v{len(state_paths)}"
+        new_state.write.mode("overwrite").parquet(path)
+        state_paths.append(path)
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(state_paths) == 4
+
+    streamed = {tuple(r) for r in spark.read.parquet(state_paths[-1]).collect()}
+    loop = {tuple(r) for r in incremental_first_seen(events, keys, "event_id", 4).collect()}
+    assert streamed == loop
+    assert len(streamed) > 0
