@@ -338,24 +338,15 @@ def simhash_fingerprint(tokens: Column, num_bits: int = 32) -> Column:
     return packed
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_bits: int = 32,
-    band_bits: int = 8,
-    max_hamming: int = 3,
-    max_bucket: int = 100,
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, num_bits: int = 32
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: byte-band LSH (a pair within Hamming
-    distance < #bands must share ≥1 exact band) then Hamming verify.
-    Returns (id_a, id_b, hamming)."""
-    n_bands = num_bits // band_bits
-    mask = (1 << band_bits) - 1
+    """Corpus-scale SimHash fingerprints as (doc_id, fp): explode tokens →
+    one codegen'd hash per token → num_bits ±1 bit-sum aggregates with
+    map-side combine (the HOF `simhash_fingerprint` is interpreted and
+    re-hashes per bit — fine for one doc, wrong for a corpus). Shared by
+    `simhash_pairs` and the recall-quality bench's exact-Hamming truth."""
     df = ensure_parallelism(df)
-    # Corpus path: explode tokens → one codegen'd hash per token → 32
-    # ±1 bit-sum aggregates with map-side combine (the HOF fingerprint in
-    # `simhash_fingerprint` is interpreted and re-hashes per bit).
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(normalized_tokens(F.col(text_col))).alias("token"),
@@ -374,7 +365,24 @@ def simhash_pairs(
             for j in range(num_bits)
         ],
     )
-    fp = bitsums.select("doc_id", packed.alias("fp"))
+    return bitsums.select("doc_id", packed.alias("fp"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bits: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: byte-band LSH (a pair within Hamming
+    distance < #bands must share ≥1 exact band) then Hamming verify.
+    Returns (id_a, id_b, hamming)."""
+    n_bands = num_bits // band_bits
+    mask = (1 << band_bits) - 1
+    fp = simhash_fingerprints(df, text_col, id_col, num_bits)
     bands = fp.select(
         "doc_id",
         "fp",
