@@ -124,6 +124,12 @@ def main() -> None:
         # r5: random-hyperplane embedding LSH (the bucketed sibling of
         # sim_cosine_near_dup).
         "sim_rp_lsh_near_dup",
+        # r6: adversarial-skew gates (caps engaged, oracle-exact), the deep
+        # path-graph star-contraction gate, and the foreachBatch
+        # batch-equivalence gate.
+        "dedup_skew_guard",
+        "dedup_clusters_deep",
+        "stream_dedup_batches",
     ]
     # min-of-2 here too (r5): single-shot extended numbers produced two
     # rounds of phantom "regressions" on this shared machine (r3's
@@ -236,6 +242,106 @@ def main() -> None:
                 minhash_diag[tier] = d
         release_shingle_caches()
 
+    # Skew tier (r6): the dedup caps UNDER FIRE at sf0.1 scale — half the
+    # corpus collapses onto one boilerplate template (`skewed_corpus`, the
+    # same construction the dedup_skew_guard gate oracle-checks). The
+    # published diagnostics must show the caps ENGAGED (buckets_over_cap /
+    # keys_over_cap > 0) with time still bounded — every earlier round
+    # could only show them non-binding.
+    from manifold_spark.operators import SKEW_MAX_BUCKET, SKEW_MAX_DF, skewed_corpus
+
+    skew: dict = {}
+    skew_docs = skewed_corpus(docs)
+    for name, build in (
+        (
+            "minhash_lsh_skew",
+            lambda d: dedup_ops.minhash_lsh_pairs(
+                skew_docs, "text", "doc_id", threshold=0.3,
+                max_bucket=SKEW_MAX_BUCKET, diagnostics=d,
+            ),
+        ),
+        (
+            "ngram_jaccard_skew",
+            lambda d: dedup_ops.ngram_jaccard_pairs(
+                skew_docs.withColumn("blk", F.lit(1)), "text", "doc_id", ["blk"],
+                threshold=0.3, max_df=SKEW_MAX_DF, diagnostics=d,
+            ),
+        ),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            build(None).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+            release_shingle_caches()
+        diag: dict = {}
+        build(diag).write.format("noop").mode("overwrite").save()
+        release_shingle_caches()
+        skew[name] = {"sec": round(best, 3), **{k: int(v) for k, v in diag.items()}}
+
+    # Quality tier (r6): recall of every approximate operator vs exact
+    # brute-force ground truth — the gates prove hash-exactness vs an
+    # oracle running the SAME approximation; this publishes how good the
+    # approximation itself is (floors asserted in
+    # tests/test_recall_floors.py).
+    from manifold_spark.operators.recall import quality_report
+
+    q_start = time.perf_counter()
+    quality = quality_report(spark, sf_dir)
+    quality["_seconds"] = round(time.perf_counter() - q_start, 1)
+    release_shingle_caches()
+
+    # Scale-30 spot check (r6): minhash + ngram claim linear pair
+    # formation; prove it at another decade-ish step. One cold run each at
+    # 30× — time ratio ≈ data ratio (±30%) with healthy cap diagnostics is
+    # the pass condition (recorded in SCALING.md).
+    factor30 = 30
+    reps30 = spark.range(factor30).select(F.col("id").alias("rep"))
+    docs30 = (
+        docs.crossJoin(F.broadcast(reps30))
+        .select(
+            (F.col("doc_id") * factor30 + F.col("rep")).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"), r"(\S+)",
+                F.concat(F.lit(r"$1xr"), F.col("rep").cast("string")),
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+    )
+    scale30: dict = {}
+    for name, build in (
+        (
+            "dedup_minhash_lsh_30x",
+            lambda d: dedup_ops.minhash_lsh_pairs(
+                docs30, "text", "doc_id", threshold=0.3, diagnostics=d
+            ),
+        ),
+        (
+            "dedup_ngram_jaccard_30x",
+            lambda d: dedup_ops.ngram_jaccard_pairs(
+                docs30, "text", "doc_id", ["lang", "source"],
+                threshold=0.1, max_df=NGRAM_MAX_DF, diagnostics=d,
+            ),
+        ),
+    ):
+        start = time.perf_counter()
+        out30 = build(None)
+        out30.write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - start, 3)
+        release_shingle_caches()
+        diag30: dict = {}
+        build(diag30).write.format("noop").mode("overwrite").save()
+        release_shingle_caches()
+        scale30[name] = {
+            "sec": sec,
+            "plan_shuffles": out30._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .count("Exchange"),
+            **{k: int(v) for k, v in diag30.items()},
+        }
+
     # Multi-file tier: the testdata parquet is single-row-group (scans cap
     # at 1 task; `ensure_parallelism` repartitions as a crutch). Stage a
     # 32-file copy and re-run the scan-heavy queries — with ≥32 splits the
@@ -297,6 +403,47 @@ def main() -> None:
         best = min(best, time.perf_counter() - start)
     timings["pipeline_run_week"] = round(best, 3)
 
+    # Backfill tier (r6): run_week above measures week 1 against an EMPTY
+    # warehouse; the real weekly cost at scale is an SCD2 merge against a
+    # GROWN target. Ten weeks of the README's evolution protocol (80%
+    # presence sample, ~10% price mutations — the same generator the
+    # 10-week simulation test uses) against ONE warehouse with the
+    # bucketed merge backend: flat per-week time (week-10 ≈ week-2) is
+    # the proof that the merge touches only affected buckets, not a
+    # history that grows with the warehouse.
+    import datetime as _dt
+    import random as _random
+
+    from manifold_spark.sources.fixtures import make_listing, write_week
+
+    bf_root = tempfile.mkdtemp(prefix="bench-backfill-")
+    bf_store = TableStore(tempfile.mkdtemp(prefix="bench-backfill-wh-"))
+    rng = _random.Random(13)
+    universe = [f"B{i:06d}" for i in range(max(2_000, n_listings // 4))]
+    asset = {c: make_listing(rng, c) for c in universe}
+    start_date = _dt.date(2024, 1, 1)
+    per_week: list[float] = []
+    for w in range(10):
+        week_date = start_date + _dt.timedelta(weeks=w)
+        present = [c for c in universe if rng.random() < 0.8]
+        for c in present:
+            if rng.random() < 0.1 and asset[c]["PriceCurrencyFormated"] is not None:
+                asset[c] = dict(
+                    asset[c],
+                    PriceCurrencyFormated=round(
+                        asset[c]["PriceCurrencyFormated"] * 1.03, 2
+                    ),
+                )
+        write_week(bf_root, week_date, [asset[c] for c in present])
+        start = time.perf_counter()
+        run_week(spark, bf_store, bf_root, week_date.isoformat(), bucketed_dims=16)
+        per_week.append(round(time.perf_counter() - start, 3))
+    backfill = {
+        "universe": len(universe),
+        "per_week_sec": per_week,
+        "week10_over_week2": round(per_week[9] / per_week[1], 3),
+    }
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_query_suite_total",
@@ -305,6 +452,10 @@ def main() -> None:
         "queries": timings,
         "extended": extended,
         "scale10": scale10,
+        "scale30": scale30,
+        "skew": skew,
+        "quality": quality,
+        "backfill": backfill,
         "multifile": multifile,
         "minhash_diag": minhash_diag,
         "plan_shuffles": shuffles,

@@ -36,26 +36,23 @@ IVF_NPROBE = 4
 @register(
     "dedup_exact",
     """
-    WITH d AS (
-        SELECT min(doc_id) AS doc_id,
-               sha256(text) AS content_hash,
-               count(*) AS dup_count
-        FROM documents
-        GROUP BY sha256(text)
-    )
-    SELECT d.doc_id, d.content_hash, d.dup_count, s.lang, s.source
-    FROM d JOIN documents s ON s.doc_id = d.doc_id
+    SELECT min(doc_id) AS doc_id,
+           sha256(text) AS content_hash,
+           count(*) AS dup_count,
+           arg_min(lang, doc_id) AS lang,
+           arg_min(source, doc_id) AS source
+    FROM documents
+    GROUP BY sha256(text)
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup + survivor payload in one gate (r6 fold of the former
-    `dedup_survivors` key): the hash group-by picks min-id survivors and
-    the join back to the corpus re-attaches their (lang, source) payload
-    — the full "drop duplicates, keep the original rows" flow."""
+    `dedup_survivors` key): the hash group-by picks min-id survivors AND
+    carries their (lang, source) payload through the same aggregate
+    (min_by ≡ arg_min) — the full "drop duplicates, keep the original
+    rows" flow in one shuffle, pinned by test_plans.py."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs, "text", "doc_id").join(
-        docs.select("doc_id", "lang", "source"), "doc_id"
-    )
+    return dedup.exact_dedup(docs, "text", "doc_id", payload_cols=("lang", "source"))
 
 
 _TOKENS_SQL = (

@@ -94,19 +94,28 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, payload_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Exact duplicate removal by content hash; survivor is the smallest id
-    (deterministic). Returns (id, content_hash, dup_count)."""
+    (deterministic). Returns (id, content_hash, dup_count, *payload_cols).
+
+    ``payload_cols`` are carried through the aggregate with `min_by` (the
+    survivor row's values) instead of a join-back — the whole operator
+    stays ONE map-side-combined shuffle; a corpus-sized survivors⋈corpus
+    equi-join would add a second full shuffle for data the aggregate
+    already saw."""
     hashed = df.select(
-        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash")
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"), *payload_cols
     )
     return (
         hashed.groupBy("content_hash")
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("dup_count"),
+            *[F.min_by(F.col(c), F.col(id_col)).alias(c) for c in payload_cols],
         )
-        .select(id_col, "content_hash", "dup_count")
+        .select(id_col, "content_hash", "dup_count", *payload_cols)
     )
 
 
@@ -432,6 +441,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.1,
     max_df: int | None = None,
     diagnostics: dict | None = None,
+    df_cap_strategy: str = "stoplist",
 ) -> DataFrame:
     """EXACT n-gram Jaccard for every pair inside a blocking key (e.g.
     (lang, source)) with `jaccard >= threshold > 0`. The oracle-checkable
@@ -454,16 +464,19 @@ def ngram_jaccard_pairs(
     O(max_df²) pairs at the cost of ignoring boilerplate overlap. Docs
     left with zero shingles drop out.
 
-    The cap is applied as a broadcast STOP-LIST (r6): one aggregate over
-    the cached shingle rows finds the over-cap (block, hash) keys — its
-    output is tiny (≤ shingle_rows / max_df keys by pigeonhole) — and a
-    broadcast left-anti join removes them. vs the former count-window:
-    the aggregate shuffles pre-reduced map-side-combined counts instead
-    of sorting EVERY exploded row inside window partitions, and the
-    capped rows never carry a dfreq column. If a corpus is so
+    The cap is applied as a broadcast STOP-LIST by default (r6,
+    ``df_cap_strategy="stoplist"``): one aggregate over the cached
+    shingle rows finds the over-cap (block, hash) keys — its output is
+    tiny (≤ shingle_rows / max_df keys by pigeonhole) — and a broadcast
+    left-anti join removes them. vs the count-window
+    (``df_cap_strategy="window"``): the aggregate shuffles pre-reduced
+    map-side-combined counts instead of sorting EVERY exploded row
+    inside window partitions, and the capped rows never carry a dfreq
+    column. The window variant remains the fallback for a corpus so
     boilerplate-ridden that the stop-list itself outgrows broadcast
-    range, raise ``max_df`` or pre-filter — at that point the corpus
-    needs cleaning, not a bigger hash table.
+    range (≳10⁷ over-cap keys) — though at that point the corpus needs
+    cleaning more than a bigger hash table. Both strategies drop the
+    identical shingle set.
 
     Pass ``diagnostics={}`` to record cap telemetry (distinct shingle
     keys, max document frequency observed, keys over the cap, shingle
@@ -506,8 +519,20 @@ def ngram_jaccard_pairs(
                 ).alias("rows_dropped_by_cap"),
             ).collect()[0]
             diagnostics.update({k: stats[k] for k in stats.asDict()}, max_df_cap=max_df)
-        stop = key_counts.filter(F.col("dfreq") > max_df).select(*block_cols, "h")
-        ex = ex.join(F.broadcast(stop), [*block_cols, "h"], "left_anti")
+        if df_cap_strategy == "stoplist":
+            stop = key_counts.filter(F.col("dfreq") > max_df).select(*block_cols, "h")
+            ex = ex.join(F.broadcast(stop), [*block_cols, "h"], "left_anti")
+        elif df_cap_strategy == "window":
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*block_cols, "h")
+            ex = (
+                ex.withColumn("dfreq", F.count(F.lit(1)).over(w))
+                .filter(F.col("dfreq") <= max_df)
+                .drop("dfreq")
+            )
+        else:  # pragma: no cover - caller bug
+            raise ValueError(f"unknown df_cap_strategy: {df_cap_strategy!r}")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = ex.select(*block_cols, F.col("doc_id").alias("id_a"), "h")

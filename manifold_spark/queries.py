@@ -540,19 +540,19 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gets a fresh driver row each round. The head still front-loads keys
 #: never (or least recently) driver-checked, in case the cap ever drops.
 _DRIVER_ORDER_HEAD = [
-    # new in round 5 — never driver-checked
-    "scalar_key_surface",
-    "audit_counts",
-    "text_stats",
-    "events_type_stats",
-    "sim_ann_ivf_kmeans_sampled",
-    "sim_rp_lsh_near_dup",
+    # new in round 6 — never driver-checked
+    "dedup_skew_guard",
+    "dedup_clusters_deep",
+    "stream_dedup_batches",
+    # reshaped in round 6 (folds) — re-check first
+    "dedup_exact",
+    "dedup_clusters",
+    "multimodal_meta",
 ]
 _DRIVER_ORDER_TAIL = [
-    # r4-green, structurally trivial — safest to drop if a cap ever binds
+    # r5-green, structurally trivial — safest to drop if a cap ever binds
     "clean_project",
     "stage_dimension",
-    "dedup_exact",
 ]
 
 
