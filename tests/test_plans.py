@@ -166,3 +166,25 @@ def test_scan_prunes_columns_for_projection(spark, sf_dir):
     schema = plan.split("ReadSchema:")[1]
     assert "l_orderkey" in schema and "l_quantity" in schema
     assert "l_extendedprice" not in schema
+
+
+def test_ngram_df_cap_is_broadcast_stoplist(spark, sf_dir):
+    """The df cap must apply as a broadcast anti-join against the tiny
+    over-cap stop-list (r6), NOT a count window that sorts every exploded
+    shingle row — and the window fallback must stay selectable."""
+    from manifold_spark.operators.dedup import ngram_jaccard_pairs, release_shingle_caches
+    from manifold_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], threshold=0.1, max_df=50
+    )
+    plan = _plan(capped)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Window" not in plan
+    window = ngram_jaccard_pairs(
+        docs, "text", "doc_id", ["lang", "source"], threshold=0.1, max_df=50,
+        df_cap_strategy="window",
+    )
+    assert "Window" in _plan(window)
+    release_shingle_caches()
