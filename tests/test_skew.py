@@ -110,3 +110,27 @@ def test_deep_chain_breaks_label_propagation(spark, sf_dir):
             assume_unique_ids=True,
         ).count()
     dedup.release_shingle_caches()
+
+
+def test_minhash_cap_is_monotone_subset(spark, skewed):
+    """Cap semantics sanity: tightening max_bucket can only REMOVE pairs
+    (bucket dropping is monotone in the cap, and the exact-Jaccard verify
+    runs on full shingle sets either way), and every surviving pair keeps
+    the identical jaccard value."""
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            skewed, "text", "doc_id", threshold=0.3, max_bucket=SKEW_MAX_BUCKET
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            skewed, "text", "doc_id", threshold=0.3, max_bucket=1 << 30
+        ).collect()
+    }
+    dedup.release_shingle_caches()
+    assert set(capped) <= set(uncapped)
+    assert len(capped) < len(uncapped)  # the cap actually bit on this corpus
+    for pair, j in capped.items():
+        assert uncapped[pair] == j
