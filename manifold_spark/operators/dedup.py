@@ -168,6 +168,67 @@ def _permute(a: int, b: int):
     return lambda h: (F.lit(a) * h + F.lit(b)) % _MERSENNE
 
 
+def _minhash_sigs(sh: DataFrame, num_perm: int) -> DataFrame:
+    """(doc_id, n_sh, sig_0..sig_{n-1}) from hashed shingle rows — one
+    groupBy with num_perm map-side-combined min-aggregates."""
+    perms = _permutation_constants(num_perm)
+    h0 = sh.withColumn("h0", F.col("h") % _MERSENNE)
+    return h0.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % _MERSENNE).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(perms)
+        ],
+    )
+
+
+def _minhash_band_entries(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, key) LSH bucket entries: sha2 over each band's
+    signature slice, exploded scan-side."""
+    rows = num_perm // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.sha2(
+                            F.concat_ws(
+                                ",", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                            ),
+                            256,
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+def _verify_candidates(
+    candidates: DataFrame, sh: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of (id_a, id_b) candidates via sparse
+    intersection counts over hashed shingle rows; sizes is (doc_id, n)."""
+    sa = sh.select(F.col("doc_id").alias("id_a"), "h")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "h")
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -201,8 +262,6 @@ def minhash_lsh_pairs(
     doc) →
     banded bucket join → exact verify on the candidate pairs only.
     """
-    rows = num_perm // bands
-    perms = _permutation_constants(num_perm)
     df = ensure_parallelism(df)
 
     # The shingle rows feed three consumers (signatures + both sides of the
@@ -225,34 +284,8 @@ def minhash_lsh_pairs(
             "doc_id", stable_long_hash(F.col("shingle")).alias("h")
         )
     )
-    h0 = sh.withColumn("h0", F.col("h") % _MERSENNE)
-    sigs = h0.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        *[
-            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % _MERSENNE).alias(f"sig_{i}")
-            for i, (a, b) in enumerate(perms)
-        ],
-    )
-
-    band_entries = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.sha2(
-                            F.concat_ws(
-                                ",", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
-                            ),
-                            256,
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    sigs = _minhash_sigs(sh, num_perm)
+    band_entries = _minhash_band_entries(sigs, num_perm, bands)
 
     # Skew guard: drop pathological buckets (boilerplate shared by
     # thousands of docs explodes quadratically otherwise).
@@ -305,22 +338,130 @@ def minhash_lsh_pairs(
     # from a count over matching hashes, |A∪B| = |A|+|B|−|A∩B|. Candidates
     # with an empty intersection have Jaccard 0 and drop out — below any
     # meaningful threshold by construction.
-    sa = sh.select(F.col("doc_id").alias("id_a"), "h")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "h")
-    inter = (
-        candidates.join(sa, "id_a")
-        .join(sb, ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     sizes = sigs.select("doc_id", F.col("n_sh").alias("n"))
-    verified = (
-        inter.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
-        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
-        .filter(F.col("jaccard") >= threshold)
+    return _verify_candidates(candidates, sh, sizes, threshold)
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 24,
+    bands: int = 6,
+    shingle_n: int = 3,
+) -> dict[str, DataFrame]:
+    """The persistable LSH index state for a corpus slice — everything
+    incremental dedup needs to pair FUTURE documents against this slice
+    without ever rescanning its text:
+
+    - ``entries``  (doc_id, band, key)  — LSH bucket membership
+    - ``shingles`` (doc_id, h)          — hashed shingle rows for verify
+    - ``sizes``    (doc_id, n)          — shingle-set sizes for Jaccard
+
+    At scale each lives as a table: entries clustered by (band, key) so a
+    batch's bucket probe prunes to touched buckets, shingles/sizes
+    bucketed by doc_id so the verify join co-locates. Building the index
+    for a slice costs exactly the signature stage of `minhash_lsh_pairs`
+    over that slice."""
+    df = ensure_parallelism(df)
+    sh = _persist_tracked(
+        shingle_rows(df, text_col, id_col, shingle_n).select(
+            "doc_id", stable_long_hash(F.col("shingle")).alias("h")
+        )
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    sigs = _minhash_sigs(sh, num_perm)
+    return {
+        "entries": _minhash_band_entries(sigs, num_perm, bands),
+        "shingles": sh,
+        "sizes": sigs.select("doc_id", F.col("n_sh").alias("n")),
+    }
+
+
+def minhash_index_upsert(
+    batch: DataFrame,
+    index: dict[str, DataFrame] | None,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 24,
+    bands: int = 6,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """One micro-batch of INCREMENTAL near-duplicate detection — the
+    continuous-ingestion form of `minhash_lsh_pairs` (the foreachBatch
+    body of a streaming dedup pipeline). Returns ``(pairs, new_index)``:
+    every verified pair (id_a, id_b, jaccard) with at least one side in
+    the batch, and the index grown by the batch.
+
+    Why this exists: at 100 TB with continuous ingestion, re-running
+    corpus-wide LSH per arrival is a full-corpus signature recompute.
+    Here the old corpus contributes only its (tiny) index tables — the
+    batch computes ITS signatures, probes the bucket table for
+    candidates, verifies against stored shingle hashes, and appends.
+    Per-batch cost is O(batch + touched buckets), independent of corpus
+    age. In production the returned index frames are written per trigger
+    (parquet/Delta, like the state versions in test_streaming.py);
+    id-disjoint batches are the caller's contract (upstream exact-dedup /
+    first-seen gate).
+
+    Pair-emission contract: each pair is emitted exactly once — by the
+    batch that completes it. With ``max_bucket`` finite the semantics are
+    the STREAMING cap: a pair forms only while its bucket is within cap
+    at the completing batch's time (a bucket that outgrows the cap stops
+    pairing but keeps its early pairs). With the cap effectively off the
+    result over any batch split equals the one-shot batch operator
+    exactly (pinned by tests/test_incremental_minhash.py)."""
+    b_index = minhash_index(batch, text_col, id_col, num_perm, bands, shingle_n)
+    if index is None:
+        old_entries = None
+        all_entries = b_index["entries"]
+        all_sh = b_index["shingles"]
+        all_sizes = b_index["sizes"]
+    else:
+        old_entries = index["entries"]
+        all_entries = old_entries.unionByName(b_index["entries"])
+        all_sh = index["shingles"].unionByName(b_index["shingles"])
+        all_sizes = index["sizes"].unionByName(b_index["sizes"])
+
+    # Cap on CURRENT (post-batch) bucket sizes; only in-cap buckets pair.
+    ok_buckets = (
+        all_entries.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "key")
+    )
+    new_b = b_index["entries"].join(ok_buckets, ["band", "key"])
+
+    # Candidates with ≥1 batch side: new⋈new ordered one way plus
+    # new⋈old both ways — never old⋈old (those pairs were emitted by
+    # earlier batches).
+    nb_a, nb_b = new_b.alias("a"), new_b.alias("b")
+    cand = nb_a.join(
+        nb_b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    if old_entries is not None:
+        old_b = old_entries.join(ok_buckets, ["band", "key"])
+        o, n = old_b.alias("o"), new_b.alias("n")
+        cross = o.join(
+            n,
+            (F.col("o.band") == F.col("n.band"))
+            & (F.col("o.key") == F.col("n.key"))
+            # id-disjoint batches are the contract; guard anyway so a
+            # violating caller gets no self-pairs rather than corrupt output
+            & (F.col("o.doc_id") != F.col("n.doc_id")),
+        ).select(
+            F.least(F.col("o.doc_id"), F.col("n.doc_id")).alias("id_a"),
+            F.greatest(F.col("o.doc_id"), F.col("n.doc_id")).alias("id_b"),
+        )
+        cand = cand.unionByName(cross)
+    candidates = cand.distinct()
+
+    pairs = _verify_candidates(candidates, all_sh, all_sizes, threshold)
+    return pairs, {"entries": all_entries, "shingles": all_sh, "sizes": all_sizes}
 
 
 def simhash_fingerprint(tokens: Column, num_bits: int = 32) -> Column:
