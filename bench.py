@@ -279,6 +279,28 @@ def main() -> None:
         release_shingle_caches()
         skew[name] = {"sec": round(best, 3), **{k: int(v) for k, v in diag.items()}}
 
+    # Incremental-index tier (r6): the continuous-ingestion dedup path —
+    # 3 id-disjoint micro-batches through minhash_index_upsert. The sum
+    # should land near the one-shot dedup_minhash_lsh time (same total
+    # signature work; candidates probed per batch), and the LAST batch is
+    # the steady-state per-batch cost against a grown index.
+    inc_batches = []
+    index_state = None
+    inc_start = time.perf_counter()
+    for i in range(3):
+        b = docs.filter(F.col("doc_id") % 3 == i)
+        t0 = time.perf_counter()
+        pairs, index_state = dedup_ops.minhash_index_upsert(
+            b, index_state, "text", "doc_id", threshold=0.3
+        )
+        pairs.write.format("noop").mode("overwrite").save()
+        inc_batches.append(round(time.perf_counter() - t0, 3))
+    incremental = {
+        "minhash_3batch_sec": round(time.perf_counter() - inc_start, 3),
+        "per_batch_sec": inc_batches,
+    }
+    release_shingle_caches()
+
     # Quality tier (r6): recall of every approximate operator vs exact
     # brute-force ground truth — the gates prove hash-exactness vs an
     # oracle running the SAME approximation; this publishes how good the
@@ -454,6 +476,7 @@ def main() -> None:
         "scale10": scale10,
         "scale30": scale30,
         "skew": skew,
+        "incremental": incremental,
         "quality": quality,
         "backfill": backfill,
         "multifile": multifile,
