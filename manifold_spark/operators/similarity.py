@@ -342,34 +342,19 @@ def rp_hyperplanes(num_bits: int, dim: int, seed: int = 11) -> list[list[float]]
     return planes
 
 
-def rp_lsh_near_dup(
+def _rp_band_entries(
     corpus: DataFrame,
     dim: int,
-    threshold: float = 0.2,
-    num_bits: int = 24,
-    band_bits: int = 8,
-    max_bucket: int = 100,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    num_bits: int,
+    band_bits: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs by random-hyperplane LSH (SimHash
-    for cosine; Charikar STOC'02): bit j of a vector's fingerprint is the
-    sign of its projection onto hyperplane j, so P(bit match) = 1 − θ/π —
-    banded fingerprints bucket high-cosine pairs together without any
-    corpus-sized pairwise work. Candidates sharing ≥1 exact band verify
-    with the exact cosine and filter at ``threshold``. Returns
-    (id_a, id_b, cosine), a subset of the exact ≥-threshold pair set
-    (LSH recall < 1 by design; the IVF-blocked `cosine_near_dup` is the
-    high-recall sibling).
-
-    100 TB plan shape: posexplode the vectors once → broadcast-join the
-    64-row hyperplane table → ONE groupBy(vec) with num_bits map-side-
-    combined integer sums (the shuffle carries one num_bits-long row per
-    vector, exactly the minhash signature layout) → byte-band buckets
-    with the same ``max_bucket`` skew cap as every LSH here → verify on
-    candidates only. The fingerprint costs num_bits·dim multiply-adds
-    per vector ONCE and is the thing you'd persist next to the corpus.
-    """
+    """(vid, band, key) hyperplane-LSH bucket entries: posexplode the
+    vectors once → broadcast-join the dim-row coefficient table → one
+    groupBy(vid) with num_bits map-side-combined fixed-point sums →
+    byte-band explode. Shared by `rp_lsh_near_dup` and the incremental
+    embedding index."""
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     n_bands = num_bits // band_bits
@@ -409,7 +394,7 @@ def rp_lsh_near_dup(
         packed = bit if packed is None else packed + bit
     fp = bitsums.select("vid", packed.alias("fp"))
 
-    bands = fp.select(
+    return fp.select(
         "vid",
         "fp",
         F.explode(
@@ -425,6 +410,36 @@ def rp_lsh_near_dup(
         ).alias("bk"),
     ).select("vid", "bk.band", "bk.key")
 
+
+def rp_lsh_near_dup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.2,
+    num_bits: int = 24,
+    band_bits: int = 8,
+    max_bucket: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs by random-hyperplane LSH (SimHash
+    for cosine; Charikar STOC'02): bit j of a vector's fingerprint is the
+    sign of its projection onto hyperplane j, so P(bit match) = 1 − θ/π —
+    banded fingerprints bucket high-cosine pairs together without any
+    corpus-sized pairwise work. Candidates sharing ≥1 exact band verify
+    with the exact cosine and filter at ``threshold``. Returns
+    (id_a, id_b, cosine), a subset of the exact ≥-threshold pair set
+    (LSH recall < 1 by design; the IVF-blocked `cosine_near_dup` is the
+    high-recall sibling).
+
+    100 TB plan shape: posexplode the vectors once → broadcast-join the
+    64-row hyperplane table → ONE groupBy(vec) with num_bits map-side-
+    combined integer sums (the shuffle carries one num_bits-long row per
+    vector, exactly the minhash signature layout) → byte-band buckets
+    with the same ``max_bucket`` skew cap as every LSH here → verify on
+    candidates only. The fingerprint costs num_bits·dim multiply-adds
+    per vector ONCE and is the thing you'd persist next to the corpus.
+    """
+    bands = _rp_band_entries(corpus, dim, num_bits, band_bits, id_col, vec_col)
     sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
     bounded = bands.join(
         sizes.filter(F.col("n") <= max_bucket).select("band", "key"), ["band", "key"]
@@ -449,6 +464,100 @@ def rp_lsh_near_dup(
         .select("id_a", "id_b", cosine_expr("vec_a", "vec_b", dim).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def rp_lsh_index(
+    corpus: DataFrame,
+    dim: int,
+    num_bits: int = 24,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, DataFrame]:
+    """Persistable hyperplane-LSH index state for an embedding slice —
+    the embedding twin of `dedup.minhash_index`:
+
+    - ``entries``  (vid, band, key) — bucket membership
+    - ``vectors``  (vid, vec)       — payload for the exact-cosine verify
+
+    At scale: entries clustered by (band, key), vectors bucketed by vid
+    (or replaced by their int8 quantized form + rescoring). Building
+    costs one fingerprint pass over the slice."""
+    return {
+        "entries": _rp_band_entries(corpus, dim, num_bits, band_bits, id_col, vec_col),
+        "vectors": corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")),
+    }
+
+
+def rp_lsh_index_upsert(
+    batch: DataFrame,
+    index: dict[str, DataFrame] | None,
+    dim: int,
+    threshold: float = 0.2,
+    num_bits: int = 24,
+    band_bits: int = 8,
+    max_bucket: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """One micro-batch of incremental embedding near-dup detection —
+    `rp_lsh_near_dup` under continuous ingestion (same contract as
+    `dedup.minhash_index_upsert`): returns (pairs, new_index) where
+    pairs are the verified (id_a, id_b, cosine) with ≥1 batch side,
+    each pair emitted exactly once by the batch that completes it.
+    Per-batch cost is O(batch fingerprints + touched buckets) — the old
+    corpus contributes only its index tables, never a rescan. Cap-off
+    equivalence to the one-shot operator for any id-disjoint batch split
+    is pinned by tests/test_incremental_minhash.py."""
+    b_index = rp_lsh_index(batch, dim, num_bits, band_bits, id_col, vec_col)
+    if index is None:
+        old_entries = None
+        all_entries = b_index["entries"]
+        all_vecs = b_index["vectors"]
+    else:
+        old_entries = index["entries"]
+        all_entries = old_entries.unionByName(b_index["entries"])
+        all_vecs = index["vectors"].unionByName(b_index["vectors"])
+
+    ok_buckets = (
+        all_entries.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "key")
+    )
+    new_b = b_index["entries"].join(ok_buckets, ["band", "key"])
+
+    nb_a, nb_b = new_b.alias("a"), new_b.alias("b")
+    cand = nb_a.join(
+        nb_b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    ).select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+    if old_entries is not None:
+        old_b = old_entries.join(ok_buckets, ["band", "key"])
+        o, n = old_b.alias("o"), new_b.alias("n")
+        cross = o.join(
+            n,
+            (F.col("o.band") == F.col("n.band"))
+            & (F.col("o.key") == F.col("n.key"))
+            & (F.col("o.vid") != F.col("n.vid")),
+        ).select(
+            F.least(F.col("o.vid"), F.col("n.vid")).alias("id_a"),
+            F.greatest(F.col("o.vid"), F.col("n.vid")).alias("id_b"),
+        )
+        cand = cand.unionByName(cross)
+    candidates = cand.distinct()
+
+    va = all_vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = all_vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
+    pairs = (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_expr("vec_a", "vec_b", dim).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs, {"entries": all_entries, "vectors": all_vecs}
 
 
 def quantize_int8(

@@ -60,3 +60,31 @@ def test_incremental_batches_actually_cross_pair(spark, sf_dir):
     # the index holds every doc exactly once
     n_docs = docs.count()
     assert index["sizes"].count() == index["sizes"].select("doc_id").distinct().count()
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_incremental_rp_lsh_equals_batch(spark, sf_dir, n_batches):
+    """Embedding twin: RP-LSH incremental fold over id-disjoint splits
+    emits exactly the one-shot operator's pair set, once each."""
+    from manifold_spark.operators import DIM, similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    batch_truth = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.rp_lsh_near_dup(
+            emb, DIM, threshold=0.2, max_bucket=NO_CAP
+        ).collect()
+    }
+    index = None
+    union: dict = {}
+    for i in range(n_batches):
+        b = emb.filter(F.col("vec_id") % n_batches == i)
+        pairs, index = similarity.rp_lsh_index_upsert(
+            b, index, DIM, threshold=0.2, max_bucket=NO_CAP
+        )
+        for r in pairs.collect():
+            pair = (r["id_a"], r["id_b"])
+            assert pair not in union, f"pair {pair} emitted twice"
+            union[pair] = r["cosine"]
+    assert union == batch_truth
+    assert len(batch_truth) > 0
