@@ -418,3 +418,69 @@ def test_foreachbatch_first_seen_matches_incremental_loop(spark, sf_dir, tmp_pat
     loop = {tuple(r) for r in incremental_first_seen(events, keys, "event_id", 4).collect()}
     assert streamed == loop
     assert len(streamed) > 0
+
+
+def test_foreachbatch_minhash_index_matches_batch(spark, sf_dir, tmp_path):
+    """The incremental MinHash index under a REAL stream: documents
+    arrive as files (one per trigger, availableNow), the foreachBatch
+    sink pairs each batch against parquet-versioned index state, and the
+    union of emitted pairs must equal the one-shot batch operator
+    (cap off) — the end-to-end continuous-ingestion dedup pipeline."""
+    import os
+
+    from manifold_spark.operators import dedup
+
+    NO_CAP = 1 << 30
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.3, max_bucket=NO_CAP
+        ).collect()
+    }
+    dedup.release_shingle_caches()
+
+    src = str(tmp_path / "mh-src")
+    for i in range(3):
+        part = f"{src}/b{i}"
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(part)
+        for name in os.listdir(part):
+            os.utime(os.path.join(part, name), (2_000_000 + i * 100,) * 2)
+
+    state_root = str(tmp_path / "mh-state")
+    versions: list[int] = []
+    emitted: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        v = len(versions)
+        if v == 0:
+            index = None
+        else:
+            index = {
+                part: spark.read.parquet(f"{state_root}/v{v - 1}/{part}")
+                for part in ("entries", "shingles", "sizes")
+            }
+        pairs, new_index = dedup.minhash_index_upsert(
+            batch_df, index, "text", "doc_id", threshold=0.3, max_bucket=NO_CAP
+        )
+        emitted.extend((r["id_a"], r["id_b"]) for r in pairs.collect())
+        for part, df in new_index.items():
+            df.write.mode("overwrite").parquet(f"{state_root}/v{v}/{part}")
+        versions.append(v)
+        dedup.release_shingle_caches()
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(versions) == 3
+    assert len(emitted) == len(set(emitted))  # each pair exactly once
+    assert set(emitted) == truth
+    assert len(truth) > 0
