@@ -280,26 +280,44 @@ def main() -> None:
         skew[name] = {"sec": round(best, 3), **{k: int(v) for k, v in diag.items()}}
 
     # Incremental-index tier (r6): the continuous-ingestion dedup path —
-    # 3 id-disjoint micro-batches through minhash_index_upsert. The sum
-    # should land near the one-shot dedup_minhash_lsh time (same total
-    # signature work; candidates probed per batch), and the LAST batch is
-    # the steady-state per-batch cost against a grown index.
+    # 3 id-disjoint micro-batches through minhash_index_upsert with the
+    # index persisted to parquet per trigger, exactly as a foreachBatch
+    # sink would (the lazy-union replay without persistence re-executes
+    # earlier batches' plans and misstates the steady-state cost). The
+    # LAST batch is the per-batch cost against a grown index: batch
+    # signatures + bucket probe + verify, with index reads from parquet.
+    import shutil as _sh
+    import tempfile as _itf
+
+    # Append-shaped state, as a real sink: each trigger (1) persists the
+    # BATCH's fingerprint index parts once, (2) pairs the batch against
+    # the accumulated parquet state via `batch_index` (no signature
+    # recompute), (3) the state for the next trigger is a parquet read
+    # over all versions so far (an append table).
+    inc_root = _itf.mkdtemp(prefix="bench-mhindex-")
+    PARTS = ("entries", "shingles", "sizes")
     inc_batches = []
     index_state = None
     inc_start = time.perf_counter()
     for i in range(3):
         b = docs.filter(F.col("doc_id") % 3 == i)
         t0 = time.perf_counter()
-        pairs, index_state = dedup_ops.minhash_index_upsert(
-            b, index_state, "text", "doc_id", threshold=0.3
+        b_idx = dedup_ops.minhash_index(b, "text", "doc_id")
+        for part in PARTS:
+            b_idx[part].write.parquet(f"{inc_root}/{part}/v{i}")
+        b_idx_read = {part: spark.read.parquet(f"{inc_root}/{part}/v{i}") for part in PARTS}
+        pairs, _ = dedup_ops.minhash_index_upsert(
+            b, index_state, "text", "doc_id", threshold=0.3, batch_index=b_idx_read
         )
         pairs.write.format("noop").mode("overwrite").save()
+        index_state = {part: spark.read.parquet(f"{inc_root}/{part}/v*") for part in PARTS}
+        release_shingle_caches()
         inc_batches.append(round(time.perf_counter() - t0, 3))
     incremental = {
         "minhash_3batch_sec": round(time.perf_counter() - inc_start, 3),
         "per_batch_sec": inc_batches,
     }
-    release_shingle_caches()
+    _sh.rmtree(inc_root, ignore_errors=True)
 
     # Quality tier (r6): recall of every approximate operator vs exact
     # brute-force ground truth — the gates prove hash-exactness vs an

@@ -387,6 +387,7 @@ def minhash_index_upsert(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 50,
+    batch_index: dict[str, DataFrame] | None = None,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """One micro-batch of INCREMENTAL near-duplicate detection — the
     continuous-ingestion form of `minhash_lsh_pairs` (the foreachBatch
@@ -411,8 +412,15 @@ def minhash_index_upsert(
     at the completing batch's time (a bucket that outgrows the cap stops
     pairing but keeps its early pairs). With the cap effectively off the
     result over any batch split equals the one-shot batch operator
-    exactly (pinned by tests/test_incremental_minhash.py)."""
-    b_index = minhash_index(batch, text_col, id_col, num_perm, bands, shingle_n)
+    exactly (pinned by tests/test_incremental_minhash.py).
+
+    ``batch_index``: pass the batch's own `minhash_index` output (e.g.
+    re-read from the parquet you just persisted it to) to skip
+    recomputing batch signatures — the production sink persists the
+    batch fingerprints ONCE and pairs from the persisted copy."""
+    b_index = batch_index or minhash_index(
+        batch, text_col, id_col, num_perm, bands, shingle_n
+    )
     if index is None:
         old_entries = None
         all_entries = b_index["entries"]

@@ -499,6 +499,7 @@ def rp_lsh_index_upsert(
     max_bucket: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_index: dict[str, DataFrame] | None = None,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """One micro-batch of incremental embedding near-dup detection —
     `rp_lsh_near_dup` under continuous ingestion (same contract as
@@ -508,8 +509,11 @@ def rp_lsh_index_upsert(
     Per-batch cost is O(batch fingerprints + touched buckets) — the old
     corpus contributes only its index tables, never a rescan. Cap-off
     equivalence to the one-shot operator for any id-disjoint batch split
-    is pinned by tests/test_incremental_minhash.py."""
-    b_index = rp_lsh_index(batch, dim, num_bits, band_bits, id_col, vec_col)
+    is pinned by tests/test_incremental_minhash.py. ``batch_index``
+    passes a precomputed (persisted-and-re-read) batch index so the
+    fingerprints are computed once per batch, as a production sink
+    does."""
+    b_index = batch_index or rp_lsh_index(batch, dim, num_bits, band_bits, id_col, vec_col)
     if index is None:
         old_entries = None
         all_entries = b_index["entries"]
