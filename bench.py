@@ -60,6 +60,20 @@ def main() -> None:
 
     queries = all_queries()
 
+    # Machine calibration (r6): a fixed JVM workload (1e8-row codegen'd
+    # aggregate, min-of-2) so cross-round comparisons can normalize for
+    # host speed instead of inferring it from unchanged queries — this
+    # round's host ran ×1.2–×3.8 slower than r5's depending on load, which
+    # masqueraded as regressions until calibrated.
+    calib = float("inf")
+    for _ in range(2):
+        c0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr("sum(id * 3 + 1) as s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        calib = min(calib, time.perf_counter() - c0)
+    calib = round(calib, 3)
+
     # Warmup at the smallest scale factor: every query runs once on
     # sf0.001 so whole-stage codegen is compiled (and janino-cached by
     # identical source) before timing. The timed pass then measures data
@@ -501,6 +515,7 @@ def main() -> None:
         "minhash_diag": minhash_diag,
         "plan_shuffles": shuffles,
         "shuffle_partitions": int(cpus),
+        "calibration_1e8_agg_sec": calib,
         "sf": sf,
     }
     # The driver captures a bounded TAIL of stdout and parses the last JSON
