@@ -43,9 +43,11 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query. Every registered key has a full
     oracle — including the banded-LSH pipelines, the unrolled two-round
     Lloyd k-means (full-corpus AND hash-sampled), random-hyperplane LSH
-    with literal-embedded hyperplanes, and recursive-CTE connected
-    components — so the driver's strongest (rows+schema+hash) check
-    applies to 100% of the registry."""
+    with literal-embedded hyperplanes, recursive-CTE connected
+    components, and (r6) the adversarial-skew corpora with the caps
+    ENGAGED, the deep-path-graph star-contraction gate, and the
+    foreachBatch micro-batch dedup — so the driver's strongest
+    (rows+schema+hash) check applies to 100% of the registry."""
     from manifold_spark.queries import all_oracles
 
     return all_oracles()
