@@ -160,6 +160,29 @@ def main() -> None:
             release_shingle_caches()
         extended[name] = round(best, 3)
 
+    # r6 late addition: PQ-ADC ANN (operators/pq.py) — not a registry key
+    # (cap = 50; its plumbing is pinned bit-identical to the driver-gated
+    # sim_topk_bruteforce by tests/test_pq.py), but timed here so the
+    # 64×-compressed scan path has a perf row. End-to-end: Lloyd codebook
+    # training + scan-side encode + ADC scan + exact re-rank.
+    from manifold_spark.operators import DIM as _DIM
+    from manifold_spark.operators import N_QUERIES as _NQ
+    from manifold_spark.operators import TOP_K as _TK
+    from manifold_spark.operators import pq as _pq
+    from manifold_spark.queries import _t as _t_read
+
+    _emb = _t_read(spark, sf_dir, "embeddings")
+    _emb_q = _emb.filter(F.col("vec_id") < _NQ)
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        _pq.topk_pq(_emb_q, _emb, _DIM, k=_TK).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - start)
+        release_shingle_caches()  # frees the tracked PQ code cache too
+    extended["sim_ann_pq"] = round(best, 3)
+
     # Superlinear-regression tier: the dedup/ANN operators at 10× the
     # documents/embeddings scale (sf0.1 → sf1-equivalent row counts). Each
     # replica fuses a replica marker INTO every word (`w` → `wxrN`) so each

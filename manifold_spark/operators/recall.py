@@ -93,7 +93,7 @@ def quality_report(spark, sf_dir: str) -> dict:
         N_QUERIES,
         TOP_K,
     )
-    from manifold_spark.operators import dedup, similarity
+    from manifold_spark.operators import dedup, pq, similarity
     from manifold_spark.queries import _t
 
     docs = _t(spark, sf_dir, "documents")
@@ -113,6 +113,14 @@ def quality_report(spark, sf_dir: str) -> dict:
         similarity.topk_ivf_kmeans(
             queries, emb, DIM, k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE
         ),
+        bf,
+    )
+    # PQ-ADC at default rerank budget (R = 32k): how much of the true
+    # top-k survives 64×-compressed code scoring + exact re-rank. (Its
+    # plumbing is separately pinned BIT-identical to brute force at
+    # R ≥ |corpus| by tests/test_pq.py.)
+    out["ann_pq@k"] = topk_recall(
+        pq.topk_pq(queries, emb, DIM, k=TOP_K),
         bf,
     )
     bf.unpersist()

@@ -1,0 +1,125 @@
+"""Product-quantization ANN (`operators/pq.py`): exactness contract vs
+brute force, code well-formedness, partitioning determinism, recall
+floor, and the zero-shuffle encode plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from manifold_spark.operators import DIM, N_QUERIES, TOP_K, pq, similarity
+from manifold_spark.queries import _t
+
+
+@pytest.fixture(autouse=True)
+def _release_pq_caches():
+    """topk_pq's inline-encode path persists its codes through the shared
+    operator-cache registry; free them after every test."""
+    yield
+    from manifold_spark.operators.dedup import release_shingle_caches
+
+    release_shingle_caches()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def emb_queries(emb):
+    return emb.filter(F.col("vec_id") < N_QUERIES)
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return pq.pq_codebooks(emb, DIM)
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in df.collect()
+    )
+
+
+def test_full_rerank_equals_bruteforce(spark, emb, emb_queries, codebooks):
+    """With n_candidates ≥ |corpus| the re-rank sees every pair, so the
+    output must be BIT-identical to topk_bruteforce (same cosine_expr,
+    same tie-break) — the strongest possible equivalence for the
+    surrounding plumbing (encode → ADC → candidate agg → re-rank)."""
+    n = emb.count()
+    exact = _rows(similarity.topk_bruteforce(emb_queries, emb, DIM, k=TOP_K))
+    via_pq = _rows(
+        pq.topk_pq(
+            emb_queries, emb, DIM, k=TOP_K, n_candidates=n, codebooks=codebooks
+        )
+    )
+    assert via_pq == exact
+
+
+def test_codes_shape_and_range(emb, codebooks):
+    enc = pq.encode(emb, codebooks, DIM)
+    stats = enc.select(
+        F.size("codes").alias("m"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+    ).agg(
+        F.min("m"), F.max("m"), F.min("lo"), F.max("hi")
+    ).collect()[0]
+    assert stats[0] == stats[1] == pq.PQ_M
+    assert stats[2] >= 0 and stats[3] < pq.PQ_KSUB
+
+
+def test_encode_plan_has_no_exchange(emb, codebooks):
+    """Encoding is scan-side literal arithmetic — the persisted-codes
+    production step must never HASH-shuffle the corpus. (The one
+    round-robin exchange is ensure_parallelism's split of the
+    single-file test parquet — a no-op on a real multi-split layout,
+    pinned by test_plans.py::test_ensure_parallelism_file_heuristic.)"""
+    plan = pq.encode(emb, codebooks, DIM)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # only the parallelism split
+
+
+def test_codebooks_deterministic_under_repartition(emb, codebooks):
+    reparted = pq.pq_codebooks(emb.repartition(7), DIM)
+    assert reparted == codebooks
+
+
+def test_recall_floor_at_default_candidates(emb, emb_queries, codebooks):
+    """Default R = 32k candidates: the ADC ranking must put ≥70% of the
+    true top-k inside its candidate set on this corpus (floored with
+    margin; the bench quality tier publishes the measured number per
+    round)."""
+    exact = similarity.topk_bruteforce(emb_queries, emb, DIM, k=TOP_K)
+    approx = pq.topk_pq(emb_queries, emb, DIM, k=TOP_K, codebooks=codebooks)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(got & truth) / len(truth) >= 0.70
+
+
+def test_sampled_training_output_shape(emb, emb_queries):
+    out = pq.topk_pq(emb_queries, emb, DIM, k=TOP_K, sample_fraction=0.5)
+    rows = out.collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, TOP_K + 1))
+        cosines = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+
+
+def test_encoded_reuse_matches_inline(emb, emb_queries, codebooks):
+    """Passing a pre-materialized encode() output (the production
+    encode-once shape) must give the identical result to in-plan
+    encoding."""
+    enc = pq.encode(emb, codebooks, DIM)
+    inline = _rows(pq.topk_pq(emb_queries, emb, DIM, k=TOP_K, codebooks=codebooks))
+    reused = _rows(
+        pq.topk_pq(emb_queries, emb, DIM, k=TOP_K, codebooks=codebooks, encoded=enc)
+    )
+    assert reused == inline

@@ -40,6 +40,10 @@ def report(spark):
 def test_ann_recall_floors(report):
     assert report["ann_ivf@k"]["recall"] >= 0.9, report["ann_ivf@k"]
     assert report["ann_ivf_kmeans@k"]["recall"] >= 0.9, report["ann_ivf_kmeans@k"]
+    # PQ scores 64×-compressed codes, so its floor is lower than the
+    # full-precision IVF paths by design (measured 0.875 at the default
+    # 32·k candidate budget; floored with margin).
+    assert report["ann_pq@k"]["recall"] >= 0.75, report["ann_pq@k"]
 
 
 @pytest.mark.slow
