@@ -192,19 +192,14 @@ def pq_codebooks(
     return cb
 
 
-def encode(
-    corpus: DataFrame,
-    codebooks: list[list[list[float]]],
-    dim: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    codes_col: str = "codes",
-) -> DataFrame:
-    """(id, codes array<int>) — scan-side argmin against literal codebook
-    coefficients; zero shuffle, no UDF. The struct-array-sort argmin
-    evaluates each of the ksub distances exactly once and breaks ties by
-    smallest code (struct order = dist asc, code asc), matching the
-    trainer's assignment rule bit-for-bit."""
+def _codes_expr(
+    vec_col: str, codebooks: list[list[list[float]]], dim: int
+):
+    """The codes array<int> Column: per-subspace scan-side argmin against
+    literal codebook coefficients. The struct-array-sort argmin evaluates
+    each of the ksub distances exactly once and breaks ties by smallest
+    code (struct order = dist asc, code asc), matching the trainer's
+    assignment rule bit-for-bit."""
     m, ksub = len(codebooks), len(codebooks[0])
     dsub = dim // m
     codes = []
@@ -218,8 +213,20 @@ def encode(
             for c in range(ksub)
         ]
         codes.append(F.element_at(F.array_sort(F.array(*entries)), 1).getField("c"))
+    return F.array(*codes)
+
+
+def encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """(id, codes array<int>) — zero shuffle, no UDF; see `_codes_expr`."""
     return ensure_parallelism(corpus).select(
-        F.col(id_col).alias(id_col), F.array(*codes).alias(codes_col)
+        F.col(id_col).alias(id_col), _codes_expr(vec_col, codebooks, dim).alias(codes_col)
     )
 
 
@@ -298,21 +305,46 @@ def topk_pq(
     # are bit-identical to what the expression form would produce — and
     # they only RANK candidates; the emitted cosine comes from the exact
     # Spark-side re-rank either way.
-    import math
-
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
-        LongType,
         StructField,
         StructType,
     )
 
-    q_rows = queries.select(
+    q_rows = _query_rows(queries, codebooks, id_col, vec_col)
+    q_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("dt", ArrayType(ArrayType(DoubleType()))),
+            StructField("qnorm", DoubleType()),
+        ]
+    )
+    q = broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(qid, tables, norm) for qid, tables, norm, _vec in q_rows], q_schema
+        )
+    )
+    return _adc_search(q, enc, nt, k, R, queries, corpus, dim, id_col, vec_col)
+
+
+def _query_rows(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> list[tuple]:
+    """Collect the query batch and compute (query_id, dt, qnorm, vec)
+    driver-side: dt[j][c] = ⟨q_subvec_j, cb[j][c]⟩ left-associated, qnorm
+    the exact ‖q‖ — bit-identical IEEE doubles to the expression form."""
+    import math
+
+    m, ksub = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    out = []
+    for row in queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
-    q_data = []
-    for row in q_rows:
+    ).collect():
         vec = [float(v) for v in row["q_vec"]]
         tables = [
             [
@@ -324,19 +356,27 @@ def topk_pq(
             ]
             for j in range(m)
         ]
-        norm = math.sqrt(
-            functools.reduce(operator.add, (v * v for v in vec))
-        )
-        q_data.append((row["query_id"], tables, norm))
-    q_schema = StructType(
-        [
-            StructField("query_id", queries.schema[id_col].dataType),
-            StructField("dt", ArrayType(ArrayType(DoubleType()))),
-            StructField("qnorm", DoubleType()),
-        ]
-    )
-    q = broadcast(corpus.sparkSession.createDataFrame(q_data, q_schema))
+        norm = math.sqrt(functools.reduce(operator.add, (v * v for v in vec)))
+        out.append((row["query_id"], tables, norm, vec))
+    return out
 
+
+def _adc_search(
+    q: DataFrame,
+    enc: DataFrame,
+    nt: list[list[float]],
+    k: int,
+    R: int,
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    join_on: str | None = None,
+) -> DataFrame:
+    """Shared ADC tail: score codes against the broadcast query table
+    (crossJoin for flat PQ, equi-join on ``join_on`` for IVF-PQ lists),
+    slice top-R candidates per query, exact-cosine re-rank to top-k."""
     # Lookups via higher-order functions so `codes` is referenced twice,
     # not 2·m times — with in-plan encoding each reference would inline
     # the full argmin expression tree into the scoring projection.
@@ -354,13 +394,10 @@ def topk_pq(
         operator.add,
     )
     denom = F.col("qnorm") * F.sqrt(anorm_sq)
-    scored = (
-        q.crossJoin(enc)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "approx_cos",
-            F.when(denom > 0, adc_ip / denom).otherwise(F.lit(0.0)),
-        )
+    joined = q.join(enc, join_on) if join_on else q.crossJoin(enc)
+    scored = joined.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "approx_cos",
+        F.when(denom > 0, adc_ip / denom).otherwise(F.lit(0.0)),
     )
     # Top-R candidates per query: collect+sort+slice aggregate, not a
     # sort-window — the shuffle state per query is R (double, long)
@@ -402,7 +439,7 @@ def topk_pq(
         .join(qv, "query_id")
         .withColumn("cosine", cosine_expr("q_vec", "c_vec", dim))
     )
-    top = (
+    return (
         rr.groupBy("query_id")
         .agg(
             F.slice(
@@ -423,4 +460,123 @@ def topk_pq(
             (-F.col("s.neg")).alias("cosine"),
         )
     )
-    return top
+
+
+def topk_ivf_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_candidates: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    centroids: DataFrame | None = None,
+    sample_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed 100 TB ANN architecture (FAISS IVFPQ shape) —
+    a coarse quantizer prunes which inverted lists a query scans, PQ
+    codes bound the bytes each scanned row costs.
+
+    Differences from `topk_pq`: the one-pass corpus projection emits
+    (id, codes, coarse list id) — the coarse assignment is a SCAN-SIDE
+    literal argmax (same tie-break as `similarity.assign_centroids`:
+    highest dot, then smallest centroid id), so building the index never
+    shuffles the corpus at all. Queries probe their ``nprobe`` nearest
+    lists (computed driver-side on the collected batch) and the ADC scan
+    becomes an equi-join on the list id instead of a full pass — at
+    scale, persist the (codes, list id) table range-clustered on the
+    list id and the probe is a partition-pruned scan of
+    nprobe/n_centroids of the codes. Default centroids are the first
+    ``n_centroids`` corpus vectors by id (the `topk_ivf` convention);
+    pass Lloyd-trained ``centroids`` for tighter lists. Each corpus
+    vector lives in exactly one list, so no pair dedup is needed.
+    Returns the `topk_bruteforce` contract; approximate — recall
+    published by the bench quality tier."""
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            corpus, dim, m, ksub, iters, id_col, vec_col, sample_fraction
+        )
+    m, ksub = len(codebooks), len(codebooks[0])
+    R = n_candidates if n_candidates is not None else 32 * k
+    nt = _norm_tables(codebooks)
+
+    if centroids is None:
+        centroids = corpus.orderBy(id_col).limit(n_centroids)
+    cents = [
+        (int(r["cid"]), [float(v) for v in r["cvec"]])
+        for r in centroids.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        ).collect()
+    ]
+
+    # One zero-shuffle corpus pass: codes + coarse list id, both literal
+    # scan-side argmin/argmax (struct sort = -dot asc then cid asc ⇒
+    # highest dot, smallest cid).
+    coarse_entries = [
+        F.struct(
+            (
+                -functools.reduce(
+                    operator.add,
+                    (element(vec_col, i) * F.lit(cvec[i - 1]) for i in range(1, dim + 1)),
+                )
+            ).alias("neg"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cvec in cents
+    ]
+    coarse = F.element_at(F.array_sort(F.array(*coarse_entries)), 1).getField("cid")
+    from manifold_spark.operators.dedup import _persist_tracked
+
+    enc = _persist_tracked(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"),
+            _codes_expr(vec_col, codebooks, dim).alias("codes"),
+            coarse.alias("centroid_id"),
+        )
+    )
+
+    # Driver-side probe assignment on the collected query batch: top
+    # nprobe lists by (dot desc, cid asc) — the assign_centroids rule.
+    q_rows = _query_rows(queries, codebooks, id_col, vec_col)
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    q_data = []
+    for qid, tables, norm, vec in q_rows:
+        dots = sorted(
+            (
+                (
+                    -functools.reduce(
+                        operator.add, (v * c for v, c in zip(vec, cvec))
+                    ),
+                    cid,
+                )
+                for cid, cvec in cents
+            ),
+        )[:nprobe]
+        for _negdot, cid in dots:
+            q_data.append((qid, int(cid), tables, norm))
+    q_schema = StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("centroid_id", IntegerType()),
+            StructField("dt", ArrayType(ArrayType(DoubleType()))),
+            StructField("qnorm", DoubleType()),
+        ]
+    )
+    q = broadcast(corpus.sparkSession.createDataFrame(q_data, q_schema))
+    return _adc_search(
+        q, enc, nt, k, R, queries, corpus, dim, id_col, vec_col,
+        join_on="centroid_id",
+    )

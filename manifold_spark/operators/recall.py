@@ -123,6 +123,12 @@ def quality_report(spark, sf_dir: str) -> dict:
         pq.topk_pq(queries, emb, DIM, k=TOP_K),
         bf,
     )
+    # IVF-PQ (coarse-pruned lists over the same codes) at the default
+    # nprobe=4/16 — the fully composed 100 TB architecture.
+    out["ann_ivf_pq@k"] = topk_recall(
+        pq.topk_ivf_pq(queries, emb, DIM, k=TOP_K),
+        bf,
+    )
     bf.unpersist()
 
     # --- text LSH pair recall vs EXACT n-gram Jaccard ---------------------

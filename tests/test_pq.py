@@ -113,6 +113,69 @@ def test_sampled_training_output_shape(emb, emb_queries):
         assert all(r["neighbor_id"] != q for r in rs)
 
 
+def test_ivf_pq_full_probe_full_rerank_equals_bruteforce(emb, emb_queries, codebooks):
+    """nprobe = n_centroids and R ≥ |corpus| ⇒ every pair is scored and
+    exactly re-ranked — IVF-PQ must be BIT-identical to brute force,
+    pinning the coarse-assign + list-join plumbing end to end."""
+    n = emb.count()
+    exact = _rows(similarity.topk_bruteforce(emb_queries, emb, DIM, k=TOP_K))
+    via = _rows(
+        pq.topk_ivf_pq(
+            emb_queries, emb, DIM, k=TOP_K, nprobe=16, n_candidates=n,
+            codebooks=codebooks,
+        )
+    )
+    assert via == exact
+
+
+def test_ivf_pq_recall_floor(emb, emb_queries, codebooks):
+    """Default nprobe=4 of 16 lists: measured 0.925 at sf0.001 — floored
+    with margin. The list pruning must not collapse recall."""
+    exact = similarity.topk_bruteforce(emb_queries, emb, DIM, k=TOP_K)
+    approx = pq.topk_ivf_pq(emb_queries, emb, DIM, k=TOP_K, codebooks=codebooks)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(got & truth) / len(truth) >= 0.70
+
+
+def test_ivf_pq_index_plan_has_no_hash_exchange(emb, codebooks):
+    """The one-pass (id, codes, list id) index projection must never
+    hash-shuffle the corpus — coarse assignment is scan-side literal
+    arithmetic, not the aggregate path."""
+    from pyspark.sql import functions as F
+    import functools as ft
+    import operator as op
+
+    from manifold_spark.operators.linalg import element
+    from manifold_spark.plans.parallelism import ensure_parallelism
+
+    cents = [
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(16).collect()
+    ]
+    entries = [
+        F.struct(
+            (
+                -ft.reduce(
+                    op.add,
+                    (element("embedding", i) * F.lit(cv[i - 1]) for i in range(1, DIM + 1)),
+                )
+            ).alias("neg"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in cents
+    ]
+    coarse = F.element_at(F.array_sort(F.array(*entries)), 1).getField("cid")
+    idx = ensure_parallelism(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        pq._codes_expr("embedding", codebooks, DIM).alias("codes"),
+        coarse.alias("centroid_id"),
+    )
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # only the parallelism split
+
+
 def test_encoded_reuse_matches_inline(emb, emb_queries, codebooks):
     """Passing a pre-materialized encode() output (the production
     encode-once shape) must give the identical result to in-plan

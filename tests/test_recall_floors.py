@@ -44,6 +44,7 @@ def test_ann_recall_floors(report):
     # full-precision IVF paths by design (measured 0.875 at the default
     # 32·k candidate budget; floored with margin).
     assert report["ann_pq@k"]["recall"] >= 0.75, report["ann_pq@k"]
+    assert report["ann_ivf_pq@k"]["recall"] >= 0.70, report["ann_ivf_pq@k"]
 
 
 @pytest.mark.slow
