@@ -165,6 +165,8 @@ def main() -> None:
     # sim_topk_bruteforce by tests/test_pq.py), but timed here so the
     # 64×-compressed scan path has a perf row. End-to-end: Lloyd codebook
     # training + scan-side encode + ADC scan + exact re-rank.
+    from pyspark.sql import functions as F
+
     from manifold_spark.operators import DIM as _DIM
     from manifold_spark.operators import N_QUERIES as _NQ
     from manifold_spark.operators import TOP_K as _TK
@@ -182,6 +184,15 @@ def main() -> None:
         best = min(best, time.perf_counter() - start)
         release_shingle_caches()  # frees the tracked PQ code cache too
     extended["sim_ann_pq"] = round(best, 3)
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        _pq.topk_ivf_pq(_emb_q, _emb, _DIM, k=_TK).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - start)
+        release_shingle_caches()
+    extended["sim_ann_ivf_pq"] = round(best, 3)
 
     # Superlinear-regression tier: the dedup/ANN operators at 10× the
     # documents/embeddings scale (sf0.1 → sf1-equivalent row counts). Each

@@ -273,7 +273,6 @@ def topk_pq(
             corpus, dim, m, ksub, iters, id_col, vec_col, sample_fraction
         )
     m, ksub = len(codebooks), len(codebooks[0])
-    dsub = dim // m
     R = n_candidates if n_candidates is not None else 32 * k
     nt = _norm_tables(codebooks)
 

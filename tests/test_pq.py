@@ -176,6 +176,39 @@ def test_ivf_pq_index_plan_has_no_hash_exchange(emb, codebooks):
     assert plan.count("Exchange") <= 1  # only the parallelism split
 
 
+def test_encode_matches_pure_python(emb, codebooks):
+    """Cross-implementation pin (the simhash-style reimplementation
+    test): Spark's literal-argmin encode must equal an independent pure-
+    Python PQ encoder — same left-associated (v−c)·(v−c) double sums,
+    same (dist asc, code asc) tie-break — for EVERY corpus vector.
+    Catches any drift in the expression construction (wrong subspace
+    offset, 0/1-based slip, tie-break inversion) that the end-to-end
+    equivalence test could mask behind the re-rank."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    dsub = DIM // m
+    rows = emb.select("vec_id", "embedding").collect()
+    expected = {}
+    for r in rows:
+        vec = [float(v) for v in r["embedding"]]
+        codes = []
+        for j in range(m):
+            best = None
+            for c in range(ksub):
+                d = 0.0
+                for i in range(dsub):
+                    t = vec[j * dsub + i] - codebooks[j][c][i]
+                    d = d + t * t
+                if best is None or (d, c) < best:
+                    best = (d, c)
+            codes.append(best[1])
+        expected[r["vec_id"]] = codes
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.encode(emb, codebooks, DIM).collect()
+    }
+    assert got == expected
+
+
 def test_encoded_reuse_matches_inline(emb, emb_queries, codebooks):
     """Passing a pre-materialized encode() output (the production
     encode-once shape) must give the identical result to in-plan
