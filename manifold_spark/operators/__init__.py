@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from manifold_spark.operators import dedup, multimodal, similarity, textstats
+from manifold_spark.operators import dedup, multimodal, pq, similarity, textstats
 from manifold_spark.operators.linalg import cosine_sql, dot_sql
 from manifold_spark.queries import _t, register
 from manifold_spark.streaming.jobs import hourly_rollup, sessionize
