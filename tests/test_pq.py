@@ -209,6 +209,56 @@ def test_encode_matches_pure_python(emb, codebooks):
     assert got == expected
 
 
+# --- hypothesis: adversarial corpora (zero vectors, exact duplicates,
+# --- tied cosines) must keep the full-budget equivalence exact ---------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_DIM_SMALL = 8
+_coord = st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0])
+_vec = st.lists(_coord, min_size=_DIM_SMALL, max_size=_DIM_SMALL)
+#: ≥ ksub+queries vectors; tiny coordinate alphabet ⇒ duplicates, zero
+#: vectors, and exactly tied cosines occur constantly.
+_corpus = st.lists(_vec, min_size=6, max_size=12)
+
+
+@given(vecs=_corpus)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_property_full_budget_pq_equals_bruteforce(spark, vecs):
+    """For ANY corpus — including zero-norm vectors, exact duplicates,
+    and tied cosines — flat PQ at full candidate budget and IVF-PQ at
+    full probe+budget must be BIT-identical to brute force (shared
+    cosine_expr zero-norm guard, shared tie-break). ksub/m sized down to
+    the corpus so the seed init never starves."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    qs = df.filter(F.col("vec_id") < 2)
+    n = len(vecs)
+    k = 3
+    exact = _rows(similarity.topk_bruteforce(qs, df, _DIM_SMALL, k=k))
+    cb = pq.pq_codebooks(df, _DIM_SMALL, m=2, ksub=min(4, n), iters=1)
+    flat = _rows(
+        pq.topk_pq(qs, df, _DIM_SMALL, k=k, n_candidates=n, codebooks=cb)
+    )
+    assert flat == exact
+    ivf = _rows(
+        pq.topk_ivf_pq(
+            qs, df, _DIM_SMALL, k=k, n_centroids=min(4, n), nprobe=min(4, n),
+            n_candidates=n, codebooks=cb,
+        )
+    )
+    assert ivf == exact
+    from manifold_spark.operators.dedup import release_shingle_caches
+
+    release_shingle_caches()
+
+
 def test_encoded_reuse_matches_inline(emb, emb_queries, codebooks):
     """Passing a pre-materialized encode() output (the production
     encode-once shape) must give the identical result to in-plan
