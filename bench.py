@@ -312,10 +312,18 @@ def main() -> None:
     # published diagnostics must show the caps ENGAGED (buckets_over_cap /
     # keys_over_cap > 0) with time still bounded — every earlier round
     # could only show them non-binding.
-    from manifold_spark.operators import SKEW_MAX_BUCKET, SKEW_MAX_DF, skewed_corpus
+    from manifold_spark.operators import (
+        SKEW_MAX_BUCKET,
+        SKEW_MAX_DF,
+        skewed_corpus,
+        skewed_embeddings,
+    )
 
     skew: dict = {}
     skew_docs = skewed_corpus(docs)
+    from manifold_spark.queries import _t as _t_skew
+
+    skew_emb = skewed_embeddings(_t_skew(spark, sf_dir, "embeddings"))
     for name, build in (
         (
             "minhash_lsh_skew",
@@ -329,6 +337,16 @@ def main() -> None:
             lambda d: dedup_ops.ngram_jaccard_pairs(
                 skew_docs.withColumn("blk", F.lit(1)), "text", "doc_id", ["blk"],
                 threshold=0.3, max_df=SKEW_MAX_DF, diagnostics=d,
+            ),
+        ),
+        (
+            # r6 late: the embedding cap under fire — even-id vectors
+            # collapse onto one constant vector (skewed_embeddings), so
+            # the RP fingerprint buckets hold ~corpus/2 entries.
+            "rp_lsh_skew",
+            lambda d: sim_ops.rp_lsh_near_dup(
+                skew_emb, 64, threshold=0.2,
+                max_bucket=SKEW_MAX_BUCKET, diagnostics=d,
             ),
         ),
     ):

@@ -318,6 +318,25 @@ def skewed_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def skewed_embeddings(emb: DataFrame) -> DataFrame:
+    """The embedding twin of `skewed_corpus`: replace even-id vectors
+    with ONE constant vector, so ~half the corpus collapses onto a
+    single hyperplane fingerprint and every one of its RP-LSH band
+    buckets is ~corpus/2 — `max_bucket` must engage or the bucket pairs
+    quadratically. (A production analogue: a default/zero embedding
+    emitted for failed encodes.)"""
+    const = F.array(
+        *[F.lit(float(((i * 7) % 13) - 6.0) / 6.0).cast("float") for i in range(DIM)]
+    )
+    return emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, const)
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    )
+
+
 _SKEWED_CTE = f"""
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0

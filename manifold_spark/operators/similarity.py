@@ -420,6 +420,7 @@ def rp_lsh_near_dup(
     max_bucket: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs by random-hyperplane LSH (SimHash
     for cosine; Charikar STOC'02): bit j of a vector's fingerprint is the
@@ -441,6 +442,35 @@ def rp_lsh_near_dup(
     """
     bands = _rp_band_entries(corpus, dim, num_bits, band_bits, id_col, vec_col)
     sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    if diagnostics is not None:
+        # Same cap telemetry contract as dedup.minhash_lsh_pairs — extra
+        # Spark actions, bench/ops tooling only.
+        from manifold_spark.operators.dedup import _persist_tracked
+
+        sizes = _persist_tracked(sizes)
+        stats = sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").alias("n_band_entries"),
+            F.max("n").alias("max_bucket_size"),
+            F.count(F.when(F.col("n") > max_bucket, F.lit(1))).alias(
+                "buckets_over_cap"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("n") > max_bucket, F.col("n"))), F.lit(0)
+            ).alias("entries_dropped_by_cap"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("n") <= max_bucket,
+                        (F.col("n") * (F.col("n") - 1)) / 2,
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("pair_formation_bound"),
+        ).collect()[0]
+        diagnostics.update(
+            {k: stats[k] for k in stats.asDict()}, max_bucket_cap=max_bucket
+        )
     bounded = bands.join(
         sizes.filter(F.col("n") <= max_bucket).select("band", "key"), ["band", "key"]
     )
@@ -455,6 +485,11 @@ def rp_lsh_near_dup(
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
         .distinct()
     )
+    if diagnostics is not None:
+        from manifold_spark.operators.dedup import _persist_tracked
+
+        candidates = _persist_tracked(candidates)
+        diagnostics["candidate_pairs"] = candidates.count()
 
     va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))

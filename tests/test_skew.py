@@ -14,12 +14,14 @@ from pyspark.sql import functions as F
 
 from manifold_spark.operators import (
     CHAIN_N,
+    DIM,
     SKEW_MAX_BUCKET,
     SKEW_MAX_DF,
     chain_corpus,
     skewed_corpus,
+    skewed_embeddings,
 )
-from manifold_spark.operators import dedup
+from manifold_spark.operators import dedup, similarity
 from manifold_spark.queries import _t
 
 
@@ -67,6 +69,30 @@ def test_ngram_df_cap_fires_under_skew(spark, skewed):
     # so boilerplate docs can no longer pair with each other at all —
     # remaining pairs are organic near-dups among odd-id docs.
     assert n_pairs < 1_000
+
+
+def test_rp_lsh_bucket_cap_fires_under_skew(spark, sf_dir):
+    """Embedding twin of the minhash skew gate: even-id vectors collapse
+    onto ONE constant vector (`skewed_embeddings`), so its fingerprint's
+    band buckets hold ~corpus/2 entries — the RP-LSH `max_bucket` must
+    (a) report engagement, (b) bound pair formation, and (c) keep the
+    exact-verify precision contract (every emitted pair ≥ threshold)."""
+    emb = skewed_embeddings(_t(spark, sf_dir, "embeddings")).persist()
+    diag: dict = {}
+    pairs = similarity.rp_lsh_near_dup(
+        emb, DIM, threshold=0.2, max_bucket=SKEW_MAX_BUCKET, diagnostics=diag
+    )
+    rows = pairs.collect()
+    emb.unpersist()
+    dedup.release_shingle_caches()
+    assert diag["buckets_over_cap"] > 0, diag
+    assert diag["entries_dropped_by_cap"] > 0, diag
+    assert diag["max_bucket_size"] > SKEW_MAX_BUCKET, diag
+    # The constant cluster is ~250 vectors at sf0.001 → uncapped pair
+    # formation would be ≥ 250·249/2 ≈ 31k from its buckets alone.
+    assert diag["pair_formation_bound"] < 5_000, diag
+    assert len(rows) <= diag["candidate_pairs"]
+    assert all(r["cosine"] >= 0.2 for r in rows)
 
 
 def test_deep_chain_routes_to_star_and_converges(spark, sf_dir):
