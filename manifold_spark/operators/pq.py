@@ -8,9 +8,10 @@ still costs 4·dim bytes of scan I/O. PQ bounds *bytes*: each vector is
 stored as `m` small codes (one byte each at ksub ≤ 256), so a 100 TB
 float32 corpus becomes ~3 TB of codes and the ADC scan reads codes
 only — the full-precision vectors are touched just for the final
-re-rank of ~k·rerank candidates per query. The two compose (IVF-PQ);
-this module keeps the flat-ADC form so each bound is testable on its
-own, and `topk_pq` documents the composition.
+re-rank of ~k·rerank candidates per query. The two compose:
+`topk_ivf_pq` adds a scan-side coarse quantizer so a query's ADC scan
+touches only its nprobe probed lists; `topk_pq` keeps the flat-ADC form
+so each bound stays testable on its own.
 
 Pipeline (all JVM-side, zero Python in the scan):
 
@@ -493,7 +494,8 @@ def topk_ivf_pq(
     list id and the probe is a partition-pruned scan of
     nprobe/n_centroids of the codes. Default centroids are the first
     ``n_centroids`` corpus vectors by id (the `topk_ivf` convention);
-    pass Lloyd-trained ``centroids`` for tighter lists. Each corpus
+    pass Lloyd-trained ``centroids`` — as (id_col, vec_col) columns,
+    the same contract as `similarity.topk_ivf` — for tighter lists. Each corpus
     vector lives in exactly one list, so no pair dedup is needed.
     Returns the `topk_bruteforce` contract; approximate — recall
     published by the bench quality tier."""
