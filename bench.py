@@ -209,6 +209,22 @@ def main() -> None:
         best = min(best, time.perf_counter() - start)
     _enc.unpersist()
     extended["sim_ann_pq_search_only"] = round(best, 3)
+    # IVF-PQ steady state: codebooks pre-trained AND the (codes, list id)
+    # index pre-materialized via ivf_pq_index — the probed-list search
+    # cost next to the flat search-only row above.
+    _cents = _emb.orderBy("vec_id").limit(16)
+    _idx = _pq.ivf_pq_index(_emb, _cb, _DIM, _cents).persist()
+    _idx.count()
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        _pq.topk_ivf_pq(
+            _emb_q, _emb, _DIM, k=_TK, codebooks=_cb, centroids=_cents,
+            encoded=_idx,
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - start)
+    _idx.unpersist()
+    extended["sim_ann_ivf_pq_search_only"] = round(best, 3)
 
     # Superlinear-regression tier: the dedup/ANN operators at 10× the
     # documents/embeddings scale (sf0.1 → sf1-equivalent row counts). Each

@@ -462,6 +462,55 @@ def _adc_search(
     )
 
 
+def _collect_centroids(
+    centroids: DataFrame, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Bounded collect of the coarse codebook as (cid, vector) pairs."""
+    return [
+        (int(r["cid"]), [float(v) for v in r["cvec"]])
+        for r in centroids.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        ).collect()
+    ]
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes, centroid_id) — the persistable IVF-PQ index: ONE
+    zero-shuffle corpus pass computing both the PQ codes and the coarse
+    list assignment as literal scan-side argmin/argmax (struct sort =
+    -dot asc then cid asc ⇒ highest dot, smallest cid — the
+    `similarity.assign_centroids` tie-break). At scale, write this
+    range-clustered on centroid_id (`plans.layout.write_range_clustered`)
+    so a probe is a partition-pruned scan of nprobe/n_centroids of the
+    codes."""
+    cents = _collect_centroids(centroids, id_col, vec_col)
+    coarse_entries = [
+        F.struct(
+            (
+                -functools.reduce(
+                    operator.add,
+                    (element(vec_col, i) * F.lit(cvec[i - 1]) for i in range(1, dim + 1)),
+                )
+            ).alias("neg"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cvec in cents
+    ]
+    coarse = F.element_at(F.array_sort(F.array(*coarse_entries)), 1).getField("cid")
+    return ensure_parallelism(corpus).select(
+        F.col(id_col),
+        _codes_expr(vec_col, codebooks, dim).alias("codes"),
+        coarse.alias("centroid_id"),
+    )
+
+
 def topk_ivf_pq(
     queries: DataFrame,
     corpus: DataFrame,
@@ -475,6 +524,7 @@ def topk_ivf_pq(
     n_candidates: int | None = None,
     codebooks: list[list[list[float]]] | None = None,
     centroids: DataFrame | None = None,
+    encoded: DataFrame | None = None,
     sample_fraction: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -497,8 +547,10 @@ def topk_ivf_pq(
     pass Lloyd-trained ``centroids`` — as (id_col, vec_col) columns,
     the same contract as `similarity.topk_ivf` — for tighter lists. Each corpus
     vector lives in exactly one list, so no pair dedup is needed.
-    Returns the `topk_bruteforce` contract; approximate — recall
-    published by the bench quality tier."""
+    ``encoded`` accepts a pre-materialized `ivf_pq_index()` output built
+    with the SAME codebooks and centroids (the production shape: index
+    once, search many). Returns the `topk_bruteforce` contract;
+    approximate — recall published by the bench quality tier."""
     if codebooks is None:
         codebooks = pq_codebooks(
             corpus, dim, m, ksub, iters, id_col, vec_col, sample_fraction
@@ -509,38 +561,18 @@ def topk_ivf_pq(
 
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
-    cents = [
-        (int(r["cid"]), [float(v) for v in r["cvec"]])
-        for r in centroids.select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-        ).collect()
-    ]
+    cents = _collect_centroids(centroids, id_col, vec_col)
 
-    # One zero-shuffle corpus pass: codes + coarse list id, both literal
-    # scan-side argmin/argmax (struct sort = -dot asc then cid asc ⇒
-    # highest dot, smallest cid).
-    coarse_entries = [
-        F.struct(
-            (
-                -functools.reduce(
-                    operator.add,
-                    (element(vec_col, i) * F.lit(cvec[i - 1]) for i in range(1, dim + 1)),
-                )
-            ).alias("neg"),
-            F.lit(cid).alias("cid"),
+    if encoded is not None:
+        enc = encoded.select(
+            F.col(id_col).alias("neighbor_id"), "codes", "centroid_id"
         )
-        for cid, cvec in cents
-    ]
-    coarse = F.element_at(F.array_sort(F.array(*coarse_entries)), 1).getField("cid")
-    from manifold_spark.operators.dedup import _persist_tracked
+    else:
+        from manifold_spark.operators.dedup import _persist_tracked
 
-    enc = _persist_tracked(
-        ensure_parallelism(corpus).select(
-            F.col(id_col).alias("neighbor_id"),
-            _codes_expr(vec_col, codebooks, dim).alias("codes"),
-            coarse.alias("centroid_id"),
-        )
-    )
+        enc = _persist_tracked(
+            ivf_pq_index(corpus, codebooks, dim, centroids, id_col, vec_col)
+        ).select(F.col(id_col).alias("neighbor_id"), "codes", "centroid_id")
 
     # Driver-side probe assignment on the collected query batch: top
     # nprobe lists by (dot desc, cid asc) — the assign_centroids rule.

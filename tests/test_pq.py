@@ -138,6 +138,43 @@ def test_ivf_pq_recall_floor(emb, emb_queries, codebooks):
     assert len(got & truth) / len(truth) >= 0.70
 
 
+def test_ivf_pq_with_lloyd_centroids(emb, emb_queries, codebooks):
+    """The documented cross-module contract: Lloyd-trained centroids from
+    similarity.kmeans_centroids, realiased to (id_col, vec_col), must
+    plug into topk_ivf_pq and keep the recall floor."""
+    from pyspark.sql import functions as F
+
+    cents = similarity.kmeans_centroids(emb, DIM, k=16, iters=1).select(
+        F.col("centroid_id").alias("vec_id"), F.col("cent_vec").alias("embedding")
+    )
+    exact = similarity.topk_bruteforce(emb_queries, emb, DIM, k=TOP_K)
+    approx = pq.topk_ivf_pq(
+        emb_queries, emb, DIM, k=TOP_K, codebooks=codebooks, centroids=cents
+    )
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(got) == len(truth)
+    assert len(got & truth) / len(truth) >= 0.70
+
+
+def test_ivf_pq_encoded_reuse_matches_inline(emb, emb_queries, codebooks):
+    """A pre-materialized ivf_pq_index (the production index-once shape)
+    must give the identical result to in-plan index construction."""
+    from pyspark.sql import functions as F
+
+    cents = emb.orderBy("vec_id").limit(16)
+    idx = pq.ivf_pq_index(emb, codebooks, DIM, cents).persist()
+    inline = _rows(pq.topk_ivf_pq(emb_queries, emb, DIM, k=TOP_K, codebooks=codebooks))
+    reused = _rows(
+        pq.topk_ivf_pq(
+            emb_queries, emb, DIM, k=TOP_K, codebooks=codebooks,
+            centroids=cents, encoded=idx,
+        )
+    )
+    idx.unpersist()
+    assert reused == inline
+
+
 def test_ivf_pq_index_plan_has_no_hash_exchange(emb, codebooks):
     """The one-pass (id, codes, list id) index projection must never
     hash-shuffle the corpus — coarse assignment is scan-side literal
