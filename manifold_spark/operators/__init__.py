@@ -668,9 +668,22 @@ def _text_stats_oracle() -> str:
     all_markers = sorted({m for ms in textstats.LANG_MARKERS.values() for m in ms})
     n_stop = _marker_count_sql(all_markers)
     toks = _ws_tokens_sql("text")
+    # r7 fold of the former `clean_project` key (P1-P5/F13): null-default →
+    # HTML strip → length-cap truncate, plus the source-column null-fill.
+    # The oracle's RE2 strip cannot express the engine's anchor-keeping
+    # lookahead; the corpus contains no tags so both reduce to identity —
+    # the lookahead itself is pinned by tests/test_clean.py goldens
+    # (same honest split the standalone key documented).
+    strip = "regexp_replace(coalesce(text, 'Unknown'), '<[^>]*>', '', 'g')"
+    clean_col = (
+        f"CASE WHEN length({strip}) > 250 THEN substr({strip}, 1, 250) "
+        f"ELSE {strip} END"
+    )
     return f"""
     WITH m AS (
         SELECT doc_id,
+           {clean_col} AS text_clean,
+           coalesce(d.n_chars, -1) AS char_count,
            {count_cols},
            CAST(len(regexp_extract_all(text, '{textstats.CJK_PATTERN}')) AS INT) AS n_cjk,
            CAST(len({toks}) AS INT) AS n_tokens,
@@ -683,9 +696,9 @@ def _text_stats_oracle() -> str:
                list_filter(regexp_split_to_array(trim(lower(
                    regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))), '\\s+'),
                    x -> x <> ''))), ' ')) AS fingerprint
-        FROM documents
+        FROM documents d
     )
-    SELECT doc_id, n_cjk,
+    SELECT doc_id, text_clean, char_count, n_cjk,
            CASE WHEN n_cjk > 0 THEN 'zh'
                 WHEN {best} = 0 THEN 'und'
                 {whens}
@@ -707,11 +720,20 @@ def _text_stats_oracle() -> str:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All scan-side text signals in one projection (zero shuffle, zero
     UDF): n-gram language id, quality metrics, whitespace + BPE-ish token
-    counts, sorted-distinct-token fingerprint."""
+    counts, sorted-distinct-token fingerprint — plus the r7-folded
+    `clean_project` surface (P1-P5/F13: null-default → HTML strip →
+    250-char truncate, source-column null-fill), so the clean chain keeps
+    a driver row after its standalone key retired to make cap room for
+    the PQ gates."""
+    from manifold_spark import clean
+
     docs = _t(spark, sf_dir, "documents")
     metrics = textstats.quality_metrics(F.col("text"))
+    stripped = clean.strip_html_col(F.coalesce(F.col("text"), F.lit("Unknown")))
     return docs.select(
         "doc_id",
+        clean.truncate_col(stripped, 250).alias("text_clean"),
+        F.coalesce(F.col("n_chars"), F.lit(-1)).alias("char_count"),
         F.regexp_count(F.col("text"), F.lit(textstats.CJK_PATTERN)).cast("int").alias("n_cjk"),
         textstats.language_id(F.col("text")).alias("pred_lang"),
         *[c.alias(name) for name, c in metrics.items()],
@@ -1089,6 +1111,229 @@ def q_sim_ann_ivf_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES), emb, DIM,
         k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
         sample_fraction=KMEANS_SAMPLE_BPS / 10000,
+    )
+
+
+def _pq_oracle(ivf: bool) -> str:
+    """Full SQL mirror of `pq.topk_pq` / `pq.topk_ivf_pq` (r7 — the last
+    substantive operators outside the driver gate). Everything the engine
+    computes is unrolled here bit-for-bit:
+
+    - per-subspace Lloyd codebook training (`pq.pq_codebooks`): seed =
+      subvectors of the first ksub corpus vectors by id; each round a
+      (dist asc, code asc) argmin assignment + `decimal_avg`-scale-8
+      per-dimension means (the `_kmeans_oracle` construction), empty
+      cells keeping the previous centroid via the LEFT JOIN coalesce;
+    - scan-side encoding (`pq._codes_expr`): same argmin against the
+      round-`iters` codebook, codes collected in subspace order;
+    - ADC scoring (`pq._adc_search`): dt[j][c] inner-product tables and
+      the query norm as the SAME left-associated double chains the
+      engine computes driver-side, the `0.0 + t1 + …` fold matching
+      `F.aggregate(..., lit(0.0), add)`, and the codeword-norm table
+      from `pq._norm_tables`;
+    - top-R candidate cut (approx_cos desc, neighbor_id asc), exact
+      cosine re-rank of the R·|Q| candidates, final (cosine desc, id)
+      top-k — the `topk_bruteforce` output contract.
+
+    ``ivf`` adds the coarse quantizer: default centroids (first
+    IVF_CENTROIDS corpus vectors by id), scan-side argmax list
+    assignment, and per-query nprobe probes — the ADC scan then joins on
+    the list id instead of crossing the full corpus, mirroring
+    `pq.ivf_pq_index` + `pq.topk_ivf_pq`."""
+    m, ksub, iters = pq.PQ_M, pq.PQ_KSUB, 2
+    dsub = DIM // m
+    R = 32 * TOP_K
+
+    def chain(term) -> str:
+        # left-associated "+"-chain over subspace dims 1..dsub — parses as
+        # ((t1 + t2) + t3)…, matching the engine's functools.reduce order
+        return " + ".join(term(i) for i in range(1, dsub + 1))
+
+    def sub_slice(src: str) -> str:
+        return (
+            f"list_transform(list_slice({src}.embedding, s.j * {dsub} + 1, "
+            f"(s.j + 1) * {dsub}), v -> CAST(v AS DOUBLE))"
+        )
+
+    sq_l2 = chain(
+        lambda i: f"((r.subvec[{i}] - c.cent[{i}]) * (r.subvec[{i}] - c.cent[{i}]))"
+    )
+    mean_cols = ",\n               ".join(
+        f"((CAST(SUM(CAST(floor(subvec[{d}] * 100000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)"
+        f" / 100000000.0) / COUNT(subvec[{d}])) AS m_{d}"
+        for d in range(1, dsub + 1)
+    )
+    new_cent = "[" + ", ".join(f"m.m_{d}" for d in range(1, dsub + 1)) + "]"
+
+    parts = [
+        f"""subspaces AS (
+        SELECT CAST(i AS INT) AS j FROM generate_series(0, {m - 1}) t(i)
+    )""",
+        f"""seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, embedding
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ksub})
+    )""",
+        f"""cb_0 AS (
+        SELECT s.j, d.code, {sub_slice('d')} AS cent
+        FROM subspaces s, seed d
+    )""",
+        f"""subrows AS (
+        SELECT e.vec_id AS vid, s.j, {sub_slice('e')} AS subvec
+        FROM embeddings e, subspaces s
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""assign_{i} AS (
+        SELECT vid, j, subvec, code FROM (
+            SELECT r.vid, r.j, r.subvec, c.code,
+                   row_number() OVER (PARTITION BY r.vid, r.j
+                                      ORDER BY ({sq_l2}), c.code) AS rnk
+            FROM subrows r JOIN cb_{i - 1} c ON r.j = c.j
+        ) WHERE rnk = 1
+    )""")
+        parts.append(f"""means_{i} AS (
+        SELECT j, code,
+               {mean_cols}
+        FROM assign_{i} GROUP BY j, code
+    )""")
+        parts.append(f"""cb_{i} AS (
+        SELECT p.j, p.code,
+               CASE WHEN m.code IS NULL THEN p.cent ELSE {new_cent} END AS cent
+        FROM cb_{i - 1} p LEFT JOIN means_{i} m ON p.j = m.j AND p.code = m.code
+    )""")
+
+    parts.append(f"""codes_long AS (
+        SELECT vid, j, code FROM (
+            SELECT r.vid, r.j, c.code,
+                   row_number() OVER (PARTITION BY r.vid, r.j
+                                      ORDER BY ({sq_l2}), c.code) AS rnk
+            FROM subrows r JOIN cb_{iters} c ON r.j = c.j
+        ) WHERE rnk = 1
+    )""")
+    parts.append("""enc AS (
+        SELECT vid, list(code ORDER BY j) AS codes FROM codes_long GROUP BY vid
+    )""")
+
+    ip = chain(lambda i: f"(q.subvec[{i}] * c.cent[{i}])")
+    parts.append(f"""dots AS (
+        SELECT q.query_id, c.j, c.code, ({ip}) AS ip
+        FROM (SELECT e.vec_id AS query_id, s.j, {sub_slice('e')} AS subvec
+              FROM embeddings e, subspaces s WHERE e.vec_id < {N_QUERIES}) q
+        JOIN cb_{iters} c ON q.j = c.j
+    )""")
+    parts.append("""qdt AS (
+        SELECT query_id, list(ipl ORDER BY j) AS dt FROM (
+            SELECT query_id, j, list(ip ORDER BY code) AS ipl
+            FROM dots GROUP BY query_id, j
+        ) GROUP BY query_id
+    )""")
+    parts.append(f"""qn AS (
+        SELECT vec_id AS query_id, sqrt({dot_sql('embedding', 'embedding', DIM)}) AS qnorm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    )""")
+    nrm = chain(lambda i: f"(cent[{i}] * cent[{i}])")
+    parts.append(f"""ntt AS (
+        SELECT list(nl ORDER BY j) AS nt FROM (
+            SELECT j, list(nrm ORDER BY code) AS nl
+            FROM (SELECT j, code, ({nrm}) AS nrm FROM cb_{iters}) GROUP BY j
+        )
+    )""")
+
+    if ivf:
+        parts.append(f"""cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cent_vec
+        FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+    )""")
+        parts.append(f"""coarse AS (
+        SELECT vec_id AS vid, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ({dot_sql('e.embedding', 'c.cent_vec', DIM)}) DESC,
+                                               c.centroid_id) AS crank
+            FROM embeddings e, cent c
+        ) WHERE crank <= 1
+    )""")
+        parts.append(f"""probes AS (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ({dot_sql('e.embedding', 'c.cent_vec', DIM)}) DESC,
+                                               c.centroid_id) AS crank
+            FROM embeddings e, cent c WHERE e.vec_id < {N_QUERIES}
+        ) WHERE crank <= {IVF_NPROBE}
+    )""")
+        scored_from = """FROM qdt q
+        JOIN qn ON q.query_id = qn.query_id
+        JOIN probes p ON q.query_id = p.query_id
+        JOIN (SELECT enc.vid, enc.codes, coarse.centroid_id
+              FROM enc JOIN coarse ON enc.vid = coarse.vid) e
+          ON p.centroid_id = e.centroid_id"""
+    else:
+        scored_from = """FROM qdt q
+        JOIN qn ON q.query_id = qn.query_id
+        CROSS JOIN enc e"""
+
+    ip_fold = "0.0 + " + " + ".join(f"q.dt[{j}][e.codes[{j}] + 1]" for j in range(1, m + 1))
+    nt_fold = "0.0 + " + " + ".join(f"ntt.nt[{j}][e.codes[{j}] + 1]" for j in range(1, m + 1))
+    parts.append(f"""scored AS (
+        SELECT q.query_id, e.vid AS neighbor_id,
+               ({ip_fold}) AS ip, ({nt_fold}) AS anorm_sq, qn.qnorm
+        {scored_from}
+        CROSS JOIN ntt
+        WHERE e.vid <> q.query_id
+    )""")
+    parts.append("""ranked AS (
+        SELECT query_id, neighbor_id,
+               CASE WHEN (qnorm * sqrt(anorm_sq)) > 0
+                    THEN ip / (qnorm * sqrt(anorm_sq)) ELSE 0.0 END AS approx_cos
+        FROM scored
+    )""")
+    parts.append(f"""cands AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY approx_cos DESC, neighbor_id) AS rnk
+            FROM ranked
+        ) WHERE rnk <= {R}
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    rr AS (
+        SELECT c.query_id, c.neighbor_id,
+               {cosine_sql('q.embedding', 'e.embedding', DIM)} AS cosine
+        FROM cands c
+        JOIN embeddings e ON c.neighbor_id = e.vec_id
+        JOIN embeddings q ON c.query_id = q.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM rr
+    )
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register("sim_ann_pq", _pq_oracle(ivf=False))
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat product-quantization ANN (the memory-bound 100 TB path —
+    64× smaller ADC scan bytes): codebook training, scan-side encoding,
+    ADC candidate scoring, exact-cosine re-rank, all oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq.topk_pq(emb.filter(F.col("vec_id") < N_QUERIES), emb, DIM, k=TOP_K)
+
+
+@register("sim_ann_ivf_pq", _pq_oracle(ivf=True))
+def q_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the composed FAISS-shape architecture): coarse lists bound
+    compute, PQ codes bound bytes; the one-pass (id, codes, list id)
+    index projection and probed ADC equi-join, all oracled."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq.topk_ivf_pq(
+        emb.filter(F.col("vec_id") < N_QUERIES), emb, DIM,
+        k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
     )
 
 

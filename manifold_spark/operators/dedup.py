@@ -26,6 +26,7 @@ pair list, which is tiny relative to the corpus.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import logging
 import operator
@@ -56,7 +57,9 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
 def release_shingle_caches() -> int:
     """Unpersist every cache created by the dedup pair generators; returns
     how many were released. Safe to call at any time — plans re-cache on
-    next use."""
+    next use. Prefer the `operator_cache_scope()` context manager where
+    the cache lifetime has clear lexical scope (bench tiers, tests);
+    this function remains the escape hatch for everything else."""
     n = 0
     while _SHINGLE_CACHES:
         df = _SHINGLE_CACHES.pop()
@@ -66,6 +69,26 @@ def release_shingle_caches() -> int:
         except Exception as exc:  # dead session / already-freed block
             _log.debug("release_shingle_caches: unpersist failed: %s", exc)
     return n
+
+
+@contextlib.contextmanager
+def operator_cache_scope():
+    """Scope the shared operator-cache registry: every frame persisted by
+    the operators inside the `with` body is unpersisted on exit (success
+    OR error), so bench loops and long-lived sessions cannot leak
+    persisted frames by forgetting `release_shingle_caches()`. Nestable —
+    an inner scope releases only the caches created inside it (the
+    registry length is marked at entry and popped back to the mark)."""
+    mark = len(_SHINGLE_CACHES)
+    try:
+        yield
+    finally:
+        while len(_SHINGLE_CACHES) > mark:
+            df = _SHINGLE_CACHES.pop()
+            try:
+                df.unpersist()
+            except Exception as exc:  # dead session / already-freed block
+                _log.debug("operator_cache_scope: unpersist failed: %s", exc)
 
 
 def normalized_tokens(text: Column) -> Column:

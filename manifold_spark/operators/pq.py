@@ -33,10 +33,12 @@ Pipeline (all JVM-side, zero Python in the scan):
    an m×ksub inner-product table against the literal codebook; a
    corpus vector's approximate cosine is then m table lookups + a
    norm-table lookup — no per-pair float math. Candidates are the
-   top-R per query (collect+sort+slice aggregate, NO sort-window —
-   the shuffle carries R 16-byte structs per query, never vectors),
-   then an exact-cosine re-rank over R·|Q| rows (candidates broadcast;
-   the corpus is never shuffled) emits the final top-k.
+   top-R per query via a two-stage partial top-R (slice per (query,
+   input partition) map-side, then merge-slice — NO sort-window, and
+   per-group agg state bounded at R structs; the shuffle carries ≤ R
+   16-byte structs per (query, partition), never vectors), then an
+   exact-cosine re-rank over R·|Q| rows (candidates broadcast; the
+   corpus is never shuffled) emits the final top-k.
 
 Exactness contract: with ``n_candidates ≥ |corpus|`` the re-rank sees
 every pair and the output is BIT-IDENTICAL to
@@ -257,18 +259,25 @@ def topk_pq(
     by (cosine desc, neighbor_id asc) — the `topk_bruteforce` contract.
 
     ``encoded`` accepts a pre-materialized `encode()` output (the
-    production shape: encode once, persist, search many); otherwise the
-    codes are computed in-plan. ``n_candidates`` defaults to 32·k (R only
-    sizes the per-query agg state and the driver-scale re-rank join, so a
-    generous budget is near-free — measured recall@5 0.6 at 8·k vs 0.875
-    at 32·k on the sf0.1 corpus); set it ≥ |corpus| to recover the exact
-    brute-force result.
+    production shape: encode once, persist, search many) and REQUIRES the
+    explicit ``codebooks`` that built it — silently retraining here could
+    produce a codebook that disagrees with the persisted codes and
+    degrade ADC ranking with no error. ``n_candidates`` defaults to 32·k
+    (R sizes the per-(query, partition) agg state and the driver-scale
+    re-rank join, so a generous budget is near-free — measured recall@5
+    0.6 at 8·k vs 0.875 at 32·k on the sf0.1 corpus); set it ≥ |corpus|
+    to recover the exact brute-force result.
 
     approx_cosine(q, x) = ⟨q, x̂⟩ / (‖q‖·‖x̂‖) where x̂ is the codeword
     reconstruction: the numerator is m inner-product-table lookups, the
     denominator one norm-table lookup per subspace — both tables are
     per-query / per-codebook literals, so the per-pair cost is O(m)
     regardless of dim."""
+    if encoded is not None and codebooks is None:
+        raise ValueError(
+            "encoded requires the explicit codebooks that built it — "
+            "retraining here would silently mis-rank against the persisted codes"
+        )
     if codebooks is None:
         codebooks = pq_codebooks(
             corpus, dim, m, ksub, iters, id_col, vec_col, sample_fraction
@@ -399,26 +408,26 @@ def _adc_search(
         "approx_cos",
         F.when(denom > 0, adc_ip / denom).otherwise(F.lit(0.0)),
     )
-    # Top-R candidates per query: collect+sort+slice aggregate, not a
-    # sort-window — the shuffle state per query is R (double, long)
-    # structs, and the map-side partial already truncates nothing the
-    # final slice needs.
+    # Top-R candidates per query in TWO stages so the per-query agg state
+    # is genuinely bounded (not O(scored corpus rows) — an unbounded
+    # collect_list buffer at 100 TB): stage 1 slices top-R per
+    # (query, input partition) — the group key includes
+    # spark_partition_id(), so the partial aggregate completes map-side
+    # and the shuffle carries ≤ R (double, long) structs per (query,
+    # partition); stage 2 merge-slices those pre-truncated lists to the
+    # global top-R. Result-identical to a single global slice for ANY
+    # physical layout: the global top-R by (−approx_cos, neighbor_id) is
+    # a subset of the union of per-partition top-Rs, and the final sort
+    # applies the same total order, so the emitted R structs are
+    # bit-identical regardless of where spark_partition_id() cut.
+    cand_struct = F.struct((-F.col("approx_cos")).alias("neg"), F.col("neighbor_id"))
+    partial = scored.groupBy("query_id", F.spark_partition_id().alias("_pid")).agg(
+        F.slice(F.array_sort(F.collect_list(cand_struct)), 1, R).alias("top")
+    )
     cands = (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("approx_cos")).alias("neg"),
-                            F.col("neighbor_id"),
-                        )
-                    )
-                ),
-                1,
-                R,
-            ).alias("top")
-        )
+        partial.select("query_id", F.explode("top").alias("s"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("s")), 1, R).alias("top"))
         .select(
             "query_id", F.explode(F.col("top").getField("neighbor_id")).alias("neighbor_id")
         )
@@ -464,10 +473,14 @@ def _adc_search(
 
 def _collect_centroids(
     centroids: DataFrame, id_col: str, vec_col: str
-) -> list[tuple[int, list[float]]]:
-    """Bounded collect of the coarse codebook as (cid, vector) pairs."""
+) -> list[tuple]:
+    """Bounded collect of the coarse codebook as (cid, vector) pairs.
+    Centroid ids keep their source value untouched — default centroids
+    are corpus rows whose id column is typically long, and forcing int32
+    here would crash (or silently corrupt) ids ≥ 2³¹; the id TYPE is
+    carried end-to-end via `centroids.schema[id_col].dataType`."""
     return [
-        (int(r["cid"]), [float(v) for v in r["cvec"]])
+        (r["cid"], [float(v) for v in r["cvec"]])
         for r in centroids.select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
         ).collect()
@@ -491,6 +504,10 @@ def ivf_pq_index(
     so a probe is a partition-pruned scan of nprobe/n_centroids of the
     codes."""
     cents = _collect_centroids(centroids, id_col, vec_col)
+    # Centroid-id literals are cast to the centroids frame's own id type:
+    # F.lit(python_int) infers int32 for small values, which would both
+    # mix struct element types across entries and truncate ids ≥ 2³¹.
+    cid_type = centroids.schema[id_col].dataType
     coarse_entries = [
         F.struct(
             (
@@ -499,7 +516,7 @@ def ivf_pq_index(
                     (element(vec_col, i) * F.lit(cvec[i - 1]) for i in range(1, dim + 1)),
                 )
             ).alias("neg"),
-            F.lit(cid).alias("cid"),
+            F.lit(cid).cast(cid_type).alias("cid"),
         )
         for cid, cvec in cents
     ]
@@ -547,10 +564,18 @@ def topk_ivf_pq(
     pass Lloyd-trained ``centroids`` — as (id_col, vec_col) columns,
     the same contract as `similarity.topk_ivf` — for tighter lists. Each corpus
     vector lives in exactly one list, so no pair dedup is needed.
-    ``encoded`` accepts a pre-materialized `ivf_pq_index()` output built
-    with the SAME codebooks and centroids (the production shape: index
-    once, search many). Returns the `topk_bruteforce` contract;
-    approximate — recall published by the bench quality tier."""
+    ``encoded`` accepts a pre-materialized `ivf_pq_index()` output and
+    REQUIRES the explicit ``codebooks`` AND ``centroids`` that built it
+    (the production shape: index once, search many) — retraining or
+    re-deriving either here could silently disagree with the persisted
+    codes/list ids and mis-rank with no error. Returns the
+    `topk_bruteforce` contract; approximate — recall published by the
+    bench quality tier."""
+    if encoded is not None and (codebooks is None or centroids is None):
+        raise ValueError(
+            "encoded requires the explicit codebooks AND centroids that built "
+            "it — re-deriving either would silently mismatch the persisted index"
+        )
     if codebooks is None:
         codebooks = pq_codebooks(
             corpus, dim, m, ksub, iters, id_col, vec_col, sample_fraction
@@ -580,7 +605,6 @@ def topk_ivf_pq(
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
-        IntegerType,
         StructField,
         StructType,
     )
@@ -599,11 +623,14 @@ def topk_ivf_pq(
             ),
         )[:nprobe]
         for _negdot, cid in dots:
-            q_data.append((qid, int(cid), tables, norm))
+            q_data.append((qid, cid, tables, norm))
+    # centroid_id carries the centroids frame's own id type (see
+    # `_collect_centroids`) so the probe join matches the index column
+    # type exactly for long ids too.
     q_schema = StructType(
         [
             StructField("query_id", queries.schema[id_col].dataType),
-            StructField("centroid_id", IntegerType()),
+            StructField("centroid_id", centroids.schema[id_col].dataType),
             StructField("dt", ArrayType(ArrayType(DoubleType()))),
             StructField("qnorm", DoubleType()),
         ]

@@ -439,6 +439,15 @@ def rp_lsh_near_dup(
     with the same ``max_bucket`` skew cap as every LSH here → verify on
     candidates only. The fingerprint costs num_bits·dim multiply-adds
     per vector ONCE and is the thing you'd persist next to the corpus.
+
+    ``diagnostics``: when a dict is passed, cap telemetry is computed
+    with extra Spark actions and two intermediates (bucket sizes,
+    candidate pairs) are persisted through the SHARED operator-cache
+    registry — the caller must call `dedup.release_shingle_caches()`
+    afterwards to free executor memory (the bench tiers and tests do;
+    a long-lived session that skips it leaks the two cached frames).
+    Leave as None (the default) for production runs: no extra actions,
+    nothing persisted.
     """
     bands = _rp_band_entries(corpus, dim, num_bits, band_bits, id_col, vec_col)
     sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))

@@ -91,36 +91,12 @@ def register(name: str, oracle: str | None):
 
 # ---------------------------------------------------------------------------
 # P1-P6 — projection / null-default / HTML-strip / truncate / rename
-# (reference `el_to_parquet.py:53-95`; exercised here on `documents`)
+# (reference `el_to_parquet.py:53-95`). r7: the standalone `clean_project`
+# key retired to make 50-key-cap room for the PQ gates; the full clean
+# chain (null-default → strip → truncate, source null-fill) is driver-
+# gated inside `text_stats` (operators/__init__.py) and the anchor-keeping
+# lookahead stays pinned by tests/test_clean.py goldens.
 # ---------------------------------------------------------------------------
-@register(
-    "clean_project",
-    """
-    SELECT doc_id,
-           lang,
-           source,
-           CASE WHEN length(regexp_replace(coalesce(text, 'Unknown'), '<[^>]*>', '', 'g')) > 250
-                THEN substr(regexp_replace(coalesce(text, 'Unknown'), '<[^>]*>', '', 'g'), 1, 250)
-                ELSE regexp_replace(coalesce(text, 'Unknown'), '<[^>]*>', '', 'g')
-           END AS text_clean,
-           coalesce(n_chars, -1) AS char_count
-    FROM documents
-    """,
-)
-def q_clean_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The engine strip pattern keeps <a> anchors (Java lookahead); the
-    # oracle's RE2 pattern cannot, but the corpus contains no tags, so
-    # both reduce to identity — the anchor-keeping path is covered by
-    # tests/test_clean.py golden cases.
-    docs = _t(spark, sf_dir, "documents")
-    stripped = clean.strip_html_col(F.coalesce(F.col("text"), F.lit("Unknown")))
-    return docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        clean.truncate_col(stripped, 250).alias("text_clean"),
-        F.coalesce(F.col("n_chars"), F.lit(-1)).alias("char_count"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -185,20 +161,13 @@ def q_scalar_key_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # A1 + P9 — staging dimension derivation: distinct projection + hash
-# (reference `el_to_parquet.py:177-193`)
+# (reference `el_to_parquet.py:177-193`). r7: the standalone
+# `stage_dimension` key retired under the 50-key cap — both concepts stay
+# driver-gated elsewhere (distinct dimension + surrogate keys + concat_ws/
+# sha2 hash inside `scalar_key_surface`; arg_min survivor distinct inside
+# `dedup_exact`) and the engine function keeps its pytest coverage
+# (tests/test_pipeline.py staging assertions, tests/test_operators.py).
 # ---------------------------------------------------------------------------
-@register(
-    "stage_dimension",
-    """
-    SELECT lang, source,
-           sha256(concat_ws('||', lang, source)) AS hash
-    FROM (SELECT DISTINCT lang, source FROM documents)
-    """,
-)
-def q_stage_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from manifold_spark.stage import stage_dimension
-
-    return stage_dimension(_t(spark, sf_dir, "documents"), ["lang", "source"])
 
 
 # ---------------------------------------------------------------------------
@@ -540,27 +509,22 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gets a fresh driver row each round. The head still front-loads keys
 #: never (or least recently) driver-checked, in case the cap ever drops.
 _DRIVER_ORDER_HEAD = [
-    # new in round 6 — never driver-checked
+    # new in round 7 — never driver-checked (the PQ tier, VERDICT r6 #1)
+    "sim_ann_pq",
+    "sim_ann_ivf_pq",
+    # reshaped in round 7 (clean_project folded in) — re-check first
+    "text_stats",
+    # round-6 additions — keep early in case the cap ever drops
     "dedup_skew_guard",
     "dedup_clusters_deep",
     "stream_dedup_batches",
-    # reshaped in round 6 (folds) — re-check first
-    "dedup_exact",
-    "dedup_clusters",
-    "multimodal_meta",
-]
-_DRIVER_ORDER_TAIL = [
-    # r5-green, structurally trivial — safest to drop if a cap ever binds
-    "clean_project",
-    "stage_dimension",
 ]
 
 
 def _driver_order(names: list[str]) -> list[str]:
     head = [n for n in _DRIVER_ORDER_HEAD if n in names]
-    tail = [n for n in _DRIVER_ORDER_TAIL if n in names]
-    mid = [n for n in names if n not in set(head) | set(tail)]
-    return head + mid + tail
+    mid = [n for n in names if n not in set(head)]
+    return head + mid
 
 
 def all_queries() -> dict[str, QueryFn]:
