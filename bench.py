@@ -90,21 +90,22 @@ def main() -> None:
     # (generated source embeds fresh expression ids), and on a shared
     # machine that single-threaded compile is the dominant noise term. The
     # min is the steady-state data-processing time.
-    from manifold_spark.operators.dedup import release_shingle_caches
+    from manifold_spark.operators.dedup import operator_cache_scope
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        # release AFTER both runs: run 2 legitimately reuses run 1's
+        # scope spans BOTH runs: run 2 legitimately reuses run 1's
         # shingle cache (CacheManager matches canonical plans), so the min
-        # reflects steady-state reuse; releasing here still keeps a long
-        # bench session from accumulating dead caches across queries
-        release_shingle_caches()
+        # reflects steady-state reuse; scope exit then releases so a long
+        # bench session cannot accumulate dead caches across queries
+        # (r7: scoped form per VERDICT r6 #8 — leak-proof on error too)
+        with operator_cache_scope():
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
     # Extended tier: the round-2+ gates, one timed run each — kept OUT of
@@ -154,10 +155,12 @@ def main() -> None:
     for name in EXTENDED:
         best = float("inf")
         for _ in range(2):
-            start = time.perf_counter()
-            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-            release_shingle_caches()
+            # per-run scope: caches release between runs, so the min is a
+            # clean re-execution, not cache reuse (see comment above)
+            with operator_cache_scope():
+                start = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
         extended[name] = round(best, 3)
 
     # r6 late addition: PQ-ADC ANN (operators/pq.py) — not a registry key
@@ -177,21 +180,21 @@ def main() -> None:
     _emb_q = _emb.filter(F.col("vec_id") < _NQ)
     best = float("inf")
     for _ in range(2):
-        start = time.perf_counter()
-        _pq.topk_pq(_emb_q, _emb, _DIM, k=_TK).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        best = min(best, time.perf_counter() - start)
-        release_shingle_caches()  # frees the tracked PQ code cache too
+        with operator_cache_scope():  # frees the tracked PQ code cache too
+            start = time.perf_counter()
+            _pq.topk_pq(_emb_q, _emb, _DIM, k=_TK).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - start)
     extended["sim_ann_pq"] = round(best, 3)
     best = float("inf")
     for _ in range(2):
-        start = time.perf_counter()
-        _pq.topk_ivf_pq(_emb_q, _emb, _DIM, k=_TK).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        best = min(best, time.perf_counter() - start)
-        release_shingle_caches()
+        with operator_cache_scope():
+            start = time.perf_counter()
+            _pq.topk_ivf_pq(_emb_q, _emb, _DIM, k=_TK).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - start)
     extended["sim_ann_ivf_pq"] = round(best, 3)
     # The amortized shape: codebooks trained + codes persisted ONCE (the
     # production index build), then searches pay only ADC + re-rank —
@@ -225,6 +228,24 @@ def main() -> None:
         best = min(best, time.perf_counter() - start)
     _idx.unpersist()
     extended["sim_ann_ivf_pq_search_only"] = round(best, 3)
+    # r7 (VERDICT r6 #5): plain-IVF steady state — the inverted lists
+    # pre-materialized via assign_centroids (persist-once layout,
+    # SCALING.md) so the production search cost is visible for the WHOLE
+    # ANN ladder, not just the PQ tier: probe + scoring only, next to the
+    # end-to-end sim_ann_ivf row that re-assigns the corpus every run.
+    from manifold_spark.operators import similarity as _sim
+
+    _lists = _sim.assign_centroids(_emb, _cents, _DIM).persist()
+    _lists.count()
+    best = float("inf")
+    for _ in range(2):
+        start = time.perf_counter()
+        _sim.topk_ivf(
+            _emb_q, _emb, _DIM, k=_TK, nprobe=4, centroids=_cents, lists=_lists,
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - start)
+    _lists.unpersist()
+    extended["sim_ann_ivf_search_only"] = round(best, 3)
 
     # Superlinear-regression tier: the dedup/ANN operators at 10× the
     # documents/embeddings scale (sf0.1 → sf1-equivalent row counts). Each
@@ -297,30 +318,29 @@ def main() -> None:
     minhash_diag: dict[str, dict] = {}
     for name, build in scale10_queries.items():
         # min-of-2 (r5) — same phantom-regression rationale as the
-        # extended tier; each run starts cold (caches released between).
+        # extended tier; each run starts cold (per-run scope).
         best = float("inf")
         out = None
         for _ in range(2):
-            start = time.perf_counter()
-            out = build()
-            out.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-            release_shingle_caches()
+            with operator_cache_scope():
+                start = time.perf_counter()
+                out = build()
+                out.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
         scale10[name] = round(best, 3)
         shuffles[name] = out._jdf.queryExecution().executedPlan().toString().count("Exchange")
         if name == "dedup_minhash_lsh_10x":
-            # Untimed diagnostics passes (reuse the timed run's shingle
-            # caches): is the max_bucket skew cap binding, and how do
-            # candidate pairs grow 1×→10×? (VERDICT r2: instrument before
-            # tuning the superlinear 10× growth.)
-            for tier, corpus in (("base", docs), ("scale10", docs10)):
-                d: dict = {}
-                verified = dedup_ops.minhash_lsh_pairs(
-                    corpus, "text", "doc_id", threshold=0.3, diagnostics=d
-                )
-                d["verified_pairs"] = verified.count()
-                minhash_diag[tier] = d
-        release_shingle_caches()
+            # Untimed diagnostics passes: is the max_bucket skew cap
+            # binding, and how do candidate pairs grow 1×→10×? (VERDICT
+            # r2: instrument before tuning the superlinear 10× growth.)
+            with operator_cache_scope():
+                for tier, corpus in (("base", docs), ("scale10", docs10)):
+                    d: dict = {}
+                    verified = dedup_ops.minhash_lsh_pairs(
+                        corpus, "text", "doc_id", threshold=0.3, diagnostics=d
+                    )
+                    d["verified_pairs"] = verified.count()
+                    minhash_diag[tier] = d
 
     # Skew tier (r6): the dedup caps UNDER FIRE at sf0.1 scale — half the
     # corpus collapses onto one boilerplate template (`skewed_corpus`, the
@@ -368,13 +388,13 @@ def main() -> None:
     ):
         best = float("inf")
         for _ in range(2):
-            start = time.perf_counter()
-            build(None).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-            release_shingle_caches()
+            with operator_cache_scope():
+                start = time.perf_counter()
+                build(None).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
         diag: dict = {}
-        build(diag).write.format("noop").mode("overwrite").save()
-        release_shingle_caches()
+        with operator_cache_scope():
+            build(diag).write.format("noop").mode("overwrite").save()
         skew[name] = {"sec": round(best, 3), **{k: int(v) for k, v in diag.items()}}
 
     # Incremental-index tier (r6): the continuous-ingestion dedup path —
@@ -398,18 +418,18 @@ def main() -> None:
     index_state = None
     inc_start = time.perf_counter()
     for i in range(3):
-        b = docs.filter(F.col("doc_id") % 3 == i)
-        t0 = time.perf_counter()
-        b_idx = dedup_ops.minhash_index(b, "text", "doc_id")
-        for part in PARTS:
-            b_idx[part].write.parquet(f"{inc_root}/{part}/v{i}")
-        b_idx_read = {part: spark.read.parquet(f"{inc_root}/{part}/v{i}") for part in PARTS}
-        pairs, _ = dedup_ops.minhash_index_upsert(
-            b, index_state, "text", "doc_id", threshold=0.3, batch_index=b_idx_read
-        )
-        pairs.write.format("noop").mode("overwrite").save()
-        index_state = {part: spark.read.parquet(f"{inc_root}/{part}/v*") for part in PARTS}
-        release_shingle_caches()
+        with operator_cache_scope():
+            b = docs.filter(F.col("doc_id") % 3 == i)
+            t0 = time.perf_counter()
+            b_idx = dedup_ops.minhash_index(b, "text", "doc_id")
+            for part in PARTS:
+                b_idx[part].write.parquet(f"{inc_root}/{part}/v{i}")
+            b_idx_read = {part: spark.read.parquet(f"{inc_root}/{part}/v{i}") for part in PARTS}
+            pairs, _ = dedup_ops.minhash_index_upsert(
+                b, index_state, "text", "doc_id", threshold=0.3, batch_index=b_idx_read
+            )
+            pairs.write.format("noop").mode("overwrite").save()
+            index_state = {part: spark.read.parquet(f"{inc_root}/{part}/v*") for part in PARTS}
         inc_batches.append(round(time.perf_counter() - t0, 3))
     incremental = {
         "minhash_3batch_sec": round(time.perf_counter() - inc_start, 3),
@@ -424,10 +444,10 @@ def main() -> None:
     # tests/test_recall_floors.py).
     from manifold_spark.operators.recall import quality_report
 
-    q_start = time.perf_counter()
-    quality = quality_report(spark, sf_dir)
-    quality["_seconds"] = round(time.perf_counter() - q_start, 1)
-    release_shingle_caches()
+    with operator_cache_scope():
+        q_start = time.perf_counter()
+        quality = quality_report(spark, sf_dir)
+        quality["_seconds"] = round(time.perf_counter() - q_start, 1)
 
     # Scale-30 spot check (r6): minhash + ngram claim linear pair
     # formation; prove it at another decade-ish step. One cold run each at
@@ -463,14 +483,14 @@ def main() -> None:
             ),
         ),
     ):
-        start = time.perf_counter()
-        out30 = build(None)
-        out30.write.format("noop").mode("overwrite").save()
-        sec = round(time.perf_counter() - start, 3)
-        release_shingle_caches()
+        with operator_cache_scope():
+            start = time.perf_counter()
+            out30 = build(None)
+            out30.write.format("noop").mode("overwrite").save()
+            sec = round(time.perf_counter() - start, 3)
         diag30: dict = {}
-        build(diag30).write.format("noop").mode("overwrite").save()
-        release_shingle_caches()
+        with operator_cache_scope():
+            build(diag30).write.format("noop").mode("overwrite").save()
         scale30[name] = {
             "sec": sec,
             "plan_shuffles": out30._jdf.queryExecution()
@@ -508,11 +528,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            fn(spark, multi_root).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        release_shingle_caches()
+        with operator_cache_scope():  # spans the pair, like the headline tier
+            for _ in range(2):
+                start = time.perf_counter()
+                fn(spark, multi_root).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
         multifile[name] = round(best, 3)
     shutil.rmtree(multi_root, ignore_errors=True)
 
@@ -583,11 +603,19 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # r7 (VERDICT r6 #2): calibration-normalized per-query times — each
+    # raw time divided by this run's calibration_1e8_agg_sec, so the
+    # number is "calibration units of work" and is comparable ACROSS
+    # rounds/hosts without trusting prose about host drift. A real plan
+    # regression moves the normalized number; pure host drift does not.
+    queries_cal = {k: round(v / calib, 2) for k, v in timings.items()}
     full = {
         "metric": "headline_query_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cal": queries_cal,
+        "value_cal": round(total / calib, 2),
         "extended": extended,
         "scale10": scale10,
         "scale30": scale30,
@@ -618,6 +646,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # normalized times (raw / calibration) — the primary
+                # cross-round series; see BENCH_LOCAL.json for all tiers
+                "queries_cal": queries_cal,
+                "value_cal": round(total / calib, 2),
+                "calibration_1e8_agg_sec": calib,
                 "sf": sf,
                 "detail": "BENCH_LOCAL.json",
             }

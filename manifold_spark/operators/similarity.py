@@ -138,16 +138,31 @@ def topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: default centroids are the first `n_centroids` corpus
     vectors by id (deterministic, oracle-reproducible); pass `centroids`
     (id_col, vec_col) to use a trained quantizer — same plan either way.
     Each corpus vector lands in 1 inverted list; each query probes its
     `nprobe` nearest lists and scores only those.
+
+    ``lists`` accepts a pre-materialized `assign_centroids(corpus, …)`
+    output (id_col, vec_col, centroid_id) — the production steady state:
+    assign the corpus to its inverted lists ONCE (persist/range-cluster on
+    centroid_id), then each query batch pays only probe + scoring. It
+    REQUIRES the explicit ``centroids`` that built it (same contract as
+    `pq.topk_pq(encoded=…)`): re-deriving the quantizer here could
+    silently disagree with the persisted list assignment.
     Returns (query_id, neighbor_id, rank, cosine) — approximate."""
+    if lists is not None and centroids is None:
+        raise ValueError(
+            "lists requires the explicit centroids that built it — "
+            "re-deriving the quantizer would silently mismatch the assignment"
+        )
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
-    lists = assign_centroids(corpus, centroids, dim, id_col, vec_col)
+    if lists is None:
+        lists = assign_centroids(corpus, centroids, dim, id_col, vec_col)
     probes = assign_centroids(
         queries, centroids, dim, id_col, vec_col, rank_limit=nprobe
     )

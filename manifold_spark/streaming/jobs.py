@@ -99,6 +99,42 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The streaming twin of `sessionize`: stateful sessionization via
+    `session_window` + watermark. State per open session is one (window,
+    user) row, evicted once the watermark passes the session end — the
+    lag+cumsum batch formulation has no streaming equivalent (it would
+    need the user's full history), which is exactly what `session_window`
+    exists for.
+
+    Output is the batch contract minus the per-user ordinal `session_id`
+    (a global ordinal is meaningless on an unbounded stream):
+    (user_id, n_events, session_start, session_end) with event-time
+    min/max as ISO strings — pinned row-equal to the batch operator in
+    tests/test_streaming.py on the availableNow harness.
+
+    Boundary semantics: `session_window` starts a NEW session at a gap of
+    exactly ``gap_minutes`` (half-open [ts, ts+gap) windows), while the
+    batch `lag` comparison (`gap > g`) keeps it in the SAME session. The
+    two differ only for events separated by the gap to the microsecond;
+    pick the batch side's oracle semantics when reconciling such rows."""
+    gap = f"{gap_minutes} minutes"
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     id_cols: list[str],

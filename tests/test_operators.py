@@ -208,6 +208,36 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_lists_reuse_matches_inline(spark, sf_dir):
+    """r7 (VERDICT r6 #5): pre-materialized inverted lists (the
+    persist-once production layout) must give the identical result to the
+    in-plan assignment, and passing lists without the centroids that
+    built them must be rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 8")
+    cents = emb.orderBy("vec_id").limit(16)
+    lists = similarity.assign_centroids(emb, cents, 64).persist()
+    inline = sorted(
+        tuple(r)
+        for r in similarity.topk_ivf(
+            queries, emb, 64, k=5, nprobe=4, centroids=cents
+        ).collect()
+    )
+    reused = sorted(
+        tuple(r)
+        for r in similarity.topk_ivf(
+            queries, emb, 64, k=5, nprobe=4, centroids=cents, lists=lists
+        ).collect()
+    )
+    lists.unpersist()
+    assert reused == inline
+    with _pytest.raises(ValueError):
+        similarity.topk_ivf(queries, emb, 64, k=5, lists=lists)
+
+
 def test_rp_lsh_near_dup_subset_and_deterministic(spark, sf_dir):
     """RP-LSH pairs must be a SUBSET of the exact >=threshold pair set
     (the verify stage guarantees precision 1.0; LSH only costs recall),

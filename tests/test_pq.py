@@ -175,6 +175,55 @@ def test_ivf_pq_encoded_reuse_matches_inline(emb, emb_queries, codebooks):
     assert reused == inline
 
 
+def test_ivf_pq_residual_full_budget_equals_bruteforce(emb, emb_queries):
+    """Residual encoding (r7, VERDICT r6 #7) keeps the exactness
+    contract: nprobe = n_centroids and R ≥ |corpus| ⇒ the exact re-rank
+    sees every pair, so the x̂ = c + r̂ ADC path must be BIT-identical to
+    brute force — pinning the residual frame, residual-trained codebooks,
+    and the qc/cnorm/ct scoring terms end to end."""
+    n = emb.count()
+    exact = _rows(similarity.topk_bruteforce(emb_queries, emb, DIM, k=TOP_K))
+    via = _rows(
+        pq.topk_ivf_pq(
+            emb_queries, emb, DIM, k=TOP_K, nprobe=16, n_candidates=n,
+            residual=True,
+        )
+    )
+    assert via == exact
+
+
+def test_ivf_pq_residual_recall_not_worse(emb, emb_queries):
+    """At the default nprobe/budget, residual-encoded ADC ranking must be
+    at least as good as the raw-vector encoding (it is the finer
+    quantization of the same budget; sf0.1 measures 0.925 → 1.0)."""
+    exact = similarity.topk_bruteforce(emb_queries, emb, DIM, k=TOP_K)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    raw = pq.topk_ivf_pq(emb_queries, emb, DIM, k=TOP_K)
+    res = pq.topk_ivf_pq(emb_queries, emb, DIM, k=TOP_K, residual=True)
+    raw_hits = len({(r["query_id"], r["neighbor_id"]) for r in raw.collect()} & truth)
+    res_hits = len({(r["query_id"], r["neighbor_id"]) for r in res.collect()} & truth)
+    assert res_hits >= raw_hits
+
+
+def test_encoded_without_codebooks_raises(emb, emb_queries, codebooks):
+    """A pre-materialized index without the codebooks/centroids that
+    built it must be rejected (silent retraining would mis-rank against
+    the persisted codes with no error — ADVICE r6)."""
+    import pytest as _pytest
+
+    enc = pq.encode(emb, codebooks, DIM)
+    with _pytest.raises(ValueError):
+        pq.topk_pq(emb_queries, emb, DIM, k=TOP_K, encoded=enc)
+    cents = emb.orderBy("vec_id").limit(16)
+    idx = pq.ivf_pq_index(emb, codebooks, DIM, cents)
+    with _pytest.raises(ValueError):
+        pq.topk_ivf_pq(emb_queries, emb, DIM, k=TOP_K, encoded=idx)
+    with _pytest.raises(ValueError):
+        pq.topk_ivf_pq(
+            emb_queries, emb, DIM, k=TOP_K, encoded=idx, codebooks=codebooks
+        )
+
+
 def test_ivf_pq_index_plan_has_no_hash_exchange(emb, codebooks):
     """The one-pass (id, codes, list id) index projection must never
     hash-shuffle the corpus — coarse assignment is scan-side literal
@@ -211,6 +260,13 @@ def test_ivf_pq_index_plan_has_no_hash_exchange(emb, codebooks):
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan
     assert plan.count("Exchange") <= 1  # only the parallelism split
+    # r7: the residual index keeps the same zero-shuffle contract — the
+    # residual is materialized between projections, never aggregated.
+    cents_df = emb.orderBy("vec_id").limit(16)
+    ridx = pq.ivf_pq_index(emb, codebooks, DIM, cents_df, residual=True)
+    rplan = ridx._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in rplan
+    assert rplan.count("Exchange") <= 1
 
 
 def test_encode_matches_pure_python(emb, codebooks):
