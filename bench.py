@@ -196,6 +196,18 @@ def main() -> None:
             ).save()
             best = min(best, time.perf_counter() - start)
     extended["sim_ann_ivf_pq"] = round(best, 3)
+    # r7: residual-encoded IVF-PQ (codes quantize v − c(v)) — same
+    # search plumbing, finer quantization; recall row published by the
+    # quality tier (ann_ivf_pq_residual@k, 0.925 → 1.0 at sf0.1).
+    best = float("inf")
+    for _ in range(2):
+        with operator_cache_scope():
+            start = time.perf_counter()
+            _pq.topk_ivf_pq(
+                _emb_q, _emb, _DIM, k=_TK, residual=True
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+    extended["sim_ann_ivf_pq_residual"] = round(best, 3)
     # The amortized shape: codebooks trained + codes persisted ONCE (the
     # production index build), then searches pay only ADC + re-rank —
     # this row is the steady-state per-query-batch cost the end-to-end
