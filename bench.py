@@ -120,7 +120,12 @@ def main() -> None:
         "events_funnel",
         "events_retention",
         "events_rolling_1h",
-        "sales_rollup_sets",
+        # r7: sales_rollup_sets folded into sales_cube (gid moved over);
+        # the cube gate carries the grouping-sets plan now.
+        "sales_cube",
+        # r7: span-level exact dedup (Lee et al. ExactSubstr shape) —
+        # the pair-free dedup modality.
+        "text_span_dedup",
         "shipping_priority",
         "profile_orders",
         "multimodal_decode",

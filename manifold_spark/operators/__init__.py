@@ -1616,3 +1616,81 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         shingle_n=_CONTAM_N,
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level (span) dedup: Lee et al. ACL'22 ExactSubstr, as fixed
+# n-token rolling windows — detect + scrub spans duplicated anywhere in
+# the corpus. Doc-level dedup cannot see these (r7).
+# ---------------------------------------------------------------------------
+
+SPAN_N = 12
+SPAN_MIN_COUNT = 2
+
+
+def _span_dedup_oracle(n: int = SPAN_N, min_count: int = SPAN_MIN_COUNT) -> str:
+    """Full SQL mirror of `dedup.span_dedup`: positional rolling-window
+    hashes (same md5-derived 63-bit longs), the corpus-wide ≥min_count
+    duplicate test, per-doc sorted start lists, the covered-position set
+    as a distinct flatten of per-start ranges, and the positional token
+    scrub (DuckDB lambda indexes are 1-based where Spark's are 0-based —
+    hence the i - 1). Integers and one IEEE division throughout ⇒
+    hash-exact."""
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens,
+               list_transform(
+                   range(1, greatest(len(toks) - {n - 1}, 0) + 1),
+                   i -> {_stable_hash_sql(gram)}
+               ) AS hs
+        FROM tok
+    ),
+    wins AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos, hs[i] AS h
+        FROM base, unnest(range(1, len(hs) + 1)) t(i)
+    ),
+    duph AS (
+        SELECT h FROM wins GROUP BY h HAVING count(*) >= {min_count}
+    ),
+    starts AS (
+        SELECT doc_id, list(pos ORDER BY pos) AS starts
+        FROM wins JOIN duph USING (h)
+        GROUP BY doc_id
+    ),
+    enriched AS (
+        SELECT b.doc_id, b.toks, b.n_tokens, b.hs,
+               coalesce(s.starts, CAST([] AS INT[])) AS st,
+               list_distinct(flatten(list_transform(
+                   coalesce(s.starts, CAST([] AS INT[])),
+                   s2 -> range(s2, s2 + {n})))) AS cov
+        FROM base b LEFT JOIN starts s USING (doc_id)
+    )
+    SELECT doc_id,
+           n_tokens,
+           CAST(len(hs) AS INT) AS n_windows,
+           CAST(len(st) AS INT) AS n_dup_windows,
+           CAST(len(cov) AS INT) AS dup_tokens,
+           CAST(len(cov) AS DOUBLE) / greatest(n_tokens, 1) AS dup_frac,
+           coalesce(array_to_string(
+               list_filter(toks, (t, i) -> NOT list_contains(cov, i - 1)), ' '
+           ), '') AS text_kept
+    FROM enriched
+    """
+
+
+@register("text_span_dedup", _span_dedup_oracle())
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup over the corpus: per document, how many
+    12-token windows are duplicated anywhere (min_count=2), how many
+    tokens those spans cover, and the scrubbed token stream. The one
+    LLM-pipeline dedup modality doc-level operators cannot express —
+    and the plan forms NO pairs (one count aggregate + one 8-byte-key
+    join; see `dedup.span_dedup` for the 100 TB shape)."""
+    return dedup.span_dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=SPAN_N, min_count=SPAN_MIN_COUNT,
+    )

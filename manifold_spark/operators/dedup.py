@@ -1063,3 +1063,119 @@ def contamination_check(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .select(F.col("doc_id").alias(id_col), "n_shared")
     )
+
+
+def span_window_hashes(tokens: Column, n: int) -> Column:
+    """array<long> of POSITIONAL n-token rolling-window hashes: element i
+    (0-based) is `stable_long_hash` of the space-joined window starting at
+    token i. Unlike `word_shingles` nothing deduplicates — positions are
+    the point. Docs shorter than n tokens yield an empty array (same
+    `sequence(0, -1)` guard as the shingle builder)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    grams = F.transform(
+        idx,
+        lambda i: stable_long_hash(
+            F.concat_ws(
+                " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+            )
+        ),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 12,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level exact deduplication — detect and scrub token spans
+    that appear (near-)verbatim elsewhere in the corpus (the ExactSubstr
+    technique of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022 — done here with fixed n-token rolling
+    windows instead of suffix arrays, the standard distributed
+    relaxation). Doc-level dedup misses this entirely: two distinct
+    articles quoting the same boilerplate paragraph are not document
+    duplicates, but a model still trains on the paragraph twice.
+
+    A window (n consecutive normalized tokens) is DUPLICATED when its
+    hash occurs ≥ ``min_count`` times across the corpus (self-repeats
+    included). A token is COVERED when any duplicated window contains
+    it. Returns one row per document:
+
+      (id, n_tokens, n_windows, n_dup_windows, dup_tokens, dup_frac,
+       text_kept)
+
+    where ``text_kept`` is the normalized token stream with covered
+    tokens removed (the scrub output — spans operate on the normalized
+    stream, like every fuzzy op here) and ``dup_frac`` =
+    dup_tokens / n_tokens.
+
+    100 TB plan shape — this operator never forms pairs at all:
+    1. one projection computes (toks, n_tokens, window-hash array);
+    2. posexplode to (id, pos, h) — narrow 20-byte rows;
+    3. ONE map-side-combined groupBy(h) count finds duplicated hashes
+       (the only corpus-scale shuffle, carrying pre-reduced counts);
+    4. duplicated window rows come back via an 8-byte-key equi-join and
+       collapse to a per-doc sorted `starts` array (only docs with dups
+       survive — typically a small fraction);
+    5. a left join puts `starts` beside each doc (AQE broadcasts the
+       small side) and ONE higher-order-function projection computes the
+       covered-position set (flatten of per-start ranges), the stats,
+       and the scrubbed text. No window functions, no token-level
+       shuffle, no O(n²) anywhere; cost is linear in corpus tokens.
+    """
+    toks = normalized_tokens(F.col(text_col))
+    base = ensure_parallelism(docs).select(
+        F.col(id_col), toks.alias("toks")
+    ).select(
+        id_col,
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        span_window_hashes(F.col("toks"), n).alias("hs"),
+    )
+    base = _persist_tracked(base)  # consumed twice: wins + final join
+
+    wins = base.select(F.col(id_col), F.posexplode("hs").alias("pos", "h"))
+    duph = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    starts = (
+        wins.join(duph, "h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+
+    out = base.join(starts, id_col, "left").withColumn(
+        "starts", F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    )
+    # Exact covered-position set: union of [s, s+n) per duplicated start.
+    # Computed as a distinct flatten — set SIZE is the interval-union
+    # length (no lag/window needed), and membership drives the scrub.
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("starts"), lambda s: F.sequence(s, s + F.lit(n - 1)))
+        )
+    )
+    out = out.withColumn("cov", cov)
+    kept = F.filter(
+        F.col("toks"), lambda t, i: ~F.array_contains(F.col("cov"), i)
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.size("hs").alias("n_windows"),
+        F.size("starts").alias("n_dup_windows"),
+        F.size("cov").alias("dup_tokens"),
+        (
+            F.size("cov").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+        ).alias("dup_frac"),
+        F.concat_ws(" ", kept).alias("text_kept"),
+    )

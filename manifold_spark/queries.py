@@ -509,11 +509,15 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gets a fresh driver row each round. The head still front-loads keys
 #: never (or least recently) driver-checked, in case the cap ever drops.
 _DRIVER_ORDER_HEAD = [
-    # new in round 7 — never driver-checked (the PQ tier, VERDICT r6 #1)
+    # new in round 7 — never driver-checked (the PQ tier, VERDICT r6 #1;
+    # span-level dedup)
     "sim_ann_pq",
     "sim_ann_ivf_pq",
-    # reshaped in round 7 (clean_project folded in) — re-check first
+    "text_span_dedup",
+    # reshaped in round 7 (clean_project / sales_rollup_sets folds) —
+    # re-check first
     "text_stats",
+    "sales_cube",
     # round-6 additions — keep early in case the cap ever drops
     "dedup_skew_guard",
     "dedup_clusters_deep",
@@ -685,6 +689,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r.r_name AS region_name,
            CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(grouping(r.r_name, year(o.o_orderdate)) AS INT) AS gid,
            count(*) AS n_orders,
            CAST(SUM(CAST(floor(o.o_totalprice * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS total_price
     FROM orders o
@@ -695,6 +700,13 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation + grouping bitmask in one gate
+    (r7 fold of the former `sales_rollup_sets` key): CUBE's cell set is
+    a strict superset of ROLLUP's over the same columns — (r, y), (r),
+    (y), () vs (r, y), (r), () — and the grouping_id disambiguation now
+    lives here, so the one-pass Expand + single map-side-combined
+    shuffle plan stays gated while the key count makes cap room for
+    `text_span_dedup`."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -708,6 +720,7 @@ def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").alias("region_name"),
         F.year("o_orderdate").cast("int").alias("order_year"),
     ).agg(
+        F.grouping_id().cast("int").alias("gid"),
         F.count(F.lit(1)).alias("n_orders"),
         decimal_sum(F.col("o_totalprice")).alias("total_price"),
     )
@@ -786,39 +799,12 @@ def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grand total, disambiguated by the grouping bitmask. Spark computes
 # ROLLUP with a single expand + one shuffle (map-side combined).
 # ---------------------------------------------------------------------------
-@register(
-    "sales_rollup_sets",
-    """
-    SELECT r.r_name AS region_name,
-           CAST(year(o.o_orderdate) AS INT) AS order_year,
-           CAST(grouping(r.r_name, year(o.o_orderdate)) AS INT) AS gid,
-           count(*) AS n_orders,
-           CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 100.0 AS total_price
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n   ON c.c_nationkey = n.n_nationkey
-    JOIN region r   ON n.n_regionkey = r.r_regionkey
-    GROUP BY ROLLUP (r.r_name, year(o.o_orderdate))
-    """,
-)
-def q_sales_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = ensure_parallelism(_t(spark, sf_dir, "orders"))
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    joined = (
-        o.join(broadcast(c), o.o_custkey == c.c_custkey)
-        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
-    )
-    return joined.rollup(
-        F.col("r_name").alias("region_name"),
-        F.year("o_orderdate").cast("int").alias("order_year"),
-    ).agg(
-        F.grouping_id().cast("int").alias("gid"),
-        F.count(F.lit(1)).alias("n_orders"),
-        decimal_sum(F.col("o_totalprice"), scale=2).alias("total_price"),
-    )
+# (r7: the former `sales_rollup_sets` key — ROLLUP + grouping_id over the
+# same star join — folded INTO `sales_cube` above under the driver's
+# 50-key cap: CUBE's cell set strictly contains ROLLUP's, and the gid
+# bitmask column moved into the cube gate, so every grouping-sets concept
+# (Expand node, subtotal cells, bitmask disambiguation) stays driver-
+# gated. The freed slot went to `text_span_dedup`.)
 
 
 # ---------------------------------------------------------------------------

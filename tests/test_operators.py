@@ -638,3 +638,54 @@ def test_ewma_by_user_matches_recurrence(spark, sf_dir):
     assert len(out) == len(rows)
     for r in out:
         assert abs(r["ewma"] - expected[(r["user_id"], r["event_id"])]) < 1e-9
+
+
+def test_span_dedup_detects_and_scrubs_shared_span(spark):
+    """r7: span-level exact dedup (Lee et al. ExactSubstr shape). Two
+    docs share an exact 6-token run inside otherwise-unique text: every
+    window inside the run (and only those) must be flagged in BOTH docs,
+    the covered tokens scrubbed, and unique/short docs left untouched."""
+    span = "the quick brown fox jumps high"  # 6 tokens, n=4 -> 3 windows
+    rows = [
+        (1, f"alpha beta gamma {span} delta epsilon"),
+        (2, f"one two three four {span} five six seven"),
+        (3, "totally unique text with nothing repeated anywhere at all"),
+        (4, "too short"),  # < n tokens -> zero windows
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.span_dedup(docs, "text", "doc_id", n=4).collect()}
+
+    # Docs 1 and 2: exactly the 3 windows fully inside the shared 6-token
+    # run are duplicated (windows straddling the run boundary differ),
+    # covering exactly the 6 run tokens.
+    for d in (1, 2):
+        assert out[d]["n_dup_windows"] == 3, out[d]
+        assert out[d]["dup_tokens"] == 6, out[d]
+        assert "quick brown" not in out[d]["text_kept"]
+    assert out[1]["text_kept"] == "alpha beta gamma delta epsilon"
+    assert out[2]["text_kept"] == "one two three four five six seven"
+
+    assert out[3]["n_dup_windows"] == 0
+    assert out[3]["dup_tokens"] == 0
+    assert out[3]["text_kept"].startswith("totally unique")
+    assert out[4]["n_windows"] == 0
+    assert out[4]["n_dup_windows"] == 0
+    assert out[4]["text_kept"] == "too short"
+    dedup.release_shingle_caches()
+
+
+def test_span_dedup_within_doc_repeat_counts(spark):
+    """A span repeated WITHIN one document counts toward min_count (the
+    corpus-occurrence test, not a distinct-doc test) — self-repetition
+    is exactly what training-data span dedup must catch."""
+    rep = "spam spam wonderful spam"  # repeated twice inside one doc
+    docs = spark.createDataFrame(
+        [(1, f"{rep} interlude text here {rep}"),
+         (2, "independent filler document with no repeats")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.span_dedup(docs, "text", "doc_id", n=4).collect()}
+    assert out[1]["n_dup_windows"] == 2  # one window per occurrence
+    assert out[1]["dup_tokens"] == 8
+    assert out[2]["n_dup_windows"] == 0
+    dedup.release_shingle_caches()
