@@ -44,9 +44,12 @@ def oracle_sql() -> dict[str, str]:
     oracle — including the banded-LSH pipelines, the unrolled two-round
     Lloyd k-means (full-corpus AND hash-sampled), random-hyperplane LSH
     with literal-embedded hyperplanes, recursive-CTE connected
-    components, and (r6) the adversarial-skew corpora with the caps
-    ENGAGED, the deep-path-graph star-contraction gate, and the
-    foreachBatch micro-batch dedup — so the driver's strongest
+    components, (r6) the adversarial-skew corpora with the caps
+    ENGAGED, the deep-path-graph star-contraction gate, the
+    foreachBatch micro-batch dedup, and (r7) the PQ / IVF-PQ ANN
+    pipelines (per-subspace Lloyd training, codeword argmin encode,
+    ADC lookup tables, exact re-rank, all unrolled in SQL) plus
+    span-level ExactSubstr dedup — so the driver's strongest
     (rows+schema+hash) check applies to 100% of the registry."""
     from manifold_spark.queries import all_oracles
 
