@@ -1085,6 +1085,22 @@ def span_window_hashes(tokens: Column, n: int) -> Column:
     )
 
 
+def _span_base(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, toks, n_tokens, hs) — the one-projection front of every
+    span-dedup form: normalized tokens + positional window hashes."""
+    toks = normalized_tokens(F.col(text_col))
+    return ensure_parallelism(docs).select(
+        F.col(id_col), toks.alias("toks")
+    ).select(
+        id_col,
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        span_window_hashes(F.col("toks"), n).alias("hs"),
+    )
+
+
 def span_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -1128,16 +1144,9 @@ def span_dedup(
        and the scrubbed text. No window functions, no token-level
        shuffle, no O(n²) anywhere; cost is linear in corpus tokens.
     """
-    toks = normalized_tokens(F.col(text_col))
-    base = ensure_parallelism(docs).select(
-        F.col(id_col), toks.alias("toks")
-    ).select(
-        id_col,
-        "toks",
-        F.size("toks").alias("n_tokens"),
-        span_window_hashes(F.col("toks"), n).alias("hs"),
-    )
-    base = _persist_tracked(base)  # consumed twice: wins + final join
+    base = _persist_tracked(
+        _span_base(docs, text_col, id_col, n)
+    )  # consumed twice: wins + final join
 
     wins = base.select(F.col(id_col), F.posexplode("hs").alias("pos", "h"))
     duph = (
@@ -1179,3 +1188,126 @@ def span_dedup(
         ).alias("dup_frac"),
         F.concat_ws(" ", kept).alias("text_kept"),
     )
+
+
+def span_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 12,
+) -> dict[str, DataFrame]:
+    """Persistable span-dedup index state for a corpus slice — the span
+    twin of `minhash_index` / `rp_lsh_index`:
+
+    - ``entries`` (id, pos, h)        — positional window-hash rows
+    - ``counts``  (h, cnt)            — corpus occurrence counts
+    - ``meta``    (id, n_tokens, n_windows) — per-doc denominators
+
+    At scale: entries clustered by h (a crossing-hash probe prunes to
+    touched hashes), meta/entries bucketed by id for the stats join.
+    Building the index for a slice costs exactly `span_dedup`'s
+    tokenize+hash projection over that slice."""
+    base = _persist_tracked(_span_base(docs, text_col, id_col, n))
+    return {
+        "entries": base.select(F.col(id_col), F.posexplode("hs").alias("pos", "h")),
+        "counts": (
+            base.select(F.explode("hs").alias("h"))
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        ),
+        "meta": base.select(id_col, "n_tokens", F.size("hs").alias("n_windows")),
+    }
+
+
+def span_index_upsert(
+    batch: DataFrame,
+    index: dict[str, DataFrame] | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 12,
+    min_count: int = 2,
+    batch_index: dict[str, DataFrame] | None = None,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """One micro-batch of INCREMENTAL span-level dedup — the
+    continuous-ingestion form of `span_dedup` (a foreachBatch body).
+    Returns ``(stats, new_index)``: recomputed span stats for every
+    AFFECTED document, and the index grown by the batch. Batches must be
+    id-disjoint (the `minhash_index_upsert` contract).
+
+    Span dedup is retroactive by nature: when a batch pushes a window
+    hash across ``min_count``, documents from EARLIER batches holding
+    that window become partially duplicated too. A doc is re-emitted
+    whenever (a) one of its hashes CROSSES the threshold this batch, or
+    (b) it arrives in this batch already holding a duplicated hash —
+    so each emission supersedes the previous one and the LAST emission
+    for a doc equals the one-shot `span_dedup` stats over the full
+    corpus (counts only grow; any later crossing of one of its hashes
+    would re-emit it). Docs never emitted have zero duplicated windows.
+    Pinned for a worst-case id-interleaved split in
+    tests/test_incremental_minhash.py.
+
+    Emits (id, n_tokens, n_windows, n_dup_windows, dup_tokens, dup_frac,
+    starts) — ``starts`` (sorted duplicated-window positions) lets the
+    caller scrub text it holds; the index never stores token text.
+
+    Per-batch cost: batch tokenize+hash + a counts merge + probes keyed
+    on the (typically tiny) crossing-hash set — independent of corpus
+    age except for the pruned entry probes."""
+    b_idx = batch_index if batch_index is not None else span_index(
+        batch, text_col, id_col, n
+    )
+    if index is None:
+        old_counts = None
+        entries = b_idx["entries"]
+        counts = b_idx["counts"]
+        meta = b_idx["meta"]
+    else:
+        old_counts = index["counts"]
+        entries = index["entries"].unionByName(b_idx["entries"])
+        counts = (
+            old_counts.unionByName(b_idx["counts"])
+            .groupBy("h")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        meta = index["meta"].unionByName(b_idx["meta"])
+
+    dup_now = counts.filter(F.col("cnt") >= min_count).select("h")
+    if old_counts is None:
+        crossed = dup_now
+    else:
+        prev_dup = old_counts.filter(F.col("cnt") >= min_count).select("h")
+        crossed = dup_now.join(prev_dup, "h", "left_anti")
+    affected = (
+        entries.join(crossed, "h")
+        .select(id_col)
+        .unionByName(b_idx["entries"].join(dup_now, "h").select(id_col))
+        .distinct()
+    )
+    starts = (
+        entries.join(affected, id_col, "left_semi")
+        .join(dup_now, "h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("starts"), lambda s: F.sequence(s, s + F.lit(n - 1)))
+        )
+    )
+    stats = (
+        starts.join(meta, id_col)
+        .withColumn("cov", cov)
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_windows",
+            F.size("starts").alias("n_dup_windows"),
+            F.size("cov").alias("dup_tokens"),
+            (
+                F.size("cov").cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            ).alias("dup_frac"),
+            F.col("starts"),
+        )
+    )
+    return stats, {"entries": entries, "counts": counts, "meta": meta}

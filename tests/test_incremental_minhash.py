@@ -88,3 +88,46 @@ def test_incremental_rp_lsh_equals_batch(spark, sf_dir, n_batches):
             union[pair] = r["cosine"]
     assert union == batch_truth
     assert len(batch_truth) > 0
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_incremental_span_equals_batch(spark, sf_dir, n_batches):
+    """r7: the incremental span index must converge to the one-shot
+    `span_dedup` stats for EVERY document under a worst-case
+    id-interleaved split — the last emission per doc supersedes earlier
+    ones (span dedup is retroactive: a later batch can make an earlier
+    doc's windows duplicated), and never-emitted docs are exactly the
+    docs with zero duplicated windows."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = {
+        r["doc_id"]: (r["n_tokens"], r["n_windows"], r["n_dup_windows"], r["dup_tokens"])
+        for r in dedup.span_dedup(docs, "text", "doc_id", n=12).collect()
+    }
+    dedup.release_shingle_caches()
+
+    index = None
+    last: dict = {}
+    last_batch: dict = {}
+    for i in range(n_batches):
+        batch = docs.filter(F.col("doc_id") % n_batches == i)
+        stats, index = dedup.span_index_upsert(batch, index, "text", "doc_id", n=12)
+        for r in stats.collect():
+            last[r["doc_id"]] = (
+                r["n_tokens"], r["n_windows"], r["n_dup_windows"], r["dup_tokens"]
+            )
+            last_batch[r["doc_id"]] = i
+    dedup.release_shingle_caches()
+
+    assert len(last) > 0
+    for doc_id, row in last.items():
+        assert row == truth[doc_id], (doc_id, row, truth[doc_id])
+    for doc_id, row in truth.items():
+        if doc_id not in last:
+            assert row[2] == 0, (doc_id, row)  # never emitted ⇒ no dup windows
+    if n_batches > 1:
+        # retroactivity exercised: at least one doc's FINAL emission came
+        # from a later batch than the doc itself arrived in (an earlier
+        # doc's windows became duplicated by a later batch)
+        assert any(
+            b > doc_id % n_batches for doc_id, b in last_batch.items()
+        ), "split never exercised the retroactive re-emission path"

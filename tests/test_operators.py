@@ -689,3 +689,61 @@ def test_span_dedup_within_doc_repeat_counts(spark):
     assert out[1]["dup_tokens"] == 8
     assert out[2]["n_dup_windows"] == 0
     dedup.release_shingle_caches()
+
+
+def test_span_dedup_matches_pure_python(spark):
+    """Cross-implementation pin (the simhash/PQ-encode style test): the
+    Spark span_dedup must equal an independent pure-Python reference —
+    same md5-derived window hashes, same corpus-occurrence >= min_count
+    test, same covered-position union and scrub — for every doc of a
+    seeded random corpus whose tiny vocabulary forces cross-doc and
+    within-doc span repeats."""
+    import hashlib
+    import random
+    import re
+
+    N, MIN_COUNT = 3, 2
+    rng = random.Random(777)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(40)
+    ]
+
+    def ref(rows):
+        def toks(text):
+            return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if t]
+
+        def h(gram):
+            return int(hashlib.md5(("0" + gram).encode()).hexdigest()[:15], 16)
+
+        per_doc = {}
+        counts = {}
+        for doc_id, text in rows:
+            ts = toks(text)
+            hs = [h(" ".join(ts[i : i + N])) for i in range(len(ts) - N + 1)]
+            per_doc[doc_id] = (ts, hs)
+            for v in hs:
+                counts[v] = counts.get(v, 0) + 1
+        out = {}
+        for doc_id, (ts, hs) in per_doc.items():
+            starts = [i for i, v in enumerate(hs) if counts[v] >= MIN_COUNT]
+            cov = {p for s in starts for p in range(s, s + N)}
+            kept = [t for i, t in enumerate(ts) if i not in cov]
+            out[doc_id] = (
+                len(ts), len(hs), len(starts), len(cov),
+                len(cov) / max(len(ts), 1), " ".join(kept),
+            )
+        return out
+
+    expected = ref(rows)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_windows"], r["n_dup_windows"],
+            r["dup_tokens"], r["dup_frac"], r["text_kept"],
+        )
+        for r in dedup.span_dedup(docs, "text", "doc_id", n=N, min_count=MIN_COUNT).collect()
+    }
+    assert got == expected
+    dedup.release_shingle_caches()

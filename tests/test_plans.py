@@ -188,3 +188,22 @@ def test_ngram_df_cap_is_broadcast_stoplist(spark, sf_dir):
     )
     assert "Window" in _plan(window)
     release_shingle_caches()
+
+
+def test_span_dedup_plan_is_pair_free(spark, sf_dir):
+    """r7: the span-dedup plan must never form pairs or window-sort —
+    no SortMergeJoin, no Window; duplicated-hash detection is a
+    map-side-combined HashAggregate and the dup set / per-doc starts
+    come back via joins (broadcast at this scale). The scrub is
+    higher-order-function projection work, not a token-level shuffle."""
+    from manifold_spark.operators.dedup import release_shingle_caches, span_dedup
+    from manifold_spark.queries import _t
+
+    out = span_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id", n=12)
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # duplicated-hash detection is partial-aggregated before its shuffle
+    assert "partial_count" in plan
+    release_shingle_caches()
