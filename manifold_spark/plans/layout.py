@@ -46,24 +46,34 @@ def salted_join(
     on: str,
     n_salt: int = 8,
     how: str = "inner",
+    salt_from: str | None = None,
 ) -> DataFrame:
-    """Skew-resistant equi join: the (big, skewed) left side gets a
-    deterministic salt from its row content; the (smaller) right side is
-    replicated across all salt values. Join key becomes (on, salt), so a
-    hot key spreads over `n_salt` tasks.
+    """Skew-resistant equi join: the (big, skewed) left side gets a salt,
+    the (smaller) right side is replicated across all salt values. Join
+    key becomes (on, salt), so a hot key spreads over `n_salt` tasks.
 
     The salt must be row-unique, not content-derived: hashing row CONTENT
     would send full-row duplicates (exactly the hot-key pattern salting
-    targets) to one salt bucket, spreading nothing. A per-row id gives an
-    even spread; the salt never reaches the output, so the result set is
-    unchanged even though the physical assignment varies run to run.
+    targets) to one salt bucket, spreading nothing. Pass ``salt_from`` —
+    the name of a UNIQUE left-side column (row id, event id) — for a
+    fully DETERMINISTIC salt (hash of that column): same physical
+    assignment every run, reproducible task sizes. Without it the salt
+    falls back to `monotonically_increasing_id`, whose physical
+    assignment varies run to run; the RESULT SET is identical either way
+    (the salt never reaches the output), only the layout determinism
+    differs.
 
     Only inner/left joins are sound: the right side is replicated, so
     right/full-outer would surface n_salt-1 spurious unmatched copies of
     every unmatched right row."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
+    if salt_from is not None:
+        from manifold_spark.functions.hashing import stable_long_hash
+
+        salt = F.pmod(stable_long_hash(F.col(salt_from).cast("string")), F.lit(n_salt))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salt))
     l_salted = left.withColumn("_salt", salt)
     r_salted = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

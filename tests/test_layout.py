@@ -66,6 +66,16 @@ def test_salted_join_matches_plain(spark, sf_dir):
     ps = sorted(map(repr, plain.collect()))
     ss = sorted(map(repr, salted.select(*plain.columns).collect()))
     assert ps == ss
+    # r7: deterministic salt from a unique column — same result set, and
+    # the salt assignment is now a pure function of the row (reproducible
+    # physical layout, the r6-noted improvement over monotonically_
+    # increasing_id's run-varying assignment).
+    det = salted_join(
+        lineitem.withColumn("_rid", F.monotonically_increasing_id()),
+        orders, "o_orderkey", n_salt=4, salt_from="_rid",
+    ).drop("_rid")
+    ds = sorted(map(repr, det.select(*plain.columns).collect()))
+    assert ds == ps
 
 
 def test_range_clustered_write_skips_files(spark, sf_dir, tmp_path):
