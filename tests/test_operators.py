@@ -747,3 +747,40 @@ def test_span_dedup_matches_pure_python(spark):
     }
     assert got == expected
     dedup.release_shingle_caches()
+
+
+def test_operator_cache_scope_nests_and_releases(spark):
+    """The r7 scoped cache registry: frames persisted inside a scope are
+    unpersisted on exit (success or error), an inner scope releases only
+    its own caches, and the escape-hatch function still drains whatever
+    remains."""
+    from manifold_spark.operators.dedup import (
+        _SHINGLE_CACHES,
+        _persist_tracked,
+        operator_cache_scope,
+        release_shingle_caches,
+    )
+
+    release_shingle_caches()
+    df = spark.range(10)
+    with operator_cache_scope():
+        outer = _persist_tracked(df.selectExpr("id * 2 AS v"))
+        outer.count()
+        with operator_cache_scope():
+            inner = _persist_tracked(df.selectExpr("id * 3 AS v"))
+            inner.count()
+            assert len(_SHINGLE_CACHES) == 2
+        # inner scope released ONLY its own cache
+        assert len(_SHINGLE_CACHES) == 1
+        assert inner.storageLevel.useMemory is False
+        assert outer.storageLevel.useMemory is True
+    assert len(_SHINGLE_CACHES) == 0
+    assert outer.storageLevel.useMemory is False
+    # error path still releases
+    try:
+        with operator_cache_scope():
+            _persist_tracked(df.selectExpr("id AS v")).count()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert len(_SHINGLE_CACHES) == 0
