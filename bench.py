@@ -66,10 +66,14 @@ def main() -> None:
     # round's host ran ×1.2–×3.8 slower than r5's depending on load, which
     # masqueraded as regressions until calibrated. r7: measured at BOTH
     # ends of the suite (observed swings: 0.184→0.257 within r6, 0.257 vs
-    # 0.183 across r6→r7 shipped artifacts) — a single snapshot divisor is
-    # itself noisy; the start/end pair makes within-run drift visible and
-    # `calibration_1e8_agg_sec` (the normalization divisor) is the min of
-    # all four measurements.
+    # 0.183 across r6→r7 shipped artifacts). The normalization divisor
+    # `calibration_1e8_agg_sec` is the START snapshot only (min of its 2
+    # runs) — the same JVM-warmth position as every earlier round's
+    # single snapshot, so it is the cross-round-comparable quantity; the
+    # end snapshot ships alongside purely for within-run warmth
+    # visibility (r7 measured 0.201→0.064 across one suite — a
+    # 30-minute run leaves the calibrator janino-cached and C2-JITed, a
+    # DIFFERENT quantity that must not enter the divisor).
     def _calibrate() -> float:
         best = float("inf")
         for _ in range(2):

@@ -33,10 +33,11 @@ Pipeline (all JVM-side, zero Python in the scan):
    an m×ksub inner-product table against the literal codebook; a
    corpus vector's approximate cosine is then m table lookups + a
    norm-table lookup — no per-pair float math. Candidates are the
-   top-R per query via a two-stage partial top-R (slice per (query,
-   input partition) map-side, then merge-slice — NO sort-window, and
-   per-group agg state bounded at R structs; the shuffle carries ≤ R
-   16-byte structs per (query, partition), never vectors), then an
+   top-R per query via a two-stage slice (per (query, input partition)
+   first, then a merge-slice of those ≤ R-struct lists — NO sort-window
+   over the scored rows; stage-1 agg state is bounded by one input
+   partition's scored rows, stage-2 state by R·touched-partitions per
+   query — see the bound discussion in `_adc_search`), then an
    exact-cosine re-rank over R·|Q| rows (candidates broadcast; the
    corpus is never shuffled) emits the final top-k.
 
@@ -88,10 +89,24 @@ def pq_codebooks(
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
     sample_seed: int = 0,
+    seed_filter=None,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks; returns cb[j][c] = centroid vector
     (len dsub, python floats — driver-scale state of m·ksub·dsub
     doubles, e.g. 8·16·8 = 1 Ki for the defaults).
+
+    ``seed_filter`` (optional Column predicate) restricts which rows the
+    deterministic init may seed from — training still uses every row.
+    The residual path passes ``‖residual‖² > 0`` here (ADVICE r7):
+    with default coarse centroids (= the first n_centroids corpus rows)
+    the first ksub rows of the residual frame mostly self-assign, so
+    their residuals are exactly zero and the unfiltered seed is a set of
+    duplicate zero centroids — the empty-cell rule then keeps most
+    codewords at zero and the codebook degenerates to ~2 effective
+    codewords per subspace. If the filter leaves fewer than ksub rows
+    (e.g. every residual is zero because corpus ≡ centroids), seeding
+    falls back to the unfiltered deterministic init — quantization
+    quality is moot in that case, determinism is not.
 
     Lloyd over the exploded (vid, j, subvec) relation: assignment is a
     broadcast join against the m·ksub-row codebook with a min_by argmin
@@ -122,8 +137,12 @@ def pq_codebooks(
 
     # Deterministic init: subvectors of the first ksub training vectors
     # by id (bounded ksub-row collect, same convention as the IVF
-    # quantizer init in similarity.kmeans_centroids).
-    seed_rows = train.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    # quantizer init in similarity.kmeans_centroids), optionally
+    # restricted to seed-eligible rows (see docstring).
+    seed_src = train.filter(seed_filter) if seed_filter is not None else train
+    seed_rows = seed_src.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    if len(seed_rows) < ksub and seed_filter is not None:
+        seed_rows = train.orderBy(id_col).limit(ksub).select(vec_col).collect()
     if len(seed_rows) < ksub:
         raise ValueError(f"need ≥{ksub} training vectors, got {len(seed_rows)}")
     cb = [
@@ -424,18 +443,28 @@ def _adc_search(
         "approx_cos",
         F.when(denom > 0, adc_ip / denom).otherwise(F.lit(0.0)),
     )
-    # Top-R candidates per query in TWO stages so the per-query agg state
-    # is genuinely bounded (not O(scored corpus rows) — an unbounded
-    # collect_list buffer at 100 TB): stage 1 slices top-R per
-    # (query, input partition) — the group key includes
-    # spark_partition_id(), so the partial aggregate completes map-side
-    # and the shuffle carries ≤ R (double, long) structs per (query,
-    # partition); stage 2 merge-slices those pre-truncated lists to the
-    # global top-R. Result-identical to a single global slice for ANY
-    # physical layout: the global top-R by (−approx_cos, neighbor_id) is
-    # a subset of the union of per-partition top-Rs, and the final sort
-    # applies the same total order, so the emitted R structs are
-    # bit-identical regardless of where spark_partition_id() cut.
+    # Top-R candidates per query in TWO stages. What each stage actually
+    # bounds (ADVICE r7 — the earlier "≤ R structs cross the shuffle"
+    # claim was wrong): F.slice is a post-aggregation projection, so
+    # stage 1's collect_list buffer — and the list its exchange carries —
+    # holds ALL scored rows of a (query, input-partition) group. Because
+    # the group key includes spark_partition_id(), that group lives in
+    # exactly ONE input partition, so the buffer is bounded by a single
+    # partition's scored rows (ObjectHashAggregate falls back to
+    # sort-based and spills past the in-memory threshold), never by the
+    # corpus; and stage 2 consumes the already-sliced ≤ R-struct lists,
+    # so per-query FINAL state is O(R · touched partitions), not
+    # O(corpus) — the real improvement over a single global collect. A
+    # hard ≤R-across-the-wire contract is not expressible with built-in
+    # aggregates (no bounded top-k UDAF in PySpark; pre-truncating would
+    # need the partial buffer itself to slice) — if it ever becomes a
+    # requirement, the candidate stage must move to a JVM UDAF or a
+    # sorted mapPartitions heap. Result-identical to a single global
+    # slice for ANY physical layout: the global top-R by
+    # (−approx_cos, neighbor_id) is a subset of the union of
+    # per-partition top-Rs, and the final sort applies the same total
+    # order, so the emitted R structs are bit-identical regardless of
+    # where spark_partition_id() cut.
     cand_struct = F.struct((-F.col("approx_cos")).alias("neg"), F.col("neighbor_id"))
     partial = scored.groupBy("query_id", F.spark_partition_id().alias("_pid")).agg(
         F.slice(F.array_sort(F.collect_list(cand_struct)), 1, R).alias("top")
@@ -690,7 +719,16 @@ def topk_ivf_pq(
                 id_col, vec_col,
             )
             codebooks = pq_codebooks(
-                rf, dim, m, ksub, iters, id_col, "residual", sample_fraction
+                rf, dim, m, ksub, iters, id_col, "residual", sample_fraction,
+                # Seed only from nonzero residuals: rows that ARE coarse
+                # centroids self-assign with residual exactly 0, and with
+                # default centroids those are precisely the first
+                # n_centroids ids the unfiltered seed would pick (see
+                # pq_codebooks docstring / ADVICE r7).
+                seed_filter=F.aggregate(
+                    F.col("residual"), F.lit(0.0), lambda a, x: a + x * x
+                )
+                > 0,
             )
         else:
             codebooks = pq_codebooks(

@@ -192,17 +192,19 @@ def test_ivf_pq_residual_full_budget_equals_bruteforce(emb, emb_queries):
     assert via == exact
 
 
-def test_ivf_pq_residual_recall_not_worse(emb, emb_queries):
-    """At the default nprobe/budget, residual-encoded ADC ranking must be
-    at least as good as the raw-vector encoding (it is the finer
-    quantization of the same budget; sf0.1 measures 0.925 → 1.0)."""
+def test_ivf_pq_residual_recall_floor(emb, emb_queries):
+    """At the default nprobe/budget the residual path must keep the same
+    recall floor as the raw encoding (ADVICE r7: the old strict
+    res ≥ raw dominance held empirically on this corpus but is not
+    guaranteed in general — finer quantization of the same budget
+    usually ranks better, yet nothing pins it per-corpus). The measured
+    headline numbers live in the bench quality tier (sf0.1: raw 0.925,
+    residual 1.0 at unchanged nprobe=4)."""
     exact = similarity.topk_bruteforce(emb_queries, emb, DIM, k=TOP_K)
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
-    raw = pq.topk_ivf_pq(emb_queries, emb, DIM, k=TOP_K)
     res = pq.topk_ivf_pq(emb_queries, emb, DIM, k=TOP_K, residual=True)
-    raw_hits = len({(r["query_id"], r["neighbor_id"]) for r in raw.collect()} & truth)
     res_hits = len({(r["query_id"], r["neighbor_id"]) for r in res.collect()} & truth)
-    assert res_hits >= raw_hits
+    assert res_hits / len(truth) >= 0.70
 
 
 def test_encoded_without_codebooks_raises(emb, emb_queries, codebooks):
