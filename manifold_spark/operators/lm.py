@@ -1,0 +1,186 @@
+"""Character n-gram language-model quality scoring — the CCNet-style
+perplexity filter (Wenzek et al. 2020, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data") reduced to its public core:
+score each document by its average log-probability under an add-k
+smoothed character trigram model. Low scores flag gibberish, boilerplate
+markup, and out-of-distribution text; the signal is the standard third
+leg beside the ratio heuristics (`textstats.quality_metrics`) and the
+repetition rules (`repetition.repetition_signals`).
+
+Model: P(c₃ | c₁c₂) = (C(c₁c₂c₃) + k) / (C(c₁c₂·) + k·V) where C counts
+corpus trigram occurrences over whitespace-normalized lowercase text,
+C(c₁c₂·) sums them by 2-char prefix, and V is the corpus character
+vocabulary size. Everything derives from ONE trigram-count table.
+
+Scale shape:
+- Training is one explode (3 rows per normalized char — trigram stream +
+  the unigram vocab stream) into a map-side-combined groupBy whose key
+  space is bounded by |charset|³, NOT the corpus: the counts table stays
+  broadcastable (≲ a few M rows for real text) at any corpus size.
+- Scoring joins the document trigram stream against the broadcast model
+  and folds per-doc — one shuffle keyed by doc id.
+- Cross-engine float discipline: each distinct trigram's log-probability
+  is quantized ONCE (floor(ln(p)·10⁶) as bigint) in the model table, so
+  the per-document reduction is an integer sum — order-independent and
+  oracle-exact regardless of physical row order; the only unquantized
+  float ops are a single IEEE-exact division before the ln and one after
+  the sum. (A raw double sum of log terms would hash-diverge between
+  engines on reduction order alone.)
+
+The reference engine has no LM scoring (text-only EL pipeline); public
+sources for the technique: CCNet paper, Gopher §A1.2 (quality filtering),
+DuckDB/Spark docs for the SQL surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+#: Quantization scale for per-trigram log-probabilities. 1e6 keeps ~6
+#: decimal digits — far below any filtering threshold's sensitivity —
+#: while making per-doc sums exact integers.
+TERM_SCALE = 1_000_000
+#: Add-k smoothing constant (integer so count arithmetic stays exact).
+SMOOTH_K = 1
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + collapse all whitespace runs to single spaces + trim —
+    the canonical char-LM normalization (pattern is ASCII-safe under both
+    Java regex and RE2)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def char_ngrams(norm: Column, n: int = 3) -> Column:
+    """Array of n-char substrings of the normalized text; shorter than n
+    → empty array (guard matters: sequence counts DOWN past zero)."""
+    return F.when(
+        F.length(norm) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: norm.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = SMOOTH_K,
+) -> DataFrame:
+    """Train the smoothed trigram model. Returns the model as a DataFrame
+    (tri, prefix, term_q) — term_q = floor(ln((C₃+k)/(C₂+k·V))·1e6) — plus
+    the smoothing inputs as literal columns (c2 per prefix, v global) so
+    `score_docs` can price unseen trigrams without retraining.
+
+    The three aggregates (trigram counts, prefix counts, vocab size) all
+    reduce to charset-bounded key spaces; the crossJoin is against the
+    single-row vocab frame (broadcast by construction).
+    """
+    norm = normalize_text(F.col(text_col))
+    tri = docs.select(F.explode(char_ngrams(norm, 3)).alias("tri"))
+    c3 = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
+    c2 = c3.groupBy(F.substring("tri", 1, 2).alias("prefix")).agg(
+        F.sum("c3").alias("c2")
+    )
+    vocab = (
+        docs.select(F.explode(char_ngrams(norm, 1)).alias("ch"))
+        .agg(F.countDistinct("ch").alias("v"))
+    )
+    return (
+        c3.withColumn("prefix", F.substring("tri", 1, 2))
+        .join(broadcast(c2), "prefix")
+        .crossJoin(broadcast(vocab))
+        .select(
+            "tri",
+            "prefix",
+            "c2",
+            "v",
+            _term_q(F.col("c3"), F.col("c2"), F.col("v"), k).alias("term_q"),
+        )
+    )
+
+
+def _term_q(c3: Column, c2: Column, v: Column, k: int) -> Column:
+    """floor(ln((c3+k)/(c2+k·v)) · TERM_SCALE) as bigint. The division is
+    IEEE-exact-reproducible (both engines divide the same two doubles);
+    ln may differ by an ulp between libm implementations, which the floor
+    absorbs except exactly at bin boundaries — pinned by running the gate
+    corpus through both engines (values are data-deterministic)."""
+    p = (c3 + F.lit(k)).cast("double") / (c2 + F.lit(k) * v).cast("double")
+    return F.floor(F.log(p) * F.lit(float(TERM_SCALE))).cast("long")
+
+
+def score_docs(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SMOOTH_K,
+) -> DataFrame:
+    """Per-document average trigram log-probability under `model` (trained
+    on `docs` itself when None — the self-scoring corpus-filter setup).
+
+    Returns (id, n_trigrams, avg_logprob): avg_logprob =
+    Σ term_q / (n_trigrams · 1e6), 0.0 for docs shorter than 3 normalized
+    chars. Unseen trigrams (held-out scoring) price as (k)/(C₂+k·V) via
+    the model's prefix table; unseen prefixes reduce to k/(k·V) = 1/V.
+    """
+    if model is None:
+        # The model is referenced by three subtrees below (term join,
+        # prefix fallback, vocab scalar); without a persist each reference
+        # re-executes the whole training aggregation (measured: 27
+        # exchanges → 7). The frame is charset³-bounded — persisting it is
+        # the plan-shape fix, not a memory risk. Registered with the shared
+        # operator-cache registry (dedup._SHINGLE_CACHES) so
+        # `operator_cache_scope()` / `release_shingle_caches()` reclaim it.
+        from manifold_spark.operators.dedup import _persist_tracked
+
+        model = _persist_tracked(train_char_lm(docs, text_col=text_col, k=k))
+    prefixes = model.select("prefix", "c2", "v").distinct()
+    v_row = model.select(F.max("v").alias("v_all"))
+
+    norm = normalize_text(F.col(text_col))
+    doc_tri = docs.select(
+        F.col(id_col), F.explode(char_ngrams(norm, 3)).alias("tri")
+    ).withColumn("tri_prefix", F.substring("tri", 1, 2))
+
+    scored = (
+        doc_tri.join(broadcast(model.select("tri", "term_q")), "tri", "left")
+        .join(
+            broadcast(prefixes.withColumnRenamed("prefix", "tri_prefix")),
+            "tri_prefix",
+            "left",
+        )
+        .crossJoin(broadcast(v_row))
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("term_q"),
+                _term_q(
+                    F.lit(0),
+                    F.coalesce(F.col("c2"), F.lit(0)),
+                    F.coalesce(F.col("v"), F.col("v_all")),
+                    k,
+                ),
+            ).alias("term_q"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("term_q").alias("sum_q"), F.count(F.lit(1)).alias("n_tri")
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("int").alias("n_trigrams"),
+            F.coalesce(
+                F.col("sum_q").cast("double")
+                / (F.col("n_tri") * F.lit(TERM_SCALE)).cast("double"),
+                F.lit(0.0),
+            ).alias("avg_logprob"),
+        )
+    )

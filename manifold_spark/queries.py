@@ -509,16 +509,19 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gets a fresh driver row each round. The head still front-loads keys
 #: never (or least recently) driver-checked, in case the cap ever drops.
 _DRIVER_ORDER_HEAD = [
-    # new in round 7 — never driver-checked (the PQ tier, VERDICT r6 #1;
-    # span-level dedup)
+    # new in round 8 — never driver-checked (Gopher repetition signals,
+    # CCNet-style char-trigram LM scoring)
+    "text_repetition",
+    "text_lm_score",
+    # reshaped in round 8 (text_redact_pii / events_running_total folds)
+    # — re-check first
+    "text_stats",
+    "events_rolling_1h",
+    # round-7 additions — keep early in case the cap ever drops
     "sim_ann_pq",
     "sim_ann_ivf_pq",
     "text_span_dedup",
-    # reshaped in round 7 (clean_project / sales_rollup_sets folds) —
-    # re-check first
-    "text_stats",
     "sales_cube",
-    # round-6 additions — keep early in case the cap ever drops
     "dedup_skew_guard",
     "dedup_clusters_deep",
     "stream_dedup_batches",
@@ -727,33 +730,13 @@ def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Running total (cumulative window): per-user cumulative event value over
-# time — the unbounded-preceding frame both engines define identically.
+# (r8: the former `events_running_total` key — per-user cumulative value
+# over an unbounded-preceding ROWS frame — folded INTO `events_rolling_1h`
+# below as its `running_value` column under the driver's 50-key cap: both
+# windows share the user_id partitioning (one shuffle serves the pair) and
+# the cumulative frame stays driver-gated. The freed slot went to
+# `text_lm_score`.)
 # ---------------------------------------------------------------------------
-@register(
-    "events_running_total",
-    """
-    SELECT user_id, event_id,
-           CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS HUGEINT))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000.0 AS running_value
-    FROM events
-    WHERE user_id < 100
-    """,
-)
-def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    scaled = F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast("decimal(38,0)")
-    return e.select(
-        "user_id",
-        "event_id",
-        (F.sum(scaled).over(w).cast("double") / F.lit(10000.0)).alias("running_value"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -822,16 +805,29 @@ def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS HUGEINT)) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts)
                RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) / 10000.0 AS rolling_1h
+           ) AS DOUBLE) / 10000.0 AS rolling_1h,
+           CAST(SUM(CAST(floor(value * 10000.0 + 0.5) AS HUGEINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000.0 AS running_value
     FROM events
     """,
 )
 def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (rolling 1h spend) + cumulative ROWS frame
+    (running total; r8 fold of the former `events_running_total` key) over
+    the SAME user_id partitioning — one exchange feeds both Window nodes;
+    the cumulative sort keys (ts, event_id) deterministically order ties
+    the RANGE frame is insensitive to."""
     e = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-3_599_999_999, 0)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     scaled = F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast("decimal(38,0)")
     return e.select(
@@ -839,6 +835,7 @@ def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         (F.sum(scaled).over(w).cast("double") / F.lit(10000.0)).alias("rolling_1h"),
+        (F.sum(scaled).over(w_run).cast("double") / F.lit(10000.0)).alias("running_value"),
     )
 
 

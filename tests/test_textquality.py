@@ -1,0 +1,170 @@
+"""Crafted-corpus semantics for the round-8 text-quality operators:
+Gopher repetition signals (line metrics need multi-line docs the parquet
+corpus doesn't have) and char-trigram LM scoring (held-out docs with
+unseen trigrams exercise the smoothing fallback the self-scored gate
+never hits)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from manifold_spark.operators import lm
+from manifold_spark.operators.repetition import repetition_signals
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# repetition_signals
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_lines(spark):
+    # 4 non-empty lines, "same line" 3×: 2 duplicate repeats of 9 chars each
+    text = "same line\nsame line\nother\n\nsame line"
+    r = _rows(repetition_signals(_docs(spark, [text])))[0]
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == pytest.approx(2 / 4)
+    assert r["dup_line_char_frac"] == pytest.approx(2 * 9 / len(text))
+
+
+def test_no_duplicate_lines(spark):
+    r = _rows(repetition_signals(_docs(spark, ["alpha\nbeta\ngamma"])))[0]
+    assert r["n_lines"] == 3
+    assert r["dup_line_frac"] == 0.0
+    assert r["dup_line_char_frac"] == 0.0
+
+
+def test_top_ngram_mass(spark):
+    # "a b" appears 3× among the 5 bigrams of "a b a b a b"; gram len 3
+    text = "a b a b a b"
+    r = _rows(repetition_signals(_docs(spark, [text])))[0]
+    assert r["top_2gram_char_frac"] == pytest.approx(3 * 3 / len(text))
+    # all-unique text: no bigram repeats → 0 (count ≤ 1 is not repetition)
+    uniq = "one two three four"
+    r2 = _rows(repetition_signals(_docs(spark, [uniq])))[0]
+    assert r2["top_2gram_char_frac"] == 0.0
+
+
+def test_dup_ngram_mass_counts_repeats_beyond_first(spark):
+    # 10 tokens "w0..w4 w0..w4": the 5-gram "w0 w1 w2 w3 w4" occurs twice
+    # (positions 1 and 6) → one duplicate occurrence of len 14
+    text = "w0 w1 w2 w3 w4 w0 w1 w2 w3 w4"
+    r = _rows(repetition_signals(_docs(spark, [text])))[0]
+    assert r["dup_5gram_char_frac"] == pytest.approx(len("w0 w1 w2 w3 w4") / len(text))
+    # no 10-gram repeats (only one 10-gram exists)
+    assert r["dup_10gram_char_frac"] == 0.0
+
+
+def test_bullet_and_ellipsis_lines(spark):
+    text = "- first bullet\n* second\nplain line\nteaser ends here...\nmore…"
+    r = _rows(repetition_signals(_docs(spark, [text])))[0]
+    assert r["n_lines"] == 5
+    assert r["bullet_line_frac"] == pytest.approx(2 / 5)
+    assert r["ellipsis_line_frac"] == pytest.approx(2 / 5)
+
+
+def test_symbol_word_ratio(spark):
+    text = "# header with tags ## and trailing ..."
+    r = _rows(repetition_signals(_docs(spark, [text])))[0]
+    # '#', '#'+'#' (from ##), '...' → 4 hits over 8 ws tokens
+    assert r["symbol_word_ratio"] == pytest.approx(4 / 8)
+
+
+def test_degenerate_docs(spark):
+    r = _rows(repetition_signals(_docs(spark, ["", "word", "   "])))
+    for doc_id in (0, 2):
+        assert r[doc_id]["n_lines"] == 0
+        assert r[doc_id]["dup_line_frac"] == 0.0
+        assert r[doc_id]["top_2gram_char_frac"] == 0.0
+        assert r[doc_id]["repetition_pass"] is True
+    assert r[1]["n_lines"] == 1
+    assert r[1]["top_2gram_char_frac"] == 0.0  # fewer tokens than n
+
+
+def test_repetition_pass_flags_spam(spark):
+    spam = "buy now " * 50
+    clean = "a perfectly ordinary sentence with varied words and no repeats"
+    r = _rows(repetition_signals(_docs(spark, [spam, clean])))
+    assert r[0]["repetition_pass"] is False
+    assert r[1]["repetition_pass"] is True
+
+
+def test_repetition_layout_independent(spark):
+    texts = [f"tok{i} " * (i % 7 + 1) + "shared tail phrase" for i in range(40)]
+    docs = _docs(spark, texts)
+    a = sorted(map(repr, repetition_signals(docs).collect()))
+    b = sorted(map(repr, repetition_signals(docs.repartition(13)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# char-trigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_lm_self_score_shapes(spark):
+    docs = _docs(spark, ["the cat sat on the mat", "the dog sat", "ab", ""])
+    out = _rows(lm.score_docs(docs))
+    norm0 = "the cat sat on the mat"
+    assert out[0]["n_trigrams"] == len(norm0) - 2
+    assert out[0]["avg_logprob"] < 0
+    # shorter-than-trigram docs: zero trigrams, score 0
+    for doc_id in (2, 3):
+        assert out[doc_id]["n_trigrams"] == 0
+        assert out[doc_id]["avg_logprob"] == 0.0
+
+
+def test_lm_in_distribution_beats_gibberish(spark):
+    corpus = _docs(
+        spark,
+        ["the quick brown fox jumps over the lazy dog"] * 20
+        + ["pack my box with five dozen liquor jugs"] * 20,
+    )
+    model = lm.train_char_lm(corpus)
+    held = _docs(spark, ["the quick brown fox", "zqxj vwk qqqz jjjx"])
+    out = _rows(lm.score_docs(held, model=model))
+    assert out[0]["avg_logprob"] > out[1]["avg_logprob"]
+
+
+def test_lm_unseen_trigram_fallback(spark):
+    corpus = _docs(spark, ["aaab aaab aaab"])
+    model = lm.train_char_lm(corpus)
+    # 'zzz' never seen, prefix 'zz' never seen → every term prices at
+    # ln(k / (k·V)) = -ln(V); V = distinct chars of "aaab aaab aaab" = 3
+    out = _rows(lm.score_docs(_docs(spark, ["zzzzz"]), model=model))
+    v = 3
+    expected_term = math.floor(math.log(1.0 / v) * lm.TERM_SCALE)
+    n_tri = 3  # "zzzzz" → 3 trigrams
+    assert out[0]["n_trigrams"] == n_tri
+    assert out[0]["avg_logprob"] == pytest.approx(
+        expected_term * n_tri / (n_tri * lm.TERM_SCALE)
+    )
+
+
+def test_lm_seen_trigram_exact_value(spark):
+    # corpus "abab": trigrams aba, bab (1 each); prefixes ab→1, ba→1;
+    # V = {a, b} = 2. P(aba) = (1+1)/(1+2) = 2/3.
+    corpus = _docs(spark, ["abab"])
+    model = lm.train_char_lm(corpus)
+    out = _rows(lm.score_docs(_docs(spark, ["aba"]), model=model))
+    expected = math.floor(math.log(2 / 3) * lm.TERM_SCALE) / lm.TERM_SCALE
+    assert out[0]["avg_logprob"] == pytest.approx(expected)
+
+
+def test_lm_normalization_collapses_whitespace(spark):
+    a = _rows(lm.score_docs(_docs(spark, ["the   cat\t\tsat"])))[0]
+    b = _rows(lm.score_docs(_docs(spark, ["the cat sat"])))[0]
+    assert a["n_trigrams"] == b["n_trigrams"]
+    assert a["avg_logprob"] == b["avg_logprob"]
