@@ -49,7 +49,9 @@ def oracle_sql() -> dict[str, str]:
     foreachBatch micro-batch dedup, and (r7) the PQ / IVF-PQ ANN
     pipelines (per-subspace Lloyd training, codeword argmin encode,
     ADC lookup tables, exact re-rank, all unrolled in SQL) plus
-    span-level ExactSubstr dedup — so the driver's strongest
+    span-level ExactSubstr dedup, and (r8) Gopher repetition signals
+    and corpus-trained char-trigram LM scoring (integer-quantized log
+    terms, order-independent sums) — so the driver's strongest
     (rows+schema+hash) check applies to 100% of the registry."""
     from manifold_spark.queries import all_oracles
 

@@ -163,6 +163,11 @@ def main() -> None:
         "dedup_skew_guard",
         "dedup_clusters_deep",
         "stream_dedup_batches",
+        # r8: Gopher repetition signals (one exploded counts shuffle +
+        # scan-side line metrics) and CCNet-style char-trigram LM scoring
+        # (charset³-bounded model, integer-quantized log terms).
+        "text_repetition",
+        "text_lm_score",
     ]
     # min-of-2 here too (r5): single-shot extended numbers produced two
     # rounds of phantom "regressions" on this shared machine (r3's

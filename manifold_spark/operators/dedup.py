@@ -1086,18 +1086,57 @@ def span_window_hashes(tokens: Column, n: int) -> Column:
 
 
 def _span_base(
-    docs: DataFrame, text_col: str, id_col: str, n: int
+    docs: DataFrame, text_col: str, id_col: str, n: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, toks, n_tokens, hs) — the one-projection front of every
-    span-dedup form: normalized tokens + positional window hashes."""
+    """(id, [extra…], toks, n_tokens, hs) — the one-projection front of
+    every span-dedup form: normalized tokens + positional window hashes."""
     toks = normalized_tokens(F.col(text_col))
     return ensure_parallelism(docs).select(
-        F.col(id_col), toks.alias("toks")
+        F.col(id_col), *[F.col(c) for c in extra_cols], toks.alias("toks")
     ).select(
         id_col,
+        *extra_cols,
         "toks",
         F.size("toks").alias("n_tokens"),
         span_window_hashes(F.col("toks"), n).alias("hs"),
+    )
+
+
+def _run_filtered_positions(cov: Column, min_len: int) -> Column:
+    """Positions of `cov` (sorted ascending distinct ints) that belong to a
+    maximal consecutive run of length ≥ ``min_len`` — the ExactSubstr
+    length criterion (only spans ≥ L tokens are real duplication; Lee et
+    al. use L=50) applied to the covered-position set. Pure O(k) HOFs:
+    run starts are positions whose predecessor is absent, each start pairs
+    with the next start to yield its run length, qualifying runs slice
+    their positions back out."""
+    idxs = F.when(F.size(cov) > 0, F.sequence(F.lit(0), F.size(cov) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    # j is a run start iff j == 0 or cov[j] != cov[j-1] + 1. The when()
+    # guards ANSI element_at(cov, 0) from ever evaluating at j == 0.
+    starts_idx = F.filter(
+        idxs,
+        lambda j: F.when(j == 0, F.lit(True)).otherwise(
+            F.element_at(cov, j + 1) != F.element_at(cov, j) + 1
+        ),
+    )
+    runs = F.transform(
+        starts_idx,
+        lambda s, k: F.struct(
+            s.alias("st"),
+            (
+                F.when(
+                    k + 1 < F.size(starts_idx), F.element_at(starts_idx, k + 2)
+                ).otherwise(F.size(cov))
+                - s
+            ).alias("ln"),
+        ),
+    )
+    long_runs = F.filter(runs, lambda r: r["ln"] >= F.lit(min_len))
+    return F.flatten(
+        F.transform(long_runs, lambda r: F.slice(cov, r["st"] + 1, r["ln"]))
     )
 
 
@@ -1107,6 +1146,9 @@ def span_dedup(
     id_col: str = "doc_id",
     n: int = 12,
     min_count: int = 2,
+    min_span_tokens: int | None = None,
+    scope_col: str | None = None,
+    cross_scope: bool = False,
 ) -> DataFrame:
     """Substring-level exact deduplication — detect and scrub token spans
     that appear (near-)verbatim elsewhere in the corpus (the ExactSubstr
@@ -1130,6 +1172,25 @@ def span_dedup(
     stream, like every fuzzy op here) and ``dup_frac`` =
     dup_tokens / n_tokens.
 
+    Scrub knobs (r8):
+
+    - ``min_span_tokens`` — only scrub (and count in dup_tokens /
+      dup_frac / text_kept) covered runs of at least this many
+      consecutive tokens — the ExactSubstr length criterion (Lee et al.
+      scrub only duplicated substrings ≥ 50 tokens; short incidental
+      window collisions are left alone). ``n_dup_windows`` stays the raw
+      duplicated-window count so the telemetry is knob-independent.
+      ``min_span_tokens <= n`` is a no-op by construction (every covered
+      run is ≥ n long).
+    - ``scope_col`` — scope duplicate COUNTING by a column (e.g.
+      ``source``): with ``cross_scope=False`` a window is duplicated only
+      when it repeats ≥ min_count times WITHIN one scope (per-site
+      dedup); with ``cross_scope=True`` a window is duplicated when it
+      appears in ≥ min_count DISTINCT scopes (shared boilerplate across
+      sites — within-site repeats alone don't flag). Plan shape is
+      unchanged: the count key widens to (scope, h) or the agg becomes a
+      distinct-count; the join-back key stays h(+scope).
+
     100 TB plan shape — this operator never forms pairs at all:
     1. one projection computes (toks, n_tokens, window-hash array);
     2. posexplode to (id, pos, h) — narrow 20-byte rows;
@@ -1144,20 +1205,40 @@ def span_dedup(
        and the scrubbed text. No window functions, no token-level
        shuffle, no O(n²) anywhere; cost is linear in corpus tokens.
     """
+    extra = (scope_col,) if scope_col else ()
     base = _persist_tracked(
-        _span_base(docs, text_col, id_col, n)
+        _span_base(docs, text_col, id_col, n, extra_cols=extra)
     )  # consumed twice: wins + final join
 
-    wins = base.select(F.col(id_col), F.posexplode("hs").alias("pos", "h"))
-    duph = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .select("h")
+    wins = base.select(
+        F.col(id_col), *[F.col(c) for c in extra], F.posexplode("hs").alias("pos", "h")
     )
+    if scope_col is None:
+        duph = (
+            wins.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
+            .select("h")
+        )
+        dup_wins = wins.join(duph, "h")
+    elif cross_scope:
+        duph = (
+            wins.groupBy("h")
+            .agg(F.countDistinct(scope_col).alias("n_scopes"))
+            .filter(F.col("n_scopes") >= min_count)
+            .select("h")
+        )
+        dup_wins = wins.join(duph, "h")
+    else:
+        duph = (
+            wins.groupBy(scope_col, "h")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
+            .select(scope_col, "h")
+        )
+        dup_wins = wins.join(duph, [scope_col, "h"])
     starts = (
-        wins.join(duph, "h")
-        .groupBy(id_col)
+        dup_wins.groupBy(id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
     )
 
@@ -1172,6 +1253,11 @@ def span_dedup(
             F.transform(F.col("starts"), lambda s: F.sequence(s, s + F.lit(n - 1)))
         )
     )
+    if min_span_tokens is not None and min_span_tokens > n:
+        # cov is ascending by construction (sorted starts → monotone
+        # first-occurrence flatten); sort anyway so the run logic never
+        # depends on that invariant.
+        cov = _run_filtered_positions(F.array_sort(cov), min_span_tokens)
     out = out.withColumn("cov", cov)
     kept = F.filter(
         F.col("toks"), lambda t, i: ~F.array_contains(F.col("cov"), i)

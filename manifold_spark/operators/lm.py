@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from manifold_spark.plans.parallelism import ensure_parallelism
+
 #: Quantization scale for per-trigram log-probabilities. 1e6 keeps ~6
 #: decimal digits — far below any filtering threshold's sensitivity —
 #: while making per-doc sums exact integers.
@@ -79,6 +81,7 @@ def train_char_lm(
     reduce to charset-bounded key spaces; the crossJoin is against the
     single-row vocab frame (broadcast by construction).
     """
+    docs = ensure_parallelism(docs)  # single-row-group parquet can't split
     norm = normalize_text(F.col(text_col))
     tri = docs.select(F.explode(char_ngrams(norm, 3)).alias("tri"))
     c3 = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
@@ -142,6 +145,7 @@ def score_docs(
     prefixes = model.select("prefix", "c2", "v").distinct()
     v_row = model.select(F.max("v").alias("v_all"))
 
+    docs = ensure_parallelism(docs)  # single-row-group parquet can't split
     norm = normalize_text(F.col(text_col))
     doc_tri = docs.select(
         F.col(id_col), F.explode(char_ngrams(norm, 3)).alias("tri")

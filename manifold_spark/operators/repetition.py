@@ -47,6 +47,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from manifold_spark.operators.textstats import ws_tokens
+from manifold_spark.plans.parallelism import ensure_parallelism
 
 #: n-gram sizes for the "top n-gram mass" metrics and their Gopher
 #: thresholds (max allowed fraction).
@@ -114,6 +115,7 @@ def repetition_signals(
     repetition_pass). All fractions are exact-integer ratios (the only
     doubles are final divisions — oracle-exact).
     """
+    docs = ensure_parallelism(docs)  # single-row-group parquet can't split
     text = F.col(text_col)
     tokens = ws_tokens(F.lower(text))
     lines = _nonempty_lines(text)

@@ -749,6 +749,90 @@ def test_span_dedup_matches_pure_python(spark):
     dedup.release_shingle_caches()
 
 
+def test_span_dedup_min_span_tokens(spark):
+    """r8 ExactSubstr length criterion: with min_span_tokens, covered
+    runs shorter than the floor are left unscrubbed while the raw
+    duplicated-window telemetry is unchanged; a floor ≤ n is a no-op."""
+    long_span = "l1 l2 l3 l4 l5 l6 l7 l8"  # 8-token shared run
+    short_span = "s1 s2 s3 s4 s5 s6"  # 6-token shared run
+    rows = [
+        (1, f"ua ub {long_span} uc ud {short_span} ue uf"),
+        (2, f"va vb {long_span} vc vd {short_span} ve vf"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    base = {r["doc_id"]: r for r in dedup.span_dedup(docs, n=4).collect()}
+    noop = {r["doc_id"]: r for r in
+            dedup.span_dedup(docs, n=4, min_span_tokens=4).collect()}
+    assert {d: r.asDict() for d, r in base.items()} == {
+        d: r.asDict() for d, r in noop.items()
+    }
+    # both runs qualify at 6, only the 8-token run at 8, none at 9
+    at6 = {r["doc_id"]: r for r in
+           dedup.span_dedup(docs, n=4, min_span_tokens=6).collect()}
+    at8 = {r["doc_id"]: r for r in
+           dedup.span_dedup(docs, n=4, min_span_tokens=8).collect()}
+    at9 = {r["doc_id"]: r for r in
+           dedup.span_dedup(docs, n=4, min_span_tokens=9).collect()}
+    for d in (1, 2):
+        assert base[d]["dup_tokens"] == 14 and at6[d]["dup_tokens"] == 14
+        assert at8[d]["dup_tokens"] == 8
+        assert "l1" not in at8[d]["text_kept"]
+        assert "s1 s2 s3 s4 s5 s6" in at8[d]["text_kept"]
+        assert at9[d]["dup_tokens"] == 0
+        # telemetry stays raw: 5 windows in the 8-run + 3 in the 6-run
+        for out in (at6, at8, at9):
+            assert out[d]["n_dup_windows"] == base[d]["n_dup_windows"] == 8
+    dedup.release_shingle_caches()
+
+
+def test_span_dedup_scope_within(spark):
+    """r8 scope_col (cross_scope=False): duplicates count within one
+    scope only — a span shared ACROSS sources is not flagged, a span
+    repeated within one source is."""
+    span = "w1 w2 w3 w4 w5"
+    rows = [
+        (1, "a", f"p q {span} r s"),
+        (2, "b", f"t u {span} v x"),  # cross-source twin: must NOT flag
+        (3, "a", f"y z {span} zz zy"),  # same-source twin of doc 1: flags
+        (4, "b", "nothing shared in this one at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.span_dedup(docs, n=4, scope_col="source").collect()}
+    assert out[1]["n_dup_windows"] == 2 and out[3]["n_dup_windows"] == 2
+    assert out[2]["n_dup_windows"] == 0  # its only twin lives in scope 'a'
+    assert out[4]["n_dup_windows"] == 0
+    dedup.release_shingle_caches()
+
+
+def test_span_dedup_scope_cross(spark):
+    """r8 cross_scope=True: a window flags only when it appears in
+    ≥ min_count DISTINCT scopes — within-source repetition alone is
+    exempt (the shared-boilerplate-across-sites detector)."""
+    span = "c1 c2 c3 c4 c5"
+    rows = [
+        (1, "a", f"p q {span} r s"),
+        (2, "a", f"t u {span} v x"),  # same-source repeat: exempt
+        (3, "b", f"y z {span} zz zy"),  # second scope: now flags everywhere
+        (4, "b", "unique filler text with no shared runs here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.span_dedup(docs, n=4, scope_col="source",
+                            cross_scope=True).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["n_dup_windows"] == 2, out[d]
+    assert out[4]["n_dup_windows"] == 0
+
+    # within-source only (drop doc 3): nothing crosses scopes -> no flags
+    solo = {r["doc_id"]: r for r in
+            dedup.span_dedup(docs.filter("doc_id != 3"), n=4,
+                             scope_col="source", cross_scope=True).collect()}
+    assert all(solo[d]["n_dup_windows"] == 0 for d in (1, 2, 4))
+    dedup.release_shingle_caches()
+
+
 def test_operator_cache_scope_nests_and_releases(spark):
     """The r7 scoped cache registry: frames persisted inside a scope are
     unpersisted on exit (success or error), an inner scope releases only
