@@ -128,7 +128,7 @@ def main() -> None:
         "dedup_clusters",
         "dedup_simhash",
         "emb_quantize_int8",
-        "text_vocab_topk",
+        "text_bm25",  # r8: vocab_topk key folded into this gate
         "text_contamination",
         "events_funnel",
         "events_retention",

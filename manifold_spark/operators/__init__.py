@@ -1548,24 +1548,19 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Vocabulary construction: top-k tokens by document frequency — the
 # tokenizer-training precursor (and the df table behind stop-shingle caps).
+# (r8: the `text_vocab_topk` KEY retired under the driver's 50-key cap —
+# its two concepts stay driver-gated inside `text_bm25` below: the
+# per-term document-frequency aggregate is BM25's df table over the same
+# tokenizer, and the deterministic (metric desc, tiebreak) rank cut is
+# BM25's per-query top-k. The engine function lives on as
+# `textstats_vocab_topk` with pytest coverage; the freed slot went to
+# `text_bm25`.)
 # ---------------------------------------------------------------------------
 
 _VOCAB_K = 100
 
-_VOCAB_ORACLE = f"""
-    WITH toks AS (
-        SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS token FROM documents
-    ),
-    dfc AS (SELECT token, count(*) AS df FROM toks GROUP BY token)
-    SELECT token, df,
-           CAST(row_number() OVER (ORDER BY df DESC, token) AS INT) AS rank
-    FROM dfc
-    QUALIFY rank <= {_VOCAB_K}
-"""
 
-
-@register("text_vocab_topk", _VOCAB_ORACLE)
-def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def textstats_vocab_topk(docs: DataFrame, k: int = _VOCAB_K) -> DataFrame:
     """Top-k vocabulary by document frequency. The heavy part (per-token
     df counts) is one map-side-combined aggregation; the top-k itself is
     a distributed TakeOrdered (orderBy+limit), and the rank window runs
@@ -1573,12 +1568,11 @@ def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.array_distinct(dedup.normalized_tokens(F.col("text")))).alias("token")
     )
     dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    top = dfc.orderBy(F.col("df").desc(), "token").limit(_VOCAB_K)
+    top = dfc.orderBy(F.col("df").desc(), "token").limit(k)
     w = Window.orderBy(F.col("df").desc(), "token")
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
@@ -1880,3 +1874,70 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from manifold_spark.operators.lm import score_docs
 
     return score_docs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 sparse retrieval: the lexical half of the retrieval pair beside
+# the dense ANN tier. Postings never shuffle by term — query terms and
+# the query-term df table broadcast against the doc-keyed tf relation;
+# per-(query, doc) contributions are floor-quantized integers so the
+# score sum is order-independent (see operators/bm25.py).
+# ---------------------------------------------------------------------------
+
+_BM25_K = 10
+
+
+def _bm25_oracle() -> str:
+    from manifold_spark.operators import bm25 as _bm25
+
+    qvals = ", ".join(f"({qid}, '{qt}')" for qid, qt in _bm25.GATE_QUERIES)
+    qtoks = _TOKENS_SQL.replace("regexp_replace(text,", "regexp_replace(qtext,")
+    k1, b, scale = _bm25.K1, _bm25.B, _bm25.SCORE_SCALE
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    idf = ("ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+           " + 1.0)")
+    tfnorm = (
+        f"(CAST(tf AS DOUBLE) * {k1 + 1.0}) / (CAST(tf AS DOUBLE) + {k1} * "
+        f"({1.0 - b} + {b} * (CAST(dl AS DOUBLE) / {avgdl})))"
+    )
+    return f"""
+    WITH q(query_id, qtext) AS (VALUES {qvals}),
+    toks AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM toks),
+    tf AS (
+        SELECT doc_id, len(toks) AS dl, t.term, count(*) AS tf
+        FROM toks, UNNEST(toks) AS t(term)
+        GROUP BY doc_id, len(toks), t.term
+    ),
+    qt AS (SELECT DISTINCT query_id, t.term FROM q, UNNEST({qtoks}) AS t(term)),
+    dfq AS (
+        SELECT term, count(*) AS df
+        FROM tf JOIN (SELECT DISTINCT term FROM qt) USING (term)
+        GROUP BY term
+    ),
+    contrib AS (
+        SELECT qt.query_id, tf.doc_id,
+               CAST(floor({idf} * {tfnorm} * {scale}.0) AS BIGINT) AS c
+        FROM tf JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN stats
+    ),
+    s AS (SELECT query_id, doc_id, sum(c) AS score_q FROM contrib GROUP BY 1, 2)
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_q DESC, doc_id) AS INT) AS rank,
+           CAST(score_q AS DOUBLE) / {scale}.0 AS score
+    FROM s
+    QUALIFY rank <= {_BM25_K}
+    """
+
+
+@register("text_bm25", _bm25_oracle())
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 matches for the fixed gate query set (r8). Carries the
+    two concepts of the retired `text_vocab_topk` key: the per-term
+    document-frequency aggregate (BM25's df table, same tokenizer) and
+    the deterministic metric-desc rank cut."""
+    from manifold_spark.operators.bm25 import bm25_topk, gate_queries_df
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), gate_queries_df(spark), k=_BM25_K
+    )

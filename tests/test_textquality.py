@@ -168,3 +168,84 @@ def test_lm_normalization_collapses_whitespace(spark):
     b = _rows(lm.score_docs(_docs(spark, ["the cat sat"])))[0]
     assert a["n_trigrams"] == b["n_trigrams"]
     assert a["avg_logprob"] == b["avg_logprob"]
+
+
+# ---------------------------------------------------------------------------
+# BM25 sparse retrieval
+# ---------------------------------------------------------------------------
+
+
+def _bm25_reference(corpus, queries, k=10):
+    """Independent pure-Python BM25 (same constants/quantization) for
+    cross-implementation pinning."""
+    from manifold_spark.operators.bm25 import B, K1, SCORE_SCALE
+    import re
+
+    def toks(t):
+        return [w for w in re.sub(r"[^\w]+", " ", t.lower()).split() if w]
+
+    docs = {i: toks(t) for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    out = {}
+    for qid, qt in queries:
+        scores = {}
+        for term in sorted(set(toks(qt))):
+            df = sum(1 for t in docs.values() if term in t)
+            if df == 0:
+                continue
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for d, t in docs.items():
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                tfn = (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * (len(t) / avgdl)))
+                scores[d] = scores.get(d, 0) + math.floor(idf * tfn * SCORE_SCALE)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(d, r + 1, s / SCORE_SCALE) for r, (d, s) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_matches_pure_python(spark):
+    from manifold_spark.operators.bm25 import bm25_topk
+
+    corpus = [
+        (1, "apple banana"),
+        (2, "apple apple banana banana cherry"),
+        (3, "cherry pie and more cherry"),
+        (4, "totally unrelated words here"),
+        (5, "apple cherry banana apple"),
+    ]
+    queries = [(0, "apple"), (1, "cherry banana"), (2, "nonexistentterm"), (3, "apple apple")]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    qdf = spark.createDataFrame(queries, "query_id int, query string")
+    got = {}
+    for r in bm25_topk(docs, qdf, k=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["rank"], r["score"])
+        )
+    expected = {q: v[:3] for q, v in _bm25_reference(corpus, queries, k=3).items() if v}
+    assert got == expected
+    # duplicate query terms count once: q0 ("apple") == q3 ("apple apple")
+    assert got[0] == got[3]
+    # no-hit query returns no rows
+    assert 2 not in got
+    from manifold_spark.operators.dedup import release_shingle_caches
+
+    release_shingle_caches()
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """idf must favor the rare term: a doc matching the rare query term
+    beats docs matching only the common one."""
+    from manifold_spark.operators.bm25 import bm25_topk
+
+    corpus = [(i, "common filler words") for i in range(1, 9)]
+    corpus += [(9, "rareterm common"), (10, "common words")]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    qdf = spark.createDataFrame([(0, "rareterm common")], "query_id int, query string")
+    top = bm25_topk(docs, qdf, k=1).collect()
+    assert top[0]["doc_id"] == 9
+    from manifold_spark.operators.dedup import release_shingle_caches
+
+    release_shingle_caches()
