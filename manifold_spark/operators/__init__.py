@@ -1751,13 +1751,13 @@ def _repetition_oracle() -> str:
         + [f"top_{n}gram_char_frac <= {t}" for n, t in sorted(rep.TOP_NGRAM_THRESHOLDS.items())]
         + [f"dup_{n}gram_char_frac <= {t}" for n, t in sorted(rep.DUP_NGRAM_THRESHOLDS.items())]
     )
-    toks = _ws_tokens_sql("lower(text)")
+    toks = _ws_tokens_sql("lower(coalesce(text, ''))")
     raw_toks = _ws_tokens_sql("text")
     return f"""
     WITH d AS (
-        SELECT doc_id, text,
+        SELECT doc_id, coalesce(text, '') AS text,
                {toks} AS toks,
-               list_filter(regexp_split_to_array(text, '\\n'),
+               list_filter(regexp_split_to_array(coalesce(text, ''), '\\n'),
                            l -> length(trim(l)) > 0) AS lines
         FROM documents
     ),

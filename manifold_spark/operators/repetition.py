@@ -116,7 +116,9 @@ def repetition_signals(
     doubles are final divisions — oracle-exact).
     """
     docs = ensure_parallelism(docs)  # single-row-group parquet can't split
-    text = F.col(text_col)
+    # NULL text reads as degenerate-empty (0 lines, 0 fractions), not a
+    # row of NULL metrics.
+    text = F.coalesce(F.col(text_col), F.lit(""))
     tokens = ws_tokens(F.lower(text))
     lines = _nonempty_lines(text)
     top_ns = sorted(TOP_NGRAM_THRESHOLDS)

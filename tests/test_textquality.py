@@ -249,3 +249,30 @@ def test_bm25_rare_term_outranks_common(spark):
     from manifold_spark.operators.dedup import release_shingle_caches
 
     release_shingle_caches()
+
+
+def test_vocab_topk_engine_function(spark):
+    """The retired text_vocab_topk KEY's engine function (r8 fold into
+    text_bm25): df counts over distinct per-doc tokens, deterministic
+    (df desc, token) rank, k-cut."""
+    from manifold_spark.operators import textstats_vocab_topk
+
+    corpus = [
+        (1, "alpha beta beta gamma"),  # beta counts once for df
+        (2, "alpha beta"),
+        (3, "alpha delta"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    rows = [(r["token"], r["df"], r["rank"]) for r in
+            textstats_vocab_topk(docs, k=3).collect()]
+    assert rows == [("alpha", 3, 1), ("beta", 2, 2), ("delta", 1, 3)]
+
+
+def test_repetition_null_text_is_degenerate_empty(spark):
+    docs = spark.createDataFrame([(0, None), (1, "a b a b")], "doc_id long, text string")
+    r = _rows(repetition_signals(docs))
+    assert r[0]["n_lines"] == 0
+    assert r[0]["symbol_word_ratio"] == 0.0
+    assert r[0]["bullet_line_frac"] == 0.0
+    assert r[0]["repetition_pass"] is True
+    assert r[1]["top_2gram_char_frac"] > 0
