@@ -1439,6 +1439,9 @@ _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MIX_DEFAULT = 0.05
 
 
+_QUOTA_PER_SOURCE = 25
+
+
 def _mix_oracle() -> str:
     from manifold_spark.operators.sampling import RATE_DENOM
 
@@ -1448,20 +1451,37 @@ def _mix_oracle() -> str:
     rate_case += f"ELSE {int(round(_MIX_DEFAULT * RATE_DENOM))} END"
     h = _stable_hash_sql("CAST(doc_id AS VARCHAR)")
     return f"""
-    SELECT doc_id, source
+    SELECT 'rate' AS method, doc_id, source
     FROM documents
     WHERE ({h}) % {RATE_DENOM} < ({rate_case})
+    UNION ALL
+    SELECT 'quota', doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY {h}, doc_id) AS rk
+        FROM documents
+    )
+    WHERE rk <= {_QUOTA_PER_SOURCE}
     """
 
 
 @register("sample_mix_sources", _mix_oracle())
 def q_sample_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from manifold_spark.operators.sampling import mix_sources
+    """Both deterministic sampling modes in one gate (r8 extension):
+    expected-rate per-source gates (`mix_sources` — one scan, no shuffle)
+    UNION exact per-source quotas (`stratified_sample` — hash-ordered
+    rank window, "exactly N docs per source"), tagged by `method`."""
+    from manifold_spark.operators.sampling import mix_sources, stratified_sample
 
     docs = _t(spark, sf_dir, "documents")
-    return mix_sources(
+    rate = mix_sources(
         docs, "source", "doc_id", _MIX_RATES, default_rate=_MIX_DEFAULT
-    ).select("doc_id", "source")
+    ).select(F.lit("rate").alias("method"), "doc_id", "source")
+    quota = stratified_sample(
+        docs, "source", _QUOTA_PER_SOURCE, "doc_id"
+    ).select(F.lit("quota").alias("method"), "doc_id", "source")
+    return rate.unionByName(quota)
 
 
 # ---------------------------------------------------------------------------

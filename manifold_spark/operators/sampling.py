@@ -56,6 +56,47 @@ def mix_sources(
     return df.filter(gate)
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    quotas: dict[str, int] | int,
+    key_col: str,
+    default_quota: int = 0,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT per-group quotas (vs `mix_sources`' expected-rate gates):
+    keep the first `quota` rows of each group under the deterministic
+    hash order (stable md5 hash of the key, key as tie-break) — a seeded
+    shuffle-order that is layout- and engine-independent, so "exactly
+    10k docs per source" reproduces anywhere. Groups smaller than their
+    quota survive whole.
+
+    `quotas` is per-group-value (missing groups get `default_quota`) or
+    one int for every group. Plan: a rank window partitioned by group —
+    the same shape as top-n-per-group; each group sorts once, groups
+    partition independently. A pathologically dominant group sorts in
+    one task — pre-filter with `hash_sample` at a safe over-rate first
+    if a group is corpus-sized (documented escape hatch, same advice as
+    the skew caps)."""
+    from pyspark.sql import Window
+
+    if isinstance(quotas, int):
+        quota_expr = F.lit(quotas)
+    else:
+        quota_expr = F.lit(default_quota)
+        for grp, q in sorted(quotas.items()):
+            quota_expr = F.when(F.col(group_col) == grp, F.lit(q)).otherwise(
+                quota_expr
+            )
+    h = stable_long_hash(F.col(key_col).cast("string"), seed=seed)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota_expr)
+        .drop("_rk")
+    )
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str,

@@ -276,3 +276,26 @@ def test_repetition_null_text_is_degenerate_empty(spark):
     assert r[0]["bullet_line_frac"] == 0.0
     assert r[0]["repetition_pass"] is True
     assert r[1]["top_2gram_char_frac"] > 0
+
+
+def test_stratified_sample_exact_quotas(spark):
+    from manifold_spark.operators.sampling import stratified_sample
+
+    rows = [(i, f"src{i % 3}") for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = stratified_sample(df, "source", {"src0": 5, "src1": 7, "tiny": 10},
+                            "doc_id", default_quota=2)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # exact quotas; missing group gets default; under-quota group whole
+    assert counts == {"src0": 5, "src1": 7, "src2": 2, "tiny": 1}
+    # layout-independent: same surviving ids after repartition
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(17), "source", {"src0": 5, "src1": 7, "tiny": 10},
+            "doc_id", default_quota=2,
+        ).collect()
+    )
+    assert a == b
