@@ -303,6 +303,8 @@ def main() -> None:
     from manifold_spark.operators import dedup as dedup_ops
     from manifold_spark.operators import similarity as sim_ops
     from manifold_spark.operators import IVF_CENTROIDS, IVF_NPROBE, NGRAM_MAX_DF, TOP_K
+    from manifold_spark.operators.lm import score_docs as _lm_score
+    from manifold_spark.operators.repetition import repetition_signals as _rep_signals
 
     factor = 10
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -343,6 +345,14 @@ def main() -> None:
         "sim_ann_ivf_10x": lambda: sim_ops.topk_ivf(
             emb10.filter(F.col("vec_id") < 8), emb10, 64,
             k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+        ),
+        # r8 text-quality tier at 10×: the exploded-counts shuffle
+        # (repetition), the charset-bounded LM model + broadcast scoring,
+        # and span dedup's count+join — all should land near 10× base.
+        "text_repetition_10x": lambda: _rep_signals(docs10),
+        "text_lm_score_10x": lambda: _lm_score(docs10),
+        "text_span_dedup_10x": lambda: dedup_ops.span_dedup(
+            docs10, "text", "doc_id"
         ),
     }
     # Alongside each time: the plan's shuffle count (static compile — an
