@@ -34,7 +34,16 @@ ALPHA_PATTERN = r"[A-Za-z]"
 
 
 def ws_tokens(text: Column) -> Column:
-    """Whitespace tokens of trimmed text; empty text → empty array."""
+    """Whitespace tokens of trimmed text; empty text → empty array.
+
+    Edge (engine ≡ oracle, documented r8): `trim` strips SPACES only, so
+    text that starts/ends with other whitespace (e.g. a trailing newline)
+    keeps a leading/trailing EMPTY token from the split — "a\\nb\\n"
+    counts 3 tokens. DuckDB's trim/regexp_split behave identically, so
+    both sides of every gate agree; pinned by the pure-Python reference
+    in test_textquality.py. Changing to empty-filtered tokens would
+    touch every text gate's values — a coordinated engine+oracle swap,
+    queued as a round-9 candidate."""
     trimmed = F.trim(text)
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
