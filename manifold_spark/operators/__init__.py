@@ -648,9 +648,12 @@ def q_sim_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ws_tokens_sql(inner: str) -> str:
+    # mirror of textstats.ws_tokens: split on whitespace, drop empties
+    # (r8: empty edge-tokens from non-space leading/trailing whitespace
+    # are filtered on both engines)
     return (
-        f"CASE WHEN length(trim({inner})) = 0 THEN [] "
-        f"ELSE regexp_split_to_array(trim({inner}), '\\s+') END"
+        f"list_filter(regexp_split_to_array(trim({inner}), '\\s+'), "
+        f"t -> t <> '')"
     )
 
 

@@ -34,20 +34,16 @@ ALPHA_PATTERN = r"[A-Za-z]"
 
 
 def ws_tokens(text: Column) -> Column:
-    """Whitespace tokens of trimmed text; empty text → empty array.
+    """Whitespace tokens; empty/whitespace-only text → empty array.
 
-    Edge (engine ≡ oracle, documented r8): `trim` strips SPACES only, so
-    text that starts/ends with other whitespace (e.g. a trailing newline)
-    keeps a leading/trailing EMPTY token from the split — "a\\nb\\n"
-    counts 3 tokens. DuckDB's trim/regexp_split behave identically, so
-    both sides of every gate agree; pinned by the pure-Python reference
-    in test_textquality.py. Changing to empty-filtered tokens would
-    touch every text gate's values — a coordinated engine+oracle swap,
-    queued as a round-9 candidate."""
-    trimmed = F.trim(text)
-    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    r8 fix (coordinated engine+oracle swap, found by the repetition
+    pure-Python pin): `trim` strips SPACES only, so text edged by other
+    whitespace (e.g. a trailing newline) used to keep an empty token
+    from the split — "a\\nb\\n" counted 3 tokens. Empty tokens are now
+    filtered on BOTH engines (`_ws_tokens_sql` mirrors), so token counts
+    reflect actual words; gate values on the whitespace-clean corpus are
+    unchanged (verified by the full sf0.01 mirror)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
 def token_count_ws(text: Column) -> Column:

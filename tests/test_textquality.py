@@ -315,11 +315,9 @@ def _repetition_reference(texts):
     )
 
     def ws_toks(t):
-        # exact engine/oracle semantics: trim() strips SPACES only, and
-        # the \s+ split keeps leading/trailing empty tokens from other
-        # whitespace (e.g. a trailing newline) — ws_tokens does too
-        trimmed = t.strip(" ")
-        return re.split(r"\s+", trimmed) if trimmed else []
+        # exact engine/oracle semantics (r8 swap): whitespace split of
+        # the space-trimmed text with empty tokens dropped
+        return [w for w in re.split(r"\s+", t.strip(" ")) if w]
 
     out = {}
     for doc_id, raw in enumerate(texts):
