@@ -142,10 +142,10 @@ def main() -> None:
         "shipping_priority",
         "profile_orders",
         "multimodal_decode",
+        # r8 fold: full-corpus AND 10%-hash-sample Lloyd training now run
+        # union-tagged inside the ONE kmeans gate (former
+        # `sim_ann_ivf_kmeans_sampled` key) — this row times both.
         "sim_ann_ivf_kmeans",
-        # The 100 TB quantizer-training path (10% hash-sample Lloyd, full-
-        # corpus search) — now a registered, fully-oracled key (r5).
-        "sim_ann_ivf_kmeans_sampled",
         "sim_cosine_near_dup",
         "sample_mix_sources",
         "pack_context_windows",
@@ -168,6 +168,11 @@ def main() -> None:
         # (charset³-bounded model, integer-quantized log terms).
         "text_repetition",
         "text_lm_score",
+        # r8 late tranche: CCNet line-level dedup (count-aggregate + scrub,
+        # span_dedup economics at line granularity) and the hashed-feature
+        # NB classifier (one training aggregate + broadcast-model scoring).
+        "text_line_dedup",
+        "text_classifier_nb",
     ]
     # min-of-2 here too (r5): single-shot extended numbers produced two
     # rounds of phantom "regressions" on this shared machine (r3's

@@ -1111,32 +1111,43 @@ def _kmeans_oracle(iters: int = 2, sample_bps: int | None = None) -> str:
     """
 
 
-@register("sim_ann_ivf_kmeans", _kmeans_oracle())
-def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.topk_ivf_kmeans(
-        emb.filter(F.col("vec_id") < N_QUERIES), emb, DIM,
-        k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
-    )
-
-
 #: Sampling rate for the 100 TB quantizer-training path, in basis points
 #: (mirrored into the oracle's hash gate — both sides read this constant).
 KMEANS_SAMPLE_BPS = 1000
 
 
-@register("sim_ann_ivf_kmeans_sampled", _kmeans_oracle(sample_bps=KMEANS_SAMPLE_BPS))
-def q_sim_ann_ivf_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale-default kmeans-IVF: Lloyd trains on a 10% deterministic
-    hash-sample (centroid quality needs ~k·10³ vectors, not the corpus),
-    search covers the full corpus. Same plan as `sim_ann_ivf_kmeans`
-    downstream of the (much cheaper) training passes."""
+def _kmeans_union_oracle() -> str:
+    """Both Lloyd-trained IVF variants in one result set, tagged by
+    `trained` — full-corpus training beside the deterministic 10%
+    hash-sample training (the 100 TB quantizer path). r8 fold of the
+    former `sim_ann_ivf_kmeans_sampled` key under the driver's 50-key
+    cap: both fully-unrolled two-round Lloyd oracles stay driver-gated,
+    in one key."""
+    return f"""
+    SELECT 'full' AS trained, * FROM ({_kmeans_oracle()})
+    UNION ALL
+    SELECT 'sampled', * FROM ({_kmeans_oracle(sample_bps=KMEANS_SAMPLE_BPS)})
+    """
+
+
+@register("sim_ann_ivf_kmeans", _kmeans_union_oracle())
+def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus-trained AND hash-sample-trained kmeans-IVF ANN in one
+    gate, union-tagged by `trained` (r8 fold — see _kmeans_union_oracle).
+    The sampled variant is the scale default: Lloyd needs ~k·10³ vectors,
+    not the corpus; search still covers the full corpus either way."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.topk_ivf_kmeans(
-        emb.filter(F.col("vec_id") < N_QUERIES), emb, DIM,
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    full = similarity.topk_ivf_kmeans(
+        queries, emb, DIM,
+        k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+    ).select(F.lit("full").alias("trained"), "*")
+    sampled = similarity.topk_ivf_kmeans(
+        queries, emb, DIM,
         k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
         sample_fraction=KMEANS_SAMPLE_BPS / 10000,
-    )
+    ).select(F.lit("sampled").alias("trained"), "*")
+    return full.unionByName(sampled)
 
 
 def _pq_oracle(ivf: bool) -> str:
@@ -1943,24 +1954,228 @@ def _bm25_oracle() -> str:
                CAST(floor({idf} * {tfnorm} * {scale}.0) AS BIGINT) AS c
         FROM tf JOIN qt USING (term) JOIN dfq USING (term) CROSS JOIN stats
     ),
-    s AS (SELECT query_id, doc_id, sum(c) AS score_q FROM contrib GROUP BY 1, 2)
-    SELECT query_id, doc_id,
-           CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY score_q DESC, doc_id) AS INT) AS rank,
-           CAST(score_q AS DOUBLE) / {scale}.0 AS score
-    FROM s
-    QUALIFY rank <= {_BM25_K}
+    s AS (SELECT query_id, doc_id, sum(c) AS score_q, count(*) AS n_matched
+          FROM contrib GROUP BY 1, 2),
+    nt AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+    ranked_or AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_q DESC, doc_id) AS INT) AS rank,
+               CAST(score_q AS DOUBLE) / {scale}.0 AS score
+        FROM s
+        QUALIFY rank <= {_BM25_K}
+    ),
+    ranked_and AS (
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_q DESC, doc_id) AS INT) AS rank,
+               CAST(score_q AS DOUBLE) / {scale}.0 AS score
+        FROM s JOIN nt USING (query_id)
+        WHERE n_matched = n_terms
+        QUALIFY rank <= {_BM25_K}
+    )
+    SELECT 'or' AS mode, * FROM ranked_or
+    UNION ALL
+    SELECT 'and', * FROM ranked_and
     """
 
 
 @register("text_bm25", _bm25_oracle())
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 BM25 matches for the fixed gate query set (r8). Carries the
+    """Top-10 BM25 matches for the fixed gate query set, BOTH retrieval
+    modes union-tagged by `mode` (r8 extension): disjunctive bag-of-terms
+    scoring beside conjunctive every-term-required filtering. Carries the
     two concepts of the retired `text_vocab_topk` key: the per-term
     document-frequency aggregate (BM25's df table, same tokenizer) and
     the deterministic metric-desc rank cut."""
     from manifold_spark.operators.bm25 import bm25_topk, gate_queries_df
 
-    return bm25_topk(
-        _t(spark, sf_dir, "documents"), gate_queries_df(spark), k=_BM25_K
+    docs = _t(spark, sf_dir, "documents")
+    q = gate_queries_df(spark)
+    disj = bm25_topk(docs, q, k=_BM25_K, mode="or").select(
+        F.lit("or").alias("mode"), "query_id", "doc_id", "rank", "score"
     )
+    conj = bm25_topk(docs, q, k=_BM25_K, mode="and").select(
+        F.lit("and").alias("mode"), "query_id", "doc_id", "rank", "score"
+    )
+    return disj.unionByName(conj)
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup (CCNet shard dedup): hash every trimmed line,
+# drop non-first occurrences of lines appearing ≥2× corpus-wide, and
+# reassemble each document from its surviving lines. The corpus has no
+# newlines, so the gate chunks every 5 tokens into a line with ONE
+# regexp_replace mirrored on both engines — duplicated 5-token chunks
+# are plentiful in the word-soup corpus (~270 duplicated lines at
+# sf0.001), so the drop path, first-occurrence argmin, and scrub are all
+# exercised with real signal (see dedup.line_dedup for the 100 TB shape).
+# ---------------------------------------------------------------------------
+
+#: 5-token line chunking for the gate corpus (matched Java/RE2 regex).
+_LINE_CHUNK_PATTERN = r"((?:\S+ ){4}\S+) "
+
+
+def _line_dedup_oracle() -> str:
+    from manifold_spark.operators.dedup import _LINE_OCC_SHIFT
+
+    chunk = (
+        f"regexp_replace(coalesce(text, ''), '{_LINE_CHUNK_PATTERN}', "
+        "'\\1' || chr(10), 'g')"
+    )
+    lines = (
+        f"list_filter(list_transform(regexp_split_to_array({chunk}, "
+        "chr(10)), l -> trim(l)), l -> l <> '')"
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, {lines} AS lines FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos, lines[i] AS line
+        FROM d, UNNEST(range(1, len(lines) + 1)) AS t(i)
+    ),
+    occ AS (
+        SELECT doc_id, pos, {_stable_hash_sql('line')} AS h,
+               doc_id * {_LINE_OCC_SHIFT} + pos AS occ
+        FROM ex
+    ),
+    duph AS (
+        SELECT h, min(occ) AS first_occ
+        FROM occ GROUP BY h HAVING count(*) >= 2
+    ),
+    drops AS (
+        SELECT doc_id, list(pos ORDER BY pos) AS drops
+        FROM occ JOIN duph USING (h)
+        WHERE occ <> first_occ
+        GROUP BY doc_id
+    ),
+    joined AS (
+        SELECT d.doc_id, d.lines,
+               coalesce(r.drops, CAST([] AS INT[])) AS drops
+        FROM d LEFT JOIN drops r USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(drops) AS INT) AS n_dup_lines,
+           CAST(coalesce(list_sum(list_transform(drops,
+                    p -> length(lines[p + 1]))), 0) AS INT) AS chars_removed,
+           CAST(len(drops) AS DOUBLE) / greatest(len(lines), 1) AS dup_line_frac,
+           coalesce(array_to_string(
+               list_filter(lines, (l, i) -> NOT list_contains(drops, i - 1)),
+               chr(10)), '') AS text_kept
+    FROM joined
+    """
+
+
+@register("text_line_dedup", _line_dedup_oracle())
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line dedup over the 5-token-chunked corpus: drop every
+    non-first occurrence of a line duplicated anywhere (min_count=2,
+    keep='first'), reassemble, and report per-doc removal stats. The
+    keep='none' variant and raw multi-line semantics are pinned in
+    tests/test_textquality.py."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), _LINE_CHUNK_PATTERN, "$1\n"
+        ),
+    )
+    return dedup.line_dedup(docs, "text", "doc_id", min_count=2, keep="first")
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature NB text classifier (fastText-style supervised filter):
+# trained on the corpus's lang labels, applied back to every document —
+# the quality/domain-classifier stage of LLM pipelines as one aggregation
+# pass + broadcast-model scoring (see operators/classifier.py).
+# ---------------------------------------------------------------------------
+
+
+def _classifier_oracle() -> str:
+    from manifold_spark.operators import classifier as clf
+
+    B, S, a = clf.N_BUCKETS, clf.SCORE_SCALE, clf.ALPHA
+    bigrams = (
+        "CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), "
+        "i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END"
+    )
+    bucket = f"({_stable_hash_sql('gram', seed=clf.FEATURE_SEED)}) % {B}"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, u.gram
+        FROM toks, UNNEST(list_concat(toks, {bigrams})) AS u(gram)
+    ),
+    feats AS (
+        SELECT doc_id, lang, {bucket} AS bucket FROM grams
+    ),
+    cnt AS (
+        SELECT lang AS label, bucket, count(*) AS cnt FROM feats GROUP BY 1, 2
+    ),
+    class_tot AS (SELECT label, sum(cnt) AS class_total FROM cnt GROUP BY 1),
+    ndc AS (SELECT lang AS label, count(*) AS n_docs_c FROM documents GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    class_table AS (
+        SELECT label,
+               CAST(floor(ln(CAST(n_docs_c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                          * {S}.0) AS BIGINT) AS prior_q,
+               CAST(floor(ln(CAST({a} AS DOUBLE)
+                             / CAST(coalesce(class_total, 0) + {a} * {B} AS DOUBLE))
+                          * {S}.0) AS BIGINT) AS default_q,
+               coalesce(class_total, 0) AS class_total
+        FROM ndc LEFT JOIN class_tot USING (label) CROSS JOIN nd
+    ),
+    buckets AS (SELECT DISTINCT bucket FROM cnt),
+    model AS (
+        SELECT b.bucket, ct.label,
+               CAST(floor(ln(CAST(coalesce(c.cnt, 0) + {a} AS DOUBLE)
+                             / CAST(ct.class_total + {a} * {B} AS DOUBLE))
+                          * {S}.0) AS BIGINT) AS w_q
+        FROM buckets b CROSS JOIN class_table ct
+        LEFT JOIN cnt c ON c.bucket = b.bucket AND c.label = ct.label
+    ),
+    dfeat AS (SELECT doc_id, bucket, count(*) AS tf FROM feats GROUP BY 1, 2),
+    m AS (
+        SELECT f.doc_id, mo.label, sum(f.tf * mo.w_q) AS m_sum,
+               sum(f.tf) AS matched_tf
+        FROM dfeat f JOIN model mo USING (bucket) GROUP BY 1, 2
+    ),
+    tft AS (SELECT doc_id, sum(tf) AS total_tf FROM dfeat GROUP BY 1),
+    pc AS (
+        SELECT d.doc_id, ct.label,
+               ct.prior_q + coalesce(m.m_sum, 0)
+               + (coalesce(t.total_tf, 0) - coalesce(m.matched_tf, 0))
+                 * ct.default_q AS score_q
+        FROM documents d
+        LEFT JOIN tft t USING (doc_id)
+        CROSS JOIN class_table ct
+        LEFT JOIN m ON m.doc_id = d.doc_id AND m.label = ct.label
+    ),
+    r AS (
+        SELECT doc_id, label, score_q,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score_q DESC, label) AS rnk,
+               lead(score_q) OVER (PARTITION BY doc_id
+                                   ORDER BY score_q DESC, label) AS next_q
+        FROM pc
+    )
+    SELECT d.doc_id, d.lang AS label_true, r.label AS pred,
+           CAST(score_q AS DOUBLE) / {S}.0 AS score,
+           CAST(coalesce(score_q - next_q, 0) AS DOUBLE) / {S}.0 AS margin
+    FROM r JOIN documents d USING (doc_id)
+    WHERE rnk = 1
+    """
+
+
+@register("text_classifier_nb", _classifier_oracle())
+def q_text_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hashed uni+bigram NB classifier on the corpus's lang
+    labels and classify every document (the fit-on-seed, apply-everywhere
+    curation setup). Held-out scoring with unseen-feature pricing and the
+    accuracy behavior are pinned in tests/test_textquality.py."""
+    from manifold_spark.operators.classifier import classify_self
+
+    return classify_self(_t(spark, sf_dir, "documents"))

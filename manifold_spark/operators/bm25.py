@@ -73,10 +73,20 @@ def bm25_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "query",
+    mode: str = "or",
 ) -> DataFrame:
     """Top-k BM25 matches per query. Returns (query_id, doc_id, rank,
     score); duplicate query terms count once (distinct-term BM25); ties
-    break on ascending doc id. Queries with no term hits return no rows."""
+    break on ascending doc id. Queries with no term hits return no rows.
+
+    ``mode="or"`` (default) is bag-of-terms disjunctive scoring;
+    ``mode="and"`` keeps only docs containing EVERY query term
+    (conjunctive retrieval — Lucene's BooleanQuery MUST semantics) before
+    ranking. Same plan either way: the matched-term count rides the
+    per-(query, doc) score fold, and the per-query term count is one
+    more broadcast — no extra pass over the postings."""
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
     toks = _persist_tracked(
         ensure_parallelism(docs).select(
             F.col(id_col), normalized_tokens(F.col(text_col)).alias("toks")
@@ -114,7 +124,19 @@ def bm25_topk(
             ).alias("c"),
         )
     )
-    scored = contrib.groupBy("query_id", id_col).agg(F.sum("c").alias("score_q"))
+    scored = contrib.groupBy("query_id", id_col).agg(
+        F.sum("c").alias("score_q"),
+        # tf relation is unique per (doc, term) and qterms per (query,
+        # term), so each contrib row is one distinct matched term
+        F.count(F.lit(1)).alias("n_matched"),
+    )
+    if mode == "and":
+        n_terms = qterms.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_terms")
+        )
+        scored = scored.join(broadcast(n_terms), "query_id").filter(
+            F.col("n_matched") == F.col("n_terms")
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("score_q").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

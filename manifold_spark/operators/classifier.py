@@ -1,0 +1,250 @@
+"""Hashed-feature text classification — the fastText-style supervised
+quality/domain classifier of LLM data pipelines (GPT-3's WebText-vs-crawl
+logistic filter, LLaMA's Wikipedia-reference classifier, fastText
+language id), reduced to its public core: a multinomial Naive Bayes
+model over hashed word uni+bigram counts, trained and applied entirely
+as DataFrame aggregations.  Joachims 1998 / McCallum & Nigam 1998 for
+multinomial NB; Weinberger et al. 2009 for the hashing trick; fastText
+(Joulin et al. 2016) for the bag-of-ngrams + linear-model shape this
+mirrors (NB is the closed-form member of that family — no SGD loop, so
+training is ONE aggregation pass and the gate stays SQL-expressible).
+
+Model (per class c, hash bucket b, smoothing α):
+
+    w(b, c)   = ln((C(b, c) + α) / (C(·, c) + α·B))      # log P(b | c)
+    prior(c)  = ln(N_c / N)
+    score(d, c) = prior(c) + Σ_b tf_d(b)·w(b, c)
+                 + (unseen feature mass)·default(c)      # default = w(∅, c)
+    pred(d)   = argmax_c score(d, c)   (ties → label asc)
+
+Scale shape:
+- Training is one explode into a map-side-combined (label, bucket) count
+  whose key space is bounded by B·|classes| — NOT the corpus — so the
+  dense model table stays broadcastable at any corpus size (same bound
+  argument as the char-LM's charset³ table, `operators/lm.py`).
+- Scoring: per-doc tf is a doc-keyed aggregate, the model and class
+  tables broadcast against it, and the per-(doc, class) fold is doc-
+  keyed — the corpus never shuffles by feature.
+- Cross-engine float discipline (lm.py precedent): each (bucket, class)
+  log-weight is floor-quantized to an integer ONCE in the model table,
+  so per-doc score sums are exact integer arithmetic — order-independent
+  and oracle-exact; the only non-IEEE-pinned op is the one ln() per
+  distinct model row, absorbed by the floor except at bin boundaries
+  (pinned by running the gate corpus through both engines).
+
+The reference engine has no classifier (text-only EL pipeline); this is
+part of the LLM-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from manifold_spark.functions.hashing import stable_long_hash
+from manifold_spark.operators.dedup import normalized_tokens
+from manifold_spark.plans.parallelism import ensure_parallelism
+
+#: Feature-hash bucket count. 2^18 keeps collisions negligible for real
+#: vocabularies while the dense (bucket × class) model stays far under
+#: broadcast limits; it also enters the smoothing denominator (α·B).
+N_BUCKETS = 1 << 18
+#: Laplace smoothing constant (integer so count arithmetic stays exact).
+ALPHA = 1
+#: Hash seed separating feature hashing from the dedup/sampling hash uses.
+FEATURE_SEED = 41
+#: Quantization scale for log-weights (see module doc / operators/lm.py).
+SCORE_SCALE = 1_000_000
+
+
+def word_grams(tokens: Column, n: int) -> Column:
+    """NON-distinct word n-grams (multinomial counts need multiplicity —
+    `dedup.word_shingles` dedups for set semantics). Shorter than n →
+    empty array (sequence counts DOWN past zero without the guard)."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def feature_grams(text: Column) -> Column:
+    """Unigrams + word bigrams over the shared dedup tokenizer — the
+    fastText feature recipe (bag of words + word n-grams)."""
+    toks = normalized_tokens(text)
+    return F.concat(word_grams(toks, 1), word_grams(toks, 2))
+
+
+def _bucket(gram: Column, n_buckets: int) -> Column:
+    return (stable_long_hash(gram, seed=FEATURE_SEED) % n_buckets).cast("long")
+
+
+def _ln_q(num: Column, den: Column) -> Column:
+    """floor(ln(num/den) · SCORE_SCALE) as bigint — num/den integer-valued
+    doubles, so the division is engine-exact; the ln ulp is absorbed by
+    the floor (lm.py discipline)."""
+    p = num.cast("double") / den.cast("double")
+    return F.floor(F.log(p) * F.lit(float(SCORE_SCALE))).cast("long")
+
+
+def train_nb(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    alpha: int = ALPHA,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the smoothed NB model. Returns (model, class_table):
+
+    - model: (bucket, label, w_q) DENSE over observed buckets × classes —
+      every bucket seen for ANY class carries a weight for EVERY class
+      (zero counts priced at the smoothing floor), so scoring needs no
+      per-class null handling for observed features.
+    - class_table: (label, prior_q, default_q, class_total) — default_q
+      prices features never observed in training (held-out docs).
+    """
+    docs = ensure_parallelism(docs)
+    feats = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(feature_grams(F.col(text_col))).alias("gram"),
+    ).select("label", _bucket(F.col("gram"), n_buckets).alias("bucket"))
+    cnt = feats.groupBy("label", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    class_tot = cnt.groupBy("label").agg(F.sum("cnt").alias("class_total"))
+    n_docs_c = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs_c")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    class_table = (
+        # classes with docs but zero features still need rows → left join
+        # from the doc-derived class list, totals coalesced to 0
+        n_docs_c.join(class_tot, "label", "left")
+        .crossJoin(broadcast(n_docs))
+        .select(
+            "label",
+            _ln_q(F.col("n_docs_c"), F.col("n_docs")).alias("prior_q"),
+            _ln_q(
+                F.lit(alpha),
+                F.coalesce(F.col("class_total"), F.lit(0))
+                + F.lit(alpha) * F.lit(n_buckets),
+            ).alias("default_q"),
+            F.coalesce(F.col("class_total"), F.lit(0)).alias("class_total"),
+        )
+    )
+
+    buckets = cnt.select("bucket").distinct()
+    model = (
+        buckets.crossJoin(broadcast(class_table.select("label", "class_total")))
+        .join(cnt, ["bucket", "label"], "left")
+        .select(
+            "bucket",
+            "label",
+            _ln_q(
+                F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha),
+                F.col("class_total") + F.lit(alpha) * F.lit(n_buckets),
+            ).alias("w_q"),
+        )
+    )
+    return model, class_table
+
+
+def score_nb(
+    docs: DataFrame,
+    model: DataFrame,
+    class_table: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Score + classify documents under a trained model. Returns
+    (id, pred, score, margin): pred = argmax-class (ties → label asc),
+    score = the winning log-score / 1e6, margin = winner − runner-up
+    (0.0 for a single-class model). Features never seen in training
+    price at each class's default_q — held-out docs score correctly."""
+    docs = ensure_parallelism(docs)
+    feats = (
+        docs.select(
+            F.col(id_col), F.explode(feature_grams(F.col(text_col))).alias("gram")
+        )
+        .select(id_col, _bucket(F.col("gram"), n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    matched = feats.join(broadcast(model), "bucket")
+    m_sums = matched.groupBy(id_col, "label").agg(
+        F.sum(F.col("tf") * F.col("w_q")).alias("m_sum"),
+        F.sum("tf").alias("matched_tf"),
+    )
+    tf_tot = feats.groupBy(id_col).agg(F.sum("tf").alias("total_tf"))
+
+    per_class = (
+        docs.select(id_col)
+        .join(tf_tot, id_col, "left")
+        .crossJoin(broadcast(class_table.select("label", "prior_q", "default_q")))
+        .join(m_sums, [id_col, "label"], "left")
+        .select(
+            id_col,
+            "label",
+            (
+                F.col("prior_q")
+                + F.coalesce(F.col("m_sum"), F.lit(0))
+                + (
+                    F.coalesce(F.col("total_tf"), F.lit(0))
+                    - F.coalesce(F.col("matched_tf"), F.lit(0))
+                )
+                * F.col("default_q")
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score_q").desc(), F.col("label"))
+    return (
+        per_class.withColumn("rnk", F.row_number().over(w))
+        .withColumn("next_q", F.lead("score_q").over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            id_col,
+            F.col("label").alias("pred"),
+            (F.col("score_q").cast("double") / F.lit(float(SCORE_SCALE))).alias(
+                "score"
+            ),
+            (
+                F.coalesce(F.col("score_q") - F.col("next_q"), F.lit(0)).cast("double")
+                / F.lit(float(SCORE_SCALE))
+            ).alias("margin"),
+        )
+    )
+
+
+def classify_self(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Train on the labeled corpus and score that same corpus (the
+    corpus-curation setup: fit on the labeled seed, apply everywhere) —
+    emits the true label beside the prediction for accuracy auditing.
+    The model is referenced by two scoring subtrees (bucket join + the
+    class table); persist via the shared operator-cache registry so the
+    training aggregation runs once."""
+    from manifold_spark.operators.dedup import _persist_tracked
+
+    model, class_table = train_nb(
+        docs, label_col=label_col, text_col=text_col, n_buckets=n_buckets
+    )
+    model = _persist_tracked(model)
+    class_table = _persist_tracked(class_table)
+    scored = score_nb(
+        docs, model, class_table, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets,
+    )
+    return docs.select(id_col, F.col(label_col).alias("label_true")).join(
+        scored, id_col
+    )

@@ -1397,3 +1397,118 @@ def span_index_upsert(
         )
     )
     return stats, {"entries": entries, "counts": counts, "meta": meta}
+
+
+# ---------------------------------------------------------------------------
+# Line-level corpus dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+#: Occurrence encoding for first-occurrence selection: occ = id·2³¹ + pos.
+#: Skew-safe (a min aggregate, map-side combined — no window over the
+#: occurrence partition of a ubiquitous line) at the documented cost of
+#: requiring 0 ≤ id < 2³² and 0 ≤ pos < 2³¹.
+_LINE_OCC_SHIFT = 1 << 31
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    keep: str = "first",
+) -> DataFrame:
+    """Line/paragraph-level corpus deduplication — the CCNet shard dedup
+    (Wenzek et al. 2020 §3.1: hash every paragraph, drop duplicates
+    across the whole crawl before any other filtering; boilerplate
+    headers/navigation/cookie banners disappear here, not at doc level).
+    Sits between `exact_dedup` (whole doc) and `span_dedup` (token
+    windows): the unit is a text LINE, and the scrub reassembles each
+    document from its surviving lines.
+
+    A line = a '\\n'-separated segment, trimmed; whitespace-only lines
+    are dropped up front (same rule as `repetition.repetition_signals`).
+    A line is DUPLICATED when its trimmed form occurs ≥ ``min_count``
+    times corpus-wide. ``keep``:
+
+    - ``"first"`` (default — the CCNet behavior): every occurrence
+      except the first (smallest (id, pos)) is removed;
+    - ``"none"``: ALL occurrences of a duplicated line are removed (the
+      aggressive variant — boilerplate so common it should not survive
+      anywhere).
+
+    Returns one row per document:
+
+      (id, n_lines, n_dup_lines, chars_removed, dup_line_frac, text_kept)
+
+    with ``n_dup_lines`` = lines removed, ``dup_line_frac`` =
+    n_dup_lines / max(n_lines, 1) and ``text_kept`` the surviving lines
+    re-joined with '\\n' in original order.
+
+    100 TB plan shape (the span_dedup economics, at line granularity):
+    one projection builds the per-doc trimmed-line array; posexplode to
+    (id, pos, h) narrow rows; ONE map-side-combined groupBy(h) carrying
+    (count, min-occurrence) — the only corpus-scale shuffle, and the
+    first-occurrence argmin is an aggregate, NOT a window over each
+    line's occurrence list (a million-copy boilerplate line would make
+    that window partition a straggler); duplicated rows come back via an
+    8-byte-key join and collapse to per-doc drop-position arrays; one
+    HOF projection scrubs. Requires 0 ≤ id < 2³² (occurrence encoding).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    lines = F.filter(
+        # single-arg lambda, NOT bare F.trim: trim has an optional second
+        # parameter, so transform's arity inspection would pass the array
+        # index as the trim-character set (NOTES round-2 pitfall)
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda l: F.trim(l),
+        ),
+        lambda l: l != "",
+    )
+    base = _persist_tracked(
+        docs.select(F.col(id_col), lines.alias("lines"))
+    )  # consumed twice: occurrence explode + final scrub join
+
+    occ = base.select(
+        F.col(id_col), F.posexplode("lines").alias("pos", "line")
+    ).select(
+        id_col,
+        "pos",
+        stable_long_hash(F.col("line")).alias("h"),
+        (F.col(id_col) * F.lit(_LINE_OCC_SHIFT) + F.col("pos")).alias("occ"),
+    )
+    duph = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("occ").alias("first_occ"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    dropped = occ.join(duph, "h")
+    if keep == "first":
+        dropped = dropped.filter(F.col("occ") != F.col("first_occ"))
+    drops = dropped.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("drops")
+    )
+
+    out = base.join(drops, id_col, "left").withColumn(
+        "drops", F.coalesce(F.col("drops"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("lines"), lambda l, i: ~F.array_contains(F.col("drops"), i)
+    )
+    removed_chars = F.aggregate(
+        F.col("drops"),
+        F.lit(0),
+        lambda acc, p: acc + F.length(F.element_at(F.col("lines"), p + 1)),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("lines").alias("n_lines"),
+        F.size("drops").alias("n_dup_lines"),
+        removed_chars.alias("chars_removed"),
+        (
+            F.size("drops").cast("double")
+            / F.greatest(F.size("lines"), F.lit(1)).cast("double")
+        ).alias("dup_line_frac"),
+        F.concat_ws("\n", kept).alias("text_kept"),
+    )

@@ -235,3 +235,32 @@ def contamination_stream(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def nb_classify_sink(
+    model: DataFrame,
+    class_table: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch body factory for streaming text classification: score
+    each arriving micro-batch of documents under a PRETRAINED NB model
+    (`classifier.train_nb` output — the fit-on-seed, apply-to-the-stream
+    curation setup) and append the scored rows to a parquet sink.
+
+    Stateless stream-static scoring: the model/class tables broadcast
+    against each batch and no state spans triggers, so the union of all
+    emitted batches equals the one-shot `score_nb` over the same rows
+    (id-disjoint batches) — pinned in tests/test_streaming.py. Per-batch
+    cost is the batch's own tokenize+hash+fold; independent of stream
+    history. r8; the repetition/LM scorers stream the same way (stateless
+    projections + broadcast joins) via the identical foreachBatch shape."""
+    from manifold_spark.operators.classifier import score_nb
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        score_nb(
+            batch, model, class_table, text_col=text_col, id_col=id_col
+        ).write.mode("append").parquet(out_path)
+
+    return sink

@@ -497,3 +497,45 @@ def test_foreachbatch_minhash_index_matches_batch(spark, sf_dir, tmp_path):
     assert len(emitted) == len(set(emitted))  # each pair exactly once
     assert set(emitted) == truth
     assert len(truth) > 0
+
+
+def test_streaming_nb_classify_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static NB classification (pretrained model, foreachBatch
+    scoring) must land on exactly the batch `score_nb` rows when the doc
+    stream is drained with availableNow (one file per trigger)."""
+    from manifold_spark.operators.classifier import score_nb, train_nb
+    from manifold_spark.operators.dedup import release_shingle_caches
+    from manifold_spark.streaming.jobs import nb_classify_sink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model, classes = train_nb(docs)
+    model = model.persist()
+    classes = classes.persist()
+
+    batch = {
+        (r["doc_id"], r["pred"], round(r["score"], 9), round(r["margin"], 9))
+        for r in score_nb(docs, model, classes).collect()
+    }
+
+    src = str(tmp_path / "nbc-src")
+    for i in range(3):  # 3 files → 3 triggers
+        docs.filter(F.col("doc_id") % 3 == i).write.mode("append").parquet(src)
+    out = str(tmp_path / "nbc-out")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(nb_classify_sink(model, classes, out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "nbc-ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r["doc_id"], r["pred"], round(r["score"], 9), round(r["margin"], 9))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch
+    model.unpersist()
+    classes.unpersist()
+    release_shingle_caches()

@@ -398,3 +398,261 @@ def test_repetition_matches_pure_python(spark):
         r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()
     }
     assert got == _repetition_reference(texts)
+
+
+# ---------------------------------------------------------------------------
+# bm25 conjunctive (AND) mode
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_and_mode_requires_all_terms(spark):
+    from manifold_spark.operators.bm25 import bm25_topk
+
+    corpus = [
+        (1, "apple banana cherry"),
+        (2, "apple apple apple"),
+        (3, "banana banana"),
+        (4, "apple banana"),
+        (5, "unrelated words"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    qdf = spark.createDataFrame(
+        [(0, "apple banana"), (1, "apple")], "query_id int, query string"
+    )
+    disj = {(r["query_id"], r["doc_id"]): r for r in bm25_topk(docs, qdf, k=10).collect()}
+    conj = {(r["query_id"], r["doc_id"]): r for r in bm25_topk(docs, qdf, k=10, mode="and").collect()}
+    # q0: only docs 1 and 4 contain BOTH terms
+    assert {d for (q, d) in conj if q == 0} == {1, 4}
+    # q1 single-term: and == or hit set
+    assert {d for (q, d) in conj if q == 1} == {d for (q, d) in disj if q == 1}
+    # conjunctive is a subset of disjunctive with identical scores
+    for key, r in conj.items():
+        assert key in disj
+        assert r["score"] == disj[key]["score"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, qdf, mode="xor")
+    from manifold_spark.operators.dedup import release_shingle_caches
+
+    release_shingle_caches()
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (CCNet shard dedup)
+# ---------------------------------------------------------------------------
+
+
+def _line_rows(spark, docs, **kw):
+    from manifold_spark.operators.dedup import line_dedup, release_shingle_caches
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in line_dedup(df, **kw).collect()}
+    release_shingle_caches()
+    return out
+
+
+def test_line_dedup_keep_first(spark):
+    rows = _line_rows(
+        spark,
+        [
+            (0, "cookie banner\nreal content zero\ncookie banner"),
+            (1, "cookie banner\nreal content one"),
+            (2, "unique stuff\n\n   \nmore unique"),
+        ],
+    )
+    # doc 0 keeps the FIRST 'cookie banner' (pos 0), loses its self-repeat
+    assert rows[0]["n_lines"] == 3
+    assert rows[0]["n_dup_lines"] == 1
+    assert rows[0]["text_kept"] == "cookie banner\nreal content zero"
+    assert rows[0]["chars_removed"] == len("cookie banner")
+    assert rows[0]["dup_line_frac"] == pytest.approx(1 / 3)
+    # doc 1's copy is a later occurrence → dropped
+    assert rows[1]["text_kept"] == "real content one"
+    # whitespace-only lines are dropped up front, not counted
+    assert rows[2]["n_lines"] == 2
+    assert rows[2]["n_dup_lines"] == 0
+    assert rows[2]["text_kept"] == "unique stuff\nmore unique"
+
+
+def test_line_dedup_keep_none(spark):
+    rows = _line_rows(
+        spark,
+        [
+            (0, "boiler\nkeep zero"),
+            (1, "boiler\nkeep one"),
+        ],
+        keep="none",
+    )
+    assert rows[0]["text_kept"] == "keep zero"
+    assert rows[1]["text_kept"] == "keep one"
+    assert rows[0]["n_dup_lines"] == rows[1]["n_dup_lines"] == 1
+
+
+def test_line_dedup_trims_before_hashing(spark):
+    # '  boiler ' and 'boiler' are the same trimmed line
+    rows = _line_rows(spark, [(0, "  boiler \nx"), (1, "boiler\ny")])
+    assert rows[1]["text_kept"] == "y"
+    assert rows[0]["text_kept"] == "boiler\nx"
+
+
+def test_line_dedup_no_dups_identity(spark):
+    rows = _line_rows(spark, [(0, "alpha\nbeta"), (1, "gamma\ndelta")])
+    for r in rows.values():
+        assert r["n_dup_lines"] == 0
+        assert r["chars_removed"] == 0
+        assert r["dup_line_frac"] == 0.0
+    assert rows[0]["text_kept"] == "alpha\nbeta"
+
+
+def test_line_dedup_min_count_threshold(spark):
+    # at min_count=3 a line appearing twice survives everywhere
+    rows = _line_rows(
+        spark, [(0, "twice\na"), (1, "twice\nb")], min_count=3
+    )
+    assert rows[0]["text_kept"] == "twice\na"
+    assert rows[1]["text_kept"] == "twice\nb"
+    with pytest.raises(ValueError):
+        _line_rows(spark, [(0, "x")], keep="bogus")
+
+
+# ---------------------------------------------------------------------------
+# NB classifier (hashed-feature fastText-style supervised filter)
+# ---------------------------------------------------------------------------
+
+
+def _nb_reference(train, score_docs):
+    """Independent pure-Python multinomial NB with the same md5 bucket
+    hashing and floor-quantization, for cross-implementation pinning."""
+    import hashlib
+    import re
+
+    from manifold_spark.operators import classifier as clf
+
+    B, S, a, seed = clf.N_BUCKETS, clf.SCORE_SCALE, clf.ALPHA, clf.FEATURE_SEED
+
+    def toks(t):
+        return [w for w in re.sub(r"[^\w]+", " ", (t or "").lower()).split() if w]
+
+    def grams(t):
+        ts = toks(t)
+        return ts + [f"{ts[i]} {ts[i+1]}" for i in range(len(ts) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(f"{seed}{g}".encode()).hexdigest()[:15], 16) % B
+
+    cnt: dict = {}
+    n_docs_c: dict = {}
+    for _, text, label in train:
+        n_docs_c[label] = n_docs_c.get(label, 0) + 1
+        for g in grams(text):
+            k = (label, bucket(g))
+            cnt[k] = cnt.get(k, 0) + 1
+    classes = sorted(n_docs_c)
+    tot = {c: sum(v for (l, _), v in cnt.items() if l == c) for c in classes}
+    n_docs = sum(n_docs_c.values())
+    prior = {c: math.floor(math.log(n_docs_c[c] / n_docs) * S) for c in classes}
+    default = {c: math.floor(math.log(a / (tot[c] + a * B)) * S) for c in classes}
+    buckets = {b for (_, b) in cnt}
+    w = {
+        (c, b): math.floor(
+            math.log((cnt.get((c, b), 0) + a) / (tot[c] + a * B)) * S
+        )
+        for c in classes
+        for b in buckets
+    }
+    out = {}
+    for doc_id, text in score_docs:
+        tf: dict = {}
+        for g in grams(text):
+            b = bucket(g)
+            tf[b] = tf.get(b, 0) + 1
+        scores = []
+        for c in classes:
+            s = prior[c]
+            for b, f in tf.items():
+                s += f * w[(c, b)] if b in buckets else f * default[c]
+            scores.append((-s, c))
+        scores.sort()
+        pred = scores[0][1]
+        top = -scores[0][0]
+        margin = (top - (-scores[1][0])) if len(scores) > 1 else 0
+        out[doc_id] = (pred, top / S, margin / S)
+    return out
+
+
+_NB_TRAIN = [
+    (0, "gato perro casa comida gato", "es"),
+    (1, "perro gato calle casa", "es"),
+    (2, "cat dog house food cat", "en"),
+    (3, "dog cat street house", "en"),
+    (4, "chien chat maison rue", "fr"),
+    (5, "chat chien nourriture maison", "fr"),
+]
+
+
+def test_nb_classifier_matches_pure_python(spark):
+    from manifold_spark.operators.classifier import classify_self
+    from manifold_spark.operators.dedup import release_shingle_caches
+
+    df = spark.createDataFrame(_NB_TRAIN, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["pred"], r["score"], r["margin"])
+        for r in classify_self(df).collect()
+    }
+    release_shingle_caches()
+    expected = _nb_reference(_NB_TRAIN, [(i, t) for i, t, _ in _NB_TRAIN])
+    for d in expected:
+        assert got[d][0] == expected[d][0], d
+        assert got[d][1] == pytest.approx(expected[d][1], abs=1e-6)
+        assert got[d][2] == pytest.approx(expected[d][2], abs=1e-6)
+    # self-classification on cleanly separated vocab is perfect
+    assert [got[i][0] for i, _, _ in _NB_TRAIN] == [l for _, _, l in _NB_TRAIN]
+
+
+def test_nb_classifier_held_out_with_unseen_features(spark):
+    from manifold_spark.operators.classifier import score_nb, train_nb
+    from manifold_spark.operators.dedup import release_shingle_caches
+
+    train_df = spark.createDataFrame(
+        _NB_TRAIN, "doc_id long, text string, lang string"
+    )
+    model, classes = train_nb(train_df)
+    held_out = [
+        (100, "gato casa zzz-neverseen"),  # es vocab + one unseen token
+        (101, "dog food"),
+        (102, "zzz yyy xxx"),  # ALL features unseen → priors decide
+    ]
+    out = {
+        r["doc_id"]: (r["pred"], r["score"], r["margin"])
+        for r in score_nb(
+            spark.createDataFrame(held_out, "doc_id long, text string"),
+            model,
+            classes,
+        ).collect()
+    }
+    release_shingle_caches()
+    expected = _nb_reference(_NB_TRAIN, held_out)
+    for d, (pred, score, margin) in expected.items():
+        assert out[d][0] == pred, d
+        assert out[d][1] == pytest.approx(score, abs=1e-6)
+        assert out[d][2] == pytest.approx(margin, abs=1e-6)
+    assert out[100][0] == "es"
+    assert out[101][0] == "en"
+    # all-unseen doc: unseen mass prices identically per class only when
+    # class totals match; prediction must still be deterministic
+    assert out[102][0] == expected[102][0]
+
+
+def test_nb_classifier_margin_zero_single_class(spark):
+    from manifold_spark.operators.classifier import classify_self
+    from manifold_spark.operators.dedup import release_shingle_caches
+
+    df = spark.createDataFrame(
+        [(0, "only one class here", "en"), (1, "more of it", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in classify_self(df).collect()}
+    release_shingle_caches()
+    assert all(r["pred"] == "en" for r in rows.values())
+    assert all(r["margin"] == 0.0 for r in rows.values())
