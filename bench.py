@@ -308,6 +308,7 @@ def main() -> None:
     from manifold_spark.operators import dedup as dedup_ops
     from manifold_spark.operators import similarity as sim_ops
     from manifold_spark.operators import IVF_CENTROIDS, IVF_NPROBE, NGRAM_MAX_DF, TOP_K
+    from manifold_spark.operators.classifier import classify_self as _nb_classify
     from manifold_spark.operators.lm import score_docs as _lm_score
     from manifold_spark.operators.repetition import repetition_signals as _rep_signals
 
@@ -359,6 +360,19 @@ def main() -> None:
         "text_span_dedup_10x": lambda: dedup_ops.span_dedup(
             docs10, "text", "doc_id"
         ),
+        # r8 late tranche at 10×: line dedup (one count-aggregate shuffle
+        # + HOF scrub; replica markers make the 5-token chunks distinct
+        # across replicas, so like ngram above the dup-line population
+        # matches the base corpus) and the NB classifier (training counts
+        # stay bucket×class-bounded; scoring is doc-keyed).
+        "text_line_dedup_10x": lambda: dedup_ops.line_dedup(
+            docs10.withColumn(
+                "text",
+                F.regexp_replace(F.col("text"), r"((?:\S+ ){4}\S+) ", "$1\n"),
+            ),
+            "text", "doc_id",
+        ),
+        "text_classifier_nb_10x": lambda: _nb_classify(docs10),
     }
     # Alongside each time: the plan's shuffle count (static compile — an
     # accidental extra Exchange is the classic way a linear operator goes

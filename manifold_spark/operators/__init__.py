@@ -1454,10 +1454,15 @@ _MIX_DEFAULT = 0.05
 
 
 _QUOTA_PER_SOURCE = 25
+#: Temperature-resampling knobs for the gate's third branch — over
+#: `lang` (the one skewed grouping in the corpus; `source` is uniform),
+#: XLM-R's α = 0.5 mixture flattening at half-volume.
+_TEMP_ALPHA = 0.5
+_TEMP_TARGET = 0.5
 
 
 def _mix_oracle() -> str:
-    from manifold_spark.operators.sampling import RATE_DENOM
+    from manifold_spark.operators.sampling import RATE_DENOM, TEMP_SCALE
 
     rate_case = "CASE "
     for src, rate in sorted(_MIX_RATES.items()):
@@ -1477,16 +1482,45 @@ def _mix_oracle() -> str:
         FROM documents
     )
     WHERE rk <= {_QUOTA_PER_SOURCE}
+    UNION ALL
+    SELECT 'temp', doc_id, source
+    FROM documents d
+    JOIN (
+        SELECT lang,
+               CAST(floor(least(1.0, ({_TEMP_TARGET} *
+                        (CAST(e AS DOUBLE) / CAST(se AS DOUBLE))) / p)
+                    * {RATE_DENOM}.0) AS BIGINT) AS rate_bps
+        FROM (
+            SELECT lang, p,
+                   CAST(floor(pow(p, {_TEMP_ALPHA}) * {TEMP_SCALE}.0) AS BIGINT) AS e,
+                   sum(CAST(floor(pow(p, {_TEMP_ALPHA}) * {TEMP_SCALE}.0) AS BIGINT))
+                       OVER () AS se
+            FROM (
+                SELECT lang,
+                       CAST(count(*) AS DOUBLE)
+                       / CAST(sum(count(*)) OVER () AS DOUBLE) AS p
+                FROM documents GROUP BY lang
+            )
+        )
+    ) r USING (lang)
+    WHERE ({h}) % {RATE_DENOM} < rate_bps
     """
 
 
 @register("sample_mix_sources", _mix_oracle())
 def q_sample_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both deterministic sampling modes in one gate (r8 extension):
+    """All three deterministic sampling modes in one gate (r8):
     expected-rate per-source gates (`mix_sources` — one scan, no shuffle)
     UNION exact per-source quotas (`stratified_sample` — hash-ordered
-    rank window, "exactly N docs per source"), tagged by `method`."""
-    from manifold_spark.operators.sampling import mix_sources, stratified_sample
+    rank window, "exactly N docs per source") UNION temperature
+    resampling over the skewed lang mixture (`temperature_sample` —
+    XLM-R α-flattening, data-derived integer-quantized rates), tagged
+    by `method`."""
+    from manifold_spark.operators.sampling import (
+        mix_sources,
+        stratified_sample,
+        temperature_sample,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     rate = mix_sources(
@@ -1495,7 +1529,10 @@ def q_sample_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = stratified_sample(
         docs, "source", _QUOTA_PER_SOURCE, "doc_id"
     ).select(F.lit("quota").alias("method"), "doc_id", "source")
-    return rate.unionByName(quota)
+    temp = temperature_sample(
+        docs, "lang", "doc_id", _TEMP_ALPHA, _TEMP_TARGET
+    ).select(F.lit("temp").alias("method"), "doc_id", "source")
+    return rate.unionByName(quota).unionByName(temp)
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,10 @@ from manifold_spark.functions.hashing import stable_long_hash
 #: (1/10000), so fractions down to 0.01% are exact integers.
 RATE_DENOM = 10_000
 
+#: Quantization scale for the temperature-resampling p^α terms (see
+#: `temperature_rates` — integers make the normalizing sum exact).
+TEMP_SCALE = 1_000_000_000
+
 
 def sample_gate(key: Column, rate: float, seed: int = 0) -> Column:
     """Boolean keep-gate: md5-hash the key, keep the fraction `rate`.
@@ -141,4 +145,85 @@ def pack_documents(
     cum = F.sum("n_tokens").over(w)
     return base.withColumn(
         "bin_id", F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("long")
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str,
+    alpha: float,
+    target_fraction: float,
+) -> DataFrame:
+    """Per-source keep-rates for TEMPERATURE resampling — the standard
+    multilingual/multi-source mixture flattener (XLM-R / mT5 recipe,
+    Conneau et al. 2020 §3.1): the output mixture follows pₛ^α (α < 1
+    upweights small sources, α = 1 preserves the natural mixture, α = 0
+    is uniform). For source share pₛ = nₛ/N:
+
+        qₛ = pₛ^α / Σ p^α                 # target mixture
+        rateₛ = min(1, target_fraction · qₛ / pₛ)
+
+    so the expected kept volume is target_fraction·N distributed as q.
+    Rates that clamp at 1 (a tiny source cannot be upsampled by
+    KEEPING rows — only by repetition, a separate epoch-weighting
+    decision) shift the realized mixture toward the natural one; the
+    returned table makes the clamp visible (`rate_bps` = 10000).
+
+    Returns (source, n_rows, rate_bps) — one map-side-combined count
+    aggregate + a |sources|-row window normalization; floor-quantized to
+    basis points so the downstream hash gates are integer-exact across
+    engines. Feed to `temperature_sample` (or inspect/override and feed
+    `mix_sources`).
+
+    Cross-engine float discipline (lm.py precedent): each source's p^α
+    is floor-quantized to an integer ONCE, so the normalizing Σ p^α is
+    an exact integer sum — order-independent under any row order (a raw
+    double window-sum would diverge on accumulation order); the one
+    non-IEEE-pinned op is the pow() per source, absorbed by the floor."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy()  # |sources| rows — bounded, single partition fine
+    p = F.col("n_rows").cast("double") / F.sum("n_rows").over(w).cast("double")
+    e = F.floor(F.pow(p, F.lit(float(alpha))) * F.lit(float(TEMP_SCALE))).cast(
+        "long"
+    )
+    q = e.cast("double") / F.sum(e).over(w).cast("double")
+    rate = F.least(F.lit(1.0), F.lit(float(target_fraction)) * q / p)
+    return counts.select(
+        "source",
+        "n_rows",
+        F.floor(rate * F.lit(float(RATE_DENOM))).cast("long").alias("rate_bps"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float,
+    target_fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic temperature-resampled corpus: `temperature_rates`
+    broadcast-joined onto the corpus, rows kept by the same md5 hash
+    gate as every sampler here (layout/engine-independent, nested-subset
+    composable). One scan + one bounded broadcast — the corpus never
+    shuffles."""
+    from pyspark.sql.functions import broadcast
+
+    rates = temperature_rates(df, source_col, alpha, target_fraction)
+    gate = (
+        stable_long_hash(F.col(key_col).cast("string"), seed=seed) % RATE_DENOM
+        < F.col("rate_bps")
+    )
+    return (
+        df.join(
+            broadcast(rates.withColumnRenamed("source", source_col)),
+            source_col,
+        )
+        .filter(gate)
+        .drop("n_rows", "rate_bps")
     )

@@ -656,3 +656,77 @@ def test_nb_classifier_margin_zero_single_class(spark):
     release_shingle_caches()
     assert all(r["pred"] == "en" for r in rows.values())
     assert all(r["margin"] == 0.0 for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# temperature resampling
+# ---------------------------------------------------------------------------
+
+
+def _temp_rates_reference(counts, alpha, target):
+    from manifold_spark.operators.sampling import RATE_DENOM, TEMP_SCALE
+
+    total = sum(counts.values())
+    e = {
+        s: math.floor((n / total) ** alpha * TEMP_SCALE) for s, n in counts.items()
+    }
+    se = sum(e.values())
+    out = {}
+    for s, n in counts.items():
+        p = n / total
+        rate = min(1.0, (target * (e[s] / se)) / p)
+        out[s] = math.floor(rate * RATE_DENOM)
+    return out
+
+
+def test_temperature_rates_match_reference(spark):
+    from manifold_spark.operators.sampling import temperature_rates
+
+    counts = {"big": 900, "mid": 90, "small": 10}
+    rows = [(f"{s}-{i}", s) for s, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    got = {
+        r["source"]: (r["n_rows"], r["rate_bps"])
+        for r in temperature_rates(df, "source", 0.5, 0.3).collect()
+    }
+    exp = _temp_rates_reference(counts, 0.5, 0.3)
+    assert {s: v[1] for s, v in got.items()} == exp
+    assert {s: v[0] for s, v in got.items()} == counts
+    # flattening direction: rare sources get HIGHER keep-rates
+    assert got["small"][1] > got["mid"][1] > got["big"][1]
+
+
+def test_temperature_rates_clamp_at_one(spark):
+    from manifold_spark.operators.sampling import RATE_DENOM, temperature_rates
+
+    # alpha=0 → uniform target mixture; the 1% source would need a 25×
+    # upsample at target=0.5 — keep-rate clamps at 1.0
+    rows = [(f"a{i}", "big") for i in range(990)] + [(f"b{i}", "tiny") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    got = {
+        r["source"]: r["rate_bps"]
+        for r in temperature_rates(df, "source", 0.0, 0.5).collect()
+    }
+    assert got["tiny"] == RATE_DENOM
+    assert got["big"] < RATE_DENOM // 2 + 100
+
+
+def test_temperature_sample_deterministic_and_gated(spark):
+    from manifold_spark.operators.sampling import temperature_rates, temperature_sample
+
+    counts = {"big": 400, "small": 40}
+    rows = [(f"{s}-{i}", s) for s, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    kept1 = sorted(r["doc_id"] for r in temperature_sample(df, "source", "doc_id", 0.5, 0.4).collect())
+    kept2 = sorted(r["doc_id"] for r in temperature_sample(df, "source", "doc_id", 0.5, 0.4).collect())
+    assert kept1 == kept2  # layout-independent determinism
+    rates = {
+        r["source"]: r["rate_bps"]
+        for r in temperature_rates(df, "source", 0.5, 0.4).collect()
+    }
+    by_src = {"big": 0, "small": 0}
+    for d in kept1:
+        by_src[d.split("-")[0]] += 1
+    # kept fraction tracks the computed rate within hash noise
+    for s, n in counts.items():
+        assert abs(by_src[s] / n - rates[s] / 10000) < 0.12
