@@ -154,7 +154,7 @@ def train_nb(
     return model, class_table
 
 
-def score_nb(
+def score_nb_classes(
     docs: DataFrame,
     model: DataFrame,
     class_table: DataFrame,
@@ -162,11 +162,11 @@ def score_nb(
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
 ) -> DataFrame:
-    """Score + classify documents under a trained model. Returns
-    (id, pred, score, margin): pred = argmax-class (ties → label asc),
-    score = the winning log-score / 1e6, margin = winner − runner-up
-    (0.0 for a single-class model). Features never seen in training
-    price at each class's default_q — held-out docs score correctly."""
+    """Per-(doc, class) quantized log-scores under a trained model —
+    (id, label, score_q), one row per document per class. The shared
+    core of `score_nb` (argmax classification) and `dsir_logratio`
+    (two-class log-likelihood-ratio weighting). Features never seen in
+    training price at each class's default_q."""
     docs = ensure_parallelism(docs)
     feats = (
         docs.select(
@@ -183,7 +183,7 @@ def score_nb(
     )
     tf_tot = feats.groupBy(id_col).agg(F.sum("tf").alias("total_tf"))
 
-    per_class = (
+    return (
         docs.select(id_col)
         .join(tf_tot, id_col, "left")
         .crossJoin(broadcast(class_table.select("label", "prior_q", "default_q")))
@@ -201,6 +201,25 @@ def score_nb(
                 * F.col("default_q")
             ).alias("score_q"),
         )
+    )
+
+
+def score_nb(
+    docs: DataFrame,
+    model: DataFrame,
+    class_table: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Score + classify documents under a trained model. Returns
+    (id, pred, score, margin): pred = argmax-class (ties → label asc),
+    score = the winning log-score / 1e6, margin = winner − runner-up
+    (0.0 for a single-class model). Features never seen in training
+    price at each class's default_q — held-out docs score correctly."""
+    per_class = score_nb_classes(
+        docs, model, class_table, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets,
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score_q").desc(), F.col("label"))
     return (
@@ -247,4 +266,78 @@ def classify_self(
     )
     return docs.select(id_col, F.col(label_col).alias("label_true")).join(
         scored, id_col
+    )
+
+
+def dsir_logratio(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    score_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public recipe):
+    weight each document by the log-likelihood ratio of its hashed
+    n-gram features under the target-domain distribution vs the raw-pool
+    distribution,
+
+        w(d) = Σ_b tf_d(b) · [ln P(b | target) − ln P(b | raw)]
+
+    — exactly the two-class NB score difference with the class priors
+    subtracted out, so this is a thin composition of the driver-gated
+    classifier machinery (`train_nb` on {target, raw} + per-class
+    scoring); determinism and scale shape are inherited unchanged (the
+    ratio of two exact integer sums is an exact integer).
+
+    Scores ``score_docs`` (default: the raw pool — the standard DSIR
+    setup of ranking the crawl by target-likeness). Returns
+    (id, n_features, logratio); select the top slice by `logratio`
+    (deterministic variant of DSIR's Gumbel resampling) or threshold.
+    """
+    from manifold_spark.operators.dedup import _persist_tracked
+
+    labeled = target_docs.select(
+        F.col(id_col), F.col(text_col), F.lit("target").alias("_dsir_label")
+    ).unionByName(
+        raw_docs.select(
+            F.col(id_col), F.col(text_col), F.lit("raw").alias("_dsir_label")
+        )
+    )
+    model, class_table = train_nb(
+        labeled, label_col="_dsir_label", text_col=text_col, n_buckets=n_buckets
+    )
+    model = _persist_tracked(model)
+    class_table = _persist_tracked(class_table)
+
+    to_score = raw_docs if score_docs is None else score_docs
+    per_class = score_nb_classes(
+        to_score, model, class_table, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets,
+    )
+    scores = per_class.groupBy(id_col).agg(
+        F.max(F.when(F.col("label") == "target", F.col("score_q"))).alias("t_q"),
+        F.max(F.when(F.col("label") == "raw", F.col("score_q"))).alias("r_q"),
+    )
+    priors = class_table.groupBy().agg(
+        F.max(F.when(F.col("label") == "target", F.col("prior_q"))).alias("pt_q"),
+        F.max(F.when(F.col("label") == "raw", F.col("prior_q"))).alias("pr_q"),
+    )
+    feats = (
+        ensure_parallelism(to_score)
+        .select(F.col(id_col), F.size(feature_grams(F.col(text_col))).alias("n_features"))
+    )
+    return (
+        scores.crossJoin(broadcast(priors))
+        .join(feats, id_col)
+        .select(
+            id_col,
+            F.col("n_features").cast("int"),
+            (
+                ((F.col("t_q") - F.col("r_q")) - (F.col("pt_q") - F.col("pr_q")))
+                .cast("double")
+                / F.lit(float(SCORE_SCALE))
+            ).alias("logratio"),
+        )
     )
