@@ -1781,6 +1781,7 @@ def _repetition_oracle() -> str:
     top_ns = sorted(rep.TOP_NGRAM_THRESHOLDS)
     dup_ns = sorted(rep.DUP_NGRAM_THRESHOLDS)
     scale = rep._TOP_CODE_SCALE
+    es = rep._ENT_SCALE
     gram_units = []
     for n in sorted(set(top_ns) | set(dup_ns)):
         grams = (
@@ -1792,14 +1793,22 @@ def _repetition_oracle() -> str:
         gram_units.append(
             f"SELECT doc_id, 'g{n}' AS kind, u.gram FROM d, UNNEST({grams}) AS u(gram)"
         )
+    chars = (
+        "CASE WHEN length(text) > 0 THEN "
+        "list_transform(range(1, length(text) + 1), "
+        "i -> substr(text, CAST(i AS INT), 1)) ELSE [] END"
+    )
     units = "\n        UNION ALL\n        ".join(
-        ["SELECT doc_id, 'line' AS kind, u.gram FROM d, UNNEST(lines) AS u(gram)"]
+        ["SELECT doc_id, 'line' AS kind, u.gram FROM d, UNNEST(lines) AS u(gram)",
+         f"SELECT doc_id, 'c1' AS kind, u.gram FROM d, UNNEST({chars}) AS u(gram)"]
         + gram_units
     )
     pivot = ",\n               ".join(
         ["max(CASE WHEN kind = 'line' THEN total END) AS line_total",
          "max(CASE WHEN kind = 'line' THEN n_distinct END) AS line_distinct",
-         "max(CASE WHEN kind = 'line' THEN dup_mass END) AS line_dup_mass"]
+         "max(CASE WHEN kind = 'line' THEN dup_mass END) AS line_dup_mass",
+         "max(CASE WHEN kind = 'c1' THEN total END) AS c1_total",
+         "max(CASE WHEN kind = 'c1' THEN ent_sum_q END) AS c1_ent_sum_q"]
         + [f"max(CASE WHEN kind = 'g{n}' THEN top_code END) AS g{n}_top_code"
            for n in top_ns]
         + [f"max(CASE WHEN kind = 'g{n}' THEN dup_mass END) AS g{n}_dup_mass"
@@ -1843,7 +1852,9 @@ def _repetition_oracle() -> str:
                sum(cnt) AS total,
                count(*) AS n_distinct,
                sum((cnt - 1) * length(gram)) AS dup_mass,
-               max(cnt * {scale} + length(gram)) AS top_code
+               max(cnt * {scale} + length(gram)) AS top_code,
+               sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE)) * {es}.0) AS BIGINT))
+                   AS ent_sum_q
         FROM counts GROUP BY doc_id, kind
     ),
     p AS (
@@ -1871,7 +1882,13 @@ def _repetition_oracle() -> str:
            {dup_fracs},
            n_symbols / greatest(n_tokens, 1) AS symbol_word_ratio,
            n_bullet / greatest(n_lines, 1) AS bullet_line_frac,
-           n_ellipsis / greatest(n_lines, 1) AS ellipsis_line_frac
+           n_ellipsis / greatest(n_lines, 1) AS ellipsis_line_frac,
+           CASE WHEN coalesce(c1_total, 0) > 0 THEN
+               CAST(coalesce(c1_total, 0)
+                        * CAST(floor(ln(CAST(c1_total AS DOUBLE)) * {es}.0) AS BIGINT)
+                    - coalesce(c1_ent_sum_q, 0) AS DOUBLE)
+               / CAST(coalesce(c1_total, 0) * {es} AS DOUBLE)
+           ELSE 0.0 END AS char_entropy
         FROM base b LEFT JOIN p USING (doc_id)
     )
     SELECT *, ({pass_terms}) AS repetition_pass FROM joined

@@ -22,6 +22,11 @@ Per document:
 - ``symbol_word_ratio`` — '#' / '…' / '...' hits per whitespace token.
 - ``bullet_line_frac`` / ``ellipsis_line_frac`` — lines starting with a
   bullet mark, lines ending in an ellipsis.
+- ``char_entropy`` (late r8) — Shannon entropy (nats) of the raw
+  character distribution: near-0 for single-char runs and repeated
+  fill, ~ln|charset| for diverse text — the standard cheap gibberish /
+  filler signal beside the n-gram masses. Not part of the Gopher pass
+  flag (no published threshold); exposed for caller-side cuts.
 - ``repetition_pass`` — all Gopher thresholds hold.
 
 Scale shape (the reason this is NOT per-doc quadratic HOFs): duplicate
@@ -72,6 +77,12 @@ ELLIPSIS_PATTERN = r"(\.\.\.|…)$"
 #: Gram length is always < SCALE (a gram is a substring of its document).
 _TOP_CODE_SCALE = 1_000_000_000
 
+#: Quantization scale for the per-count ln() terms of the character
+#: entropy (H = ln L − Σ nᶜ·ln nᶜ / L): each distinct count's log is
+#: floor-quantized ONCE so the per-doc reduction is an exact integer sum
+#: (the lm.py float discipline — order-independent, oracle-exact).
+_ENT_SCALE = 1_000_000
+
 
 def _nonempty_lines(text: Column) -> Column:
     """Non-empty lines of the raw text (duplicate-line identity is
@@ -112,8 +123,9 @@ def repetition_signals(
     (id, n_lines, dup_line_frac, dup_line_char_frac,
     top_{2,3,4}gram_char_frac, dup_{5,10}gram_char_frac,
     symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
-    repetition_pass). All fractions are exact-integer ratios (the only
-    doubles are final divisions — oracle-exact).
+    char_entropy, repetition_pass). All fractions are exact-integer
+    ratios (the only doubles are final divisions, and the entropy's log
+    terms are integer-quantized — oracle-exact).
     """
     docs = ensure_parallelism(docs)  # single-row-group parquet can't split
     # NULL text reads as degenerate-empty (0 lines, 0 fractions), not a
@@ -124,8 +136,17 @@ def repetition_signals(
     top_ns = sorted(TOP_NGRAM_THRESHOLDS)
     dup_ns = sorted(DUP_NGRAM_THRESHOLDS)
 
-    # One relation of every countable unit: lines + n-grams for every n.
-    unit_arrays = [F.transform(lines, _tag("line"))]
+    # One relation of every countable unit: lines + n-grams for every n
+    # + (late r8) raw characters for the entropy signal. Characters ride
+    # the SAME exploded-counts shuffle — no new plan stage.
+    chars = F.when(
+        F.length(text) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text)),
+            lambda i: text.substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    unit_arrays = [F.transform(lines, _tag("line")), F.transform(chars, _tag("c1"))]
     for n in sorted(set(top_ns) | set(dup_ns)):
         unit_arrays.append(F.transform(_word_ngrams(tokens, n), _tag(f"g{n}")))
     units = docs.select(
@@ -140,6 +161,14 @@ def repetition_signals(
         F.max(F.col("cnt") * F.lit(_TOP_CODE_SCALE) + F.length("gram")).alias(
             "top_code"
         ),
+        # Σ cnt·floor(ln(cnt)·S) — the entropy numerator's variable part
+        # (only read for kind 'c1'; ln(1)=0 exactly, so singletons add 0)
+        F.sum(
+            F.col("cnt")
+            * F.floor(
+                F.log(F.col("cnt").cast("double")) * F.lit(float(_ENT_SCALE))
+            ).cast("long")
+        ).alias("ent_sum_q"),
     )
 
     def _k(kind: str, metric: str) -> Column:
@@ -149,6 +178,10 @@ def repetition_signals(
         _k("line", "total").alias("line_total"),
         _k("line", "n_distinct").alias("line_distinct"),
         _k("line", "dup_mass").alias("line_dup_mass"),
+    ]
+    agg_cols += [
+        _k("c1", "total").alias("c1_total"),
+        _k("c1", "ent_sum_q").alias("c1_ent_sum_q"),
     ]
     for n in top_ns:
         agg_cols.append(_k(f"g{n}", "top_code").alias(f"g{n}_top_code"))
@@ -202,6 +235,20 @@ def repetition_signals(
         out_cols.append(_top_frac(n).alias(f"top_{n}gram_char_frac"))
     for n in dup_ns:
         out_cols.append(_dup_frac(f"g{n}_dup_mass").alias(f"dup_{n}gram_char_frac"))
+    # Character entropy H = ln L − Σ nᶜ·ln nᶜ / L over raw characters:
+    # exact-integer numerator (quantized logs), one final double division.
+    # 0.0 for empty docs; low H flags single-char runs / repeated fill.
+    ent_L = F.coalesce(F.col("c1_total"), F.lit(0))
+    ent_lnq_L = F.floor(F.log(ent_L.cast("double")) * F.lit(float(_ENT_SCALE))).cast(
+        "long"
+    )
+    char_entropy = F.when(
+        ent_L > 0,
+        (ent_L * ent_lnq_L - F.coalesce(F.col("c1_ent_sum_q"), F.lit(0))).cast(
+            "double"
+        )
+        / (ent_L * F.lit(_ENT_SCALE)).cast("double"),
+    ).otherwise(F.lit(0.0))
     out_cols += [
         (F.col("_n_symbols") / F.greatest(F.col("_n_tokens"), F.lit(1))).alias(
             "symbol_word_ratio"
@@ -212,6 +259,7 @@ def repetition_signals(
         (F.col("_n_ellipsis") / F.greatest(F.col("n_lines"), F.lit(1))).alias(
             "ellipsis_line_frac"
         ),
+        char_entropy.alias("char_entropy"),
     ]
     result = j.select(*out_cols)
 

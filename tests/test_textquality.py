@@ -363,6 +363,19 @@ def _repetition_reference(texts):
         row["ellipsis_line_frac"] = sum(
             1 for l in lines if re.search(r"(\.\.\.|…)$", l.strip())
         ) / max(len(lines), 1)
+        # char entropy with the engine's exact quantization: integer
+        # numerator of L·floor(ln L·S) − Σ n_c·floor(ln n_c·S), one final
+        # double division
+        from manifold_spark.operators.repetition import _ENT_SCALE
+
+        cc = Counter(text)
+        L = sum(cc.values())
+        if L > 0:
+            lnq = lambda n: math.floor(math.log(n) * _ENT_SCALE)  # noqa: E731
+            num = L * lnq(L) - sum(n * lnq(n) for n in cc.values())
+            row["char_entropy"] = num / (L * _ENT_SCALE)
+        else:
+            row["char_entropy"] = 0.0
         row["repetition_pass"] = passes
         out[doc_id] = row
     return out
@@ -812,3 +825,14 @@ def test_dsir_logratio_matches_reference_and_ranks_target_like_docs(spark):
     assert got[12][1] > got[10][1]
     assert got[12][1] > got[11][1]
     assert got[12][1] > got[13][1]
+
+
+def test_char_entropy_values(spark):
+    """Crafted entropy cases: single-char runs near 0, uniform two-char
+    text at ln 2, diverse text higher."""
+    r = _rows(repetition_signals(_docs(spark, ["aaaaaaaa", "abababab", "abcdefgh", ""])))
+    assert r[0]["char_entropy"] == pytest.approx(0.0, abs=1e-9)
+    assert r[1]["char_entropy"] == pytest.approx(math.log(2), abs=1e-4)
+    assert r[2]["char_entropy"] == pytest.approx(math.log(8), abs=1e-4)
+    assert r[3]["char_entropy"] == 0.0
+    assert r[2]["char_entropy"] > r[1]["char_entropy"] > r[0]["char_entropy"]
