@@ -35,7 +35,9 @@ HEADLINE = [
     # into the single one-pass text_stats key — the headline total now has
     # one text entry doing strictly more work than the two it replaces.
     "text_stats",
-    "events_hourly_rollup",
+    # r9: events_hourly_rollup folded into events_type_stats (grain union);
+    # the hourly branch now runs inside that key's bench row.
+    "events_type_stats",
     "events_sessionize",
     "events_json_extract",
     "events_asof_join",
@@ -153,7 +155,8 @@ def main() -> None:
         # event stats) — cheap, but benched so regressions are visible.
         "scalar_key_surface",
         "audit_counts",
-        "events_type_stats",
+        # r9: events_type_stats moved to the headline list (it absorbed the
+        # former events_hourly_rollup headline row).
         # r5: random-hyperplane embedding LSH (the bucketed sibling of
         # sim_cosine_near_dup).
         "sim_rp_lsh_near_dup",

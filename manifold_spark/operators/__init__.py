@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from manifold_spark.operators import dedup, multimodal, pq, similarity, textstats
+from manifold_spark.functions.numeric import decimal_sum
 from manifold_spark.operators.linalg import cosine_sql, dot_sql
 from manifold_spark.queries import _t, register
 from manifold_spark.streaming.jobs import hourly_rollup, sessionize
@@ -773,21 +774,6 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_hourly_rollup",
-    """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
-           event_type,
-           count(*) AS n_events,
-           CAST(SUM(CAST(floor((value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hourly_rollup(_t(spark, sf_dir, "events"))
-
-
-@register(
     "events_sessionize",
     """
     WITH wb AS (
@@ -823,7 +809,8 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_meta",
     """
-    SELECT doc_id,
+    SELECT 'meta' AS section,
+           doc_id,
            CAST(n AS INT) AS byte_len,
            sha256(text) AS content_sha,
            CASE WHEN n % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
@@ -842,26 +829,25 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         * (1 + ((n // 2) % 2)))
                      ELSE (greatest(1, n // 100) * 1000)
                           // (CASE n % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END)
-                END AS BIGINT) AS duration_ms
+                END AS BIGINT) AS duration_ms,
+           CAST(-1 AS INT) AS chunk_idx,
+           CAST(-1 AS BIGINT) AS "offset",
+           CAST(-1 AS BIGINT) AS length,
+           '' AS uri
     FROM (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
-    """,
-)
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary metadata + typed media probe in one gate (r6 fold of the
-    former `multimodal_probe_meta` key): scan-side byte_len/content_sha
-    from `attach_binary`, joined to the Arrow `mapInPandas` ffprobe-shaped
-    stub prober whose integer arithmetic the oracle reproduces exactly
-    (-1 sentinels, not NULL, for fields the modality doesn't have). The
-    join is doc_id equi — both sides partition-preserving scans."""
-    with_binary = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
-    probed = multimodal.probe_media_meta(with_binary).drop("byte_len")
-    return with_binary.select("doc_id", "byte_len", "content_sha").join(probed, "doc_id")
-
-
-@register(
-    "multimodal_chunks",
-    """
-    SELECT doc_id,
+    UNION ALL
+    SELECT 'chunk' AS section,
+           doc_id,
+           CAST(-1 AS INT) AS byte_len,
+           '' AS content_sha,
+           '' AS kind,
+           CAST(-1 AS INT) AS sample_rate,
+           CAST(-1 AS INT) AS channels,
+           CAST(-1 AS INT) AS width,
+           CAST(-1 AS INT) AS height,
+           CAST(-1 AS INT) AS fps,
+           CAST(-1 AS INT) AS n_frames,
+           CAST(-1 AS BIGINT) AS duration_ms,
            CAST(u.i AS INT) AS chunk_idx,
            CAST(u.i * 100 AS BIGINT) AS "offset",
            CAST(greatest(0, least(100, n - u.i * 100)) AS BIGINT) AS length,
@@ -870,19 +856,67 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
          UNNEST(range(0, greatest(1, (n + 99) // 100))) u(i)
     """,
 )
-def q_multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-range chunk manifest — the >2 GB media path: payloads never
-    enter a Spark column; workers range-GET (uri, offset, length). Pure
-    sequence+posexplode, scan-side, no shuffle."""
-    docs = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
-    manifest = multimodal.media_manifest(docs, "s3://media")
-    return multimodal.chunk_ranges(manifest, 100).select(
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary metadata, typed media probe, and byte-range chunk manifest
+    union-tagged by `section` (r6 fold of `multimodal_probe_meta`; r9 fold
+    of the former `multimodal_chunks` key — both sections project the same
+    `attach_binary` relation, so one gate covers the whole non-decode
+    multimodal surface):
+
+    - 'meta': scan-side byte_len/content_sha joined to the Arrow
+      `mapInPandas` ffprobe-shaped stub prober whose integer arithmetic
+      the oracle reproduces exactly (-1 sentinels, not NULL, for fields
+      the modality doesn't have); the join is doc_id equi — both sides
+      partition-preserving scans.
+    - 'chunk': the >2 GB media path — payloads never enter a Spark
+      column; workers range-GET (uri, offset, length). Pure
+      sequence+posexplode, scan-side, no shuffle.
+    """
+    with_binary = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
+    probed = multimodal.probe_media_meta(with_binary).drop("byte_len")
+    meta = (
+        with_binary.select("doc_id", "byte_len", "content_sha")
+        .join(probed, "doc_id")
+        .select(
+            F.lit("meta").alias("section"),
+            "doc_id",
+            "byte_len",
+            "content_sha",
+            "kind",
+            "sample_rate",
+            "channels",
+            "width",
+            "height",
+            "fps",
+            "n_frames",
+            "duration_ms",
+            F.lit(-1).cast("int").alias("chunk_idx"),
+            F.lit(-1).cast("bigint").alias("offset"),
+            F.lit(-1).cast("bigint").alias("length"),
+            F.lit("").alias("uri"),
+        )
+    )
+    manifest = multimodal.media_manifest(with_binary, "s3://media")
+    neg_i = F.lit(-1).cast("int")
+    chunks = multimodal.chunk_ranges(manifest, 100).select(
+        F.lit("chunk").alias("section"),
         "doc_id",
+        neg_i.alias("byte_len"),
+        F.lit("").alias("content_sha"),
+        F.lit("").alias("kind"),
+        neg_i.alias("sample_rate"),
+        neg_i.alias("channels"),
+        neg_i.alias("width"),
+        neg_i.alias("height"),
+        neg_i.alias("fps"),
+        neg_i.alias("n_frames"),
+        F.lit(-1).cast("bigint").alias("duration_ms"),
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         "offset",
         "length",
         "uri",
     )
+    return meta.unionByName(chunks)
 
 
 def _decode_oracle() -> str:
@@ -990,25 +1024,71 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_type_stats",
     """
-    SELECT event_type,
+    SELECT 'type' AS grain,
+           '' AS hour_start,
+           event_type,
            count(DISTINCT user_id) AS n_users,
            count(*) AS n_events,
+           CAST(SUM(CAST(floor((value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS total_value,
            quantile_cont(value, 0.5) AS p50,
            quantile_cont(value, 0.9) AS p90,
            quantile_cont(value, 0.99) AS p99
     FROM events
     GROUP BY event_type
+    UNION ALL
+    SELECT 'hour' AS grain,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(-1 AS BIGINT) AS n_users,
+           count(*) AS n_events,
+           CAST(SUM(CAST(floor((value) * 10000.0 + 0.5) AS HUGEINT)) AS DOUBLE) / 10000.0 AS total_value,
+           CAST(NULL AS DOUBLE) AS p50,
+           CAST(NULL AS DOUBLE) AS p90,
+           CAST(NULL AS DOUBLE) AS p99
+    FROM events
+    GROUP BY 2, 3
     """,
 )
 def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two grains of the same event-stream profile union-tagged by `grain`
+    (r9 fold of the former `events_hourly_rollup` key): the per-type exact
+    distinct-user/percentile profile beside the streaming hourly rollup's
+    batch twin (`streaming.jobs.hourly_rollup` — the identical date_trunc
+    aggregate the watermarked stream runs). Each branch is one map-side-
+    combined aggregate over its own grouping key; no extra scan is shared
+    because the two groupings genuinely differ."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    null_d = F.lit(None).cast("double")
+    typed = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
+        decimal_sum(F.col("value"), scale=4).alias("total_value"),
         F.expr("percentile(value, 0.5)").alias("p50"),
         F.expr("percentile(value, 0.9)").alias("p90"),
         F.expr("percentile(value, 0.99)").alias("p99"),
+    ).select(
+        F.lit("type").alias("grain"),
+        F.lit("").alias("hour_start"),
+        "event_type",
+        "n_users",
+        "n_events",
+        "total_value",
+        "p50",
+        "p90",
+        "p99",
     )
+    hourly = hourly_rollup(e).select(
+        F.lit("hour").alias("grain"),
+        "hour_start",
+        "event_type",
+        F.lit(-1).cast("bigint").alias("n_users"),
+        "n_events",
+        "total_value",
+        null_d.alias("p50"),
+        null_d.alias("p90"),
+        null_d.alias("p99"),
+    )
+    return typed.unionByName(hourly)
 
 
 def _kmeans_oracle(iters: int = 2, sample_bps: int | None = None) -> str:

@@ -537,8 +537,17 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gets a fresh driver row each round. The head still front-loads keys
 #: never (or least recently) driver-checked, in case the cap ever drops.
 _DRIVER_ORDER_HEAD = [
-    # new in round 8 (late tranche) — never driver-checked (CCNet line
-    # dedup, hashed-feature NB classifier)
+    # new in round 9 — never driver-checked (SemDeDup, C4 heuristic
+    # filters)
+    "sim_semdedup",
+    "text_c4_filters",
+    # reshaped in round 9 (hourly-rollup grain union, chunk-manifest
+    # section union, perplexity buckets riding the LM gate) — re-check
+    # first
+    "events_type_stats",
+    "multimodal_meta",
+    "text_lm_score",
+    # new in round 8 (late tranche)
     "text_line_dedup",
     "text_classifier_nb",
     # reshaped in round 8 late tranche (BM25 and-mode union, kmeans
@@ -548,7 +557,6 @@ _DRIVER_ORDER_HEAD = [
     "audit_counts",
     # earlier round-8 additions/reshapes
     "text_repetition",
-    "text_lm_score",
     "text_stats",
     "events_rolling_1h",
     # round-7 additions — keep early in case the cap ever drops
