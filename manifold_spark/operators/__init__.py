@@ -1091,20 +1091,22 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.unionByName(hourly)
 
 
-def _kmeans_oracle(iters: int = 2, sample_bps: int | None = None) -> str:
-    """Unroll `similarity.kmeans_centroids` (fixed `iters` Lloyd rounds) in
-    DuckDB SQL. Each round: assign every vector to its nearest centroid by
-    the SAME left-associated dot product, then recompute per-dimension
-    means with the engine's `decimal_avg` construction
+def _kmeans_prefix(iters: int = 2, sample_bps: int | None = None) -> tuple[list[str], str]:
+    """CTE list unrolling `similarity.kmeans_centroids` (fixed `iters`
+    Lloyd rounds) in DuckDB SQL, plus the name of the final centroid CTE.
+    Shared by every oracle that trains the quantizer (`_kmeans_oracle`,
+    `_semdedup_oracle`). Each round: assign every vector to its nearest
+    centroid by the SAME left-associated dot product, then recompute
+    per-dimension means with the engine's `decimal_avg` construction
     (`floor(v*1e8+0.5)` scaled-integer sum / count) — bit-identical to the
     Spark side, so the refined centroids (and everything downstream) hash-
     match exactly.
 
     ``sample_bps`` mirrors `kmeans_centroids(sample_fraction=bps/10000)`:
     Lloyd trains on the deterministic md5 hash-sample of the corpus
-    (`_stable_hash_sql` ≡ `functions.hashing.stable_long_hash`), while the
-    final inverted lists and probes still cover the FULL corpus — the
-    100 TB quantizer-training path, fully oracled."""
+    (`_stable_hash_sql` ≡ `functions.hashing.stable_long_hash`), while
+    downstream CTEs still cover the FULL corpus — the 100 TB
+    quantizer-training path, fully oracled."""
 
     def mean_cols(src: str) -> str:
         return ",\n               ".join(
@@ -1152,7 +1154,14 @@ def _kmeans_oracle(iters: int = 2, sample_bps: int | None = None) -> str:
         SELECT centroid_id, {vec_literal} AS cent_vec FROM means_{i}
     )""")
 
-    final = f"cent_{iters}"
+    return parts, f"cent_{iters}"
+
+
+def _kmeans_oracle(iters: int = 2, sample_bps: int | None = None) -> str:
+    """kmeans-IVF ANN oracle: the unrolled-Lloyd prefix from
+    `_kmeans_prefix`, then full-corpus inverted lists, probe assignment,
+    scoring, and the exact top-k rank cut."""
+    parts, final = _kmeans_prefix(iters, sample_bps)
     ctes = ",\n    ".join(parts)
     return f"""
     WITH {ctes},
@@ -1228,6 +1237,64 @@ def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_fraction=KMEANS_SAMPLE_BPS / 10000,
     ).select(F.lit("sampled").alias("trained"), "*")
     return full.unionByName(sampled)
+
+
+#: SemDeDup pair threshold for the gate corpus. Production semantic dedup
+#: runs at ~0.95-0.99; the synthetic embeddings are near-orthogonal, so the
+#: gate uses the same 0.2 as `sim_cosine_near_dup` to exercise the drop
+#: path with real signal.
+SEMDEDUP_THRESHOLD = 0.2
+
+
+def _semdedup_oracle() -> str:
+    """Full SQL mirror of `similarity.semdedup`: the unrolled two-round
+    Lloyd prefix (`_kmeans_prefix` — identical centroids bit-for-bit),
+    nearest-centroid assignment, per-vector centroid cosine, within-
+    cluster pair formation, and the paper's keep-lowest-centroid-sim rule
+    as the same explicit boolean the engine evaluates."""
+    parts, final = _kmeans_prefix()
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ({dot_sql('embedding', 'cent_vec', DIM)}) DESC,
+                                               c.centroid_id) AS crank
+            FROM embeddings e, {final} c
+        ) WHERE crank <= 1
+    ),
+    withsim AS (
+        SELECT a.vec_id, a.embedding, a.centroid_id,
+               {cosine_sql('a.embedding', 'c.cent_vec', DIM)} AS cent_sim
+        FROM assign a JOIN {final} c ON a.centroid_id = c.centroid_id
+    ),
+    losers AS (
+        SELECT DISTINCT CASE WHEN (x.cent_sim > y.cent_sim)
+                               OR (x.cent_sim = y.cent_sim AND x.vec_id > y.vec_id)
+                             THEN x.vec_id ELSE y.vec_id END AS vec_id
+        FROM withsim x JOIN withsim y
+          ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        WHERE {cosine_sql('x.embedding', 'y.embedding', DIM)} >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT w.vec_id, w.centroid_id, w.cent_sim,
+           CAST(CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept
+    FROM withsim w LEFT JOIN losers l ON w.vec_id = l.vec_id
+    """
+
+
+@register("sim_semdedup", _semdedup_oracle())
+def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings table: every vector
+    labelled kept/dropped under the cluster-then-prune rule (see
+    `similarity.semdedup`). One row per corpus vector — the whole
+    decision surface is driver-gated, not just the survivor set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup(
+        emb, DIM, n_clusters=IVF_CENTROIDS, iters=2,
+        threshold=SEMDEDUP_THRESHOLD,
+    )
 
 
 def _pq_oracle(ivf: bool) -> str:

@@ -645,3 +645,97 @@ def quantize_int8(
         F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("int")
     )
     return df.select(F.col(id_col), scale.alias("scale"), q.alias("q"))
+
+
+def semdedup(
+    corpus: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column. Cluster the corpus with the
+    deterministic Lloyd quantizer, form candidate pairs WITHIN a cluster
+    only, and for every near-duplicate pair (cosine >= threshold) keep
+    the member with the LOWER cosine similarity to its cluster centroid —
+    the paper's rule: of two semantic duplicates, the more "typical" one
+    (closer to the centroid) is the redundant one.
+
+    The keep-rule here is the single-pass neighborhood form: a vector is
+    dropped iff it has at least one above-threshold neighbor with
+    strictly smaller (cent_sim, id). The priority-minimum of every
+    duplicate neighborhood therefore always survives (no group is
+    emptied), without an iterative connected-components pass; feed the
+    pair set through `dedup.components` + `cluster_survivors` instead
+    when full transitive grouping is wanted.
+
+    Scale: this is the LAION/LLM-scale answer to O(n²) embedding dedup —
+    pair formation is bounded by the largest cluster (at 100 TB you raise
+    ``n_clusters`` so clusters average ~10³-10⁴ rows: k ≈ n/⟨cluster⟩,
+    trained on a hash-sample via ``sample_fraction``), centroids are
+    broadcast for assignment (corpus never shuffles for training), and
+    the within-cluster self-join co-partitions both sides on centroid_id
+    — one shuffle of (id, vec, cent_sim). The drop decision is an
+    aggregate over pair losers, not a window over cluster occupants.
+
+    Returns one row per corpus vector: (id_col, centroid_id, cent_sim
+    double, is_kept int 0/1) — deterministic for a fixed corpus under
+    any partitioning (Lloyd means use order-independent decimal sums;
+    ties break on id).
+    """
+    cents = kmeans_centroids(
+        corpus, dim, k=n_clusters, iters=iters,
+        id_col=id_col, vec_col=vec_col, sample_fraction=sample_fraction,
+    )
+    cents_as_corpus = cents.select(
+        F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
+    )
+    assigned = assign_centroids(
+        corpus.select(id_col, vec_col), cents_as_corpus, dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    with_sim = (
+        assigned.join(broadcast(cents), "centroid_id")
+        .withColumn("cent_sim", cosine_expr(vec_col, "cent_vec", dim))
+        .drop("cent_vec")
+    )
+    a = with_sim.select(
+        "centroid_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("cent_sim").alias("sim_a"),
+    )
+    b = with_sim.select(
+        "centroid_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("cent_sim").alias("sim_b"),
+    )
+    edges = (
+        a.join(b, (a["centroid_id"] == b["centroid_id"]) & (F.col("id_a") < F.col("id_b")))
+        .filter(cosine_expr("vec_a", "vec_b", dim) >= threshold)
+    )
+    # Of each duplicate pair, the loser is the endpoint with the HIGHER
+    # (cent_sim, id) — explicit boolean rather than struct comparison so
+    # the oracle SQL can mirror it operator-for-operator.
+    loser = F.when(
+        (F.col("sim_a") > F.col("sim_b"))
+        | ((F.col("sim_a") == F.col("sim_b")) & (F.col("id_a") > F.col("id_b"))),
+        F.col("id_a"),
+    ).otherwise(F.col("id_b"))
+    losers = edges.select(loser.alias(id_col)).distinct().withColumn(
+        "__dropped", F.lit(1)
+    )
+    return (
+        with_sim.join(losers, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            "cent_sim",
+            F.col("__dropped").isNull().cast("int").alias("is_kept"),
+        )
+    )

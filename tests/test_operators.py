@@ -868,3 +868,46 @@ def test_operator_cache_scope_nests_and_releases(spark):
     except RuntimeError:
         pass
     assert len(_SHINGLE_CACHES) == 0
+
+
+def test_semdedup_keep_rule(spark):
+    """Crafted corpus: two exact-duplicate groups + distinct vectors.
+    Within each duplicate neighborhood the member with the LOWEST cosine
+    similarity to its cluster centroid survives (ties break on smaller
+    id); vectors with no above-threshold neighbor are all kept."""
+    import math
+
+    dim = 4
+
+    def unit(theta_deg):
+        t = math.radians(theta_deg)
+        return [math.cos(t), math.sin(t), 0.0, 0.0]
+
+    rows = [
+        # near-dup fan around 0 deg (pairwise cosine > 0.99)
+        (0, unit(0.0)),
+        (1, unit(2.0)),
+        (2, unit(4.0)),
+        # isolated direction
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    out = similarity.semdedup(df, dim, n_clusters=2, iters=1, threshold=0.99)
+    got = {r["vec_id"]: r["is_kept"] for r in out.collect()}
+    assert len(got) == 5
+    # isolated vectors always survive
+    assert got[3] == 1 and got[4] == 1
+    # the 0/1/2 fan is mutually above-threshold: exactly the
+    # lowest-(cent_sim, id) member survives
+    assert sum(got[i] for i in (0, 1, 2)) == 1
+
+    # all-orthogonal corpus: nothing dropped
+    eye = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(dim)],
+        "vec_id long, embedding array<float>",
+    )
+    kept = similarity.semdedup(eye, dim, n_clusters=2, iters=1, threshold=0.9)
+    assert [r["is_kept"] for r in kept.collect()] == [1] * dim
