@@ -2269,6 +2269,89 @@ def _line_dedup_oracle() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# C4 heuristic cleaning (Raffel et al. 2020): terminal-punctuation +
+# min-words + boilerplate-term line rules, lorem-ipsum/brace/blocklist
+# document rules. The corpus has neither newlines nor punctuation, so the
+# gate derives both with ONE mirrored regexp_replace — every full 5-token
+# chunk becomes a period-terminated line; the tail chunk stays
+# unpunctuated (and is dropped by the punct rule with real signal). The
+# 'spark' line-drop term and 'slow join' blocklist phrase both occur in
+# the corpus, so the term rules also engage. Raw multi-line/brace/lorem
+# semantics are pinned in tests/test_textquality.py.
+# ---------------------------------------------------------------------------
+
+#: Gate parameters, shared by the Spark query and the oracle below.
+C4_LINE_DROP_TERMS = ("javascript", "spark")
+C4_BLOCKLIST = ("lorem ipsum", "slow join")
+
+
+def _c4_oracle() -> str:
+    chunk = (
+        f"regexp_replace(coalesce(text, ''), '{_LINE_CHUNK_PATTERN}', "
+        "'\\1.' || chr(10), 'g')"
+    )
+    line_drop = " AND ".join(
+        f"NOT contains(lower(x), '{t}')" for t in C4_LINE_DROP_TERMS
+    )
+    blocked = " OR ".join(
+        f"contains(lower(text), '{p}')" for p in C4_BLOCKLIST
+    )
+    keep_line = (
+        "x -> substr(x, length(x), 1) IN ('.', '!', '?', '\"') "
+        "AND len(list_filter(regexp_split_to_array(x, '\\s+'), t -> t <> '')) >= 5 "
+        f"AND {line_drop}"
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, {chunk} AS text FROM documents
+    ),
+    l AS (
+        SELECT doc_id, text,
+               list_filter(list_transform(regexp_split_to_array(text, chr(10)),
+                                          x -> trim(x)), x -> x <> '') AS lines
+        FROM d
+    ),
+    k AS (
+        SELECT doc_id, text, lines, list_filter(lines, {keep_line}) AS kept
+        FROM l
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept_lines,
+           coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+           CAST(CASE WHEN contains(text, '{{') THEN 1 ELSE 0 END AS INT) AS has_brace,
+           CAST(CASE WHEN {blocked} THEN 1 ELSE 0 END AS INT) AS has_blocklisted,
+           CAST(CASE WHEN len(kept) >= 3 AND NOT contains(text, '{{')
+                          AND NOT ({blocked})
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM k
+    """
+
+
+@register("text_c4_filters", _c4_oracle())
+def q_text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line+document heuristics over the 5-token-chunked,
+    period-terminated corpus (see `operators.c4`). One projection, zero
+    shuffle — the whole decision surface (counts, cleaned text, flags,
+    keep bit) is driver-gated per document."""
+    from manifold_spark.operators.c4 import c4_filters
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), _LINE_CHUNK_PATTERN, "$1.\n"
+        ),
+    )
+    return c4_filters(
+        docs,
+        min_words_per_line=5,
+        min_kept_lines=3,
+        line_drop_terms=C4_LINE_DROP_TERMS,
+        blocklist=C4_BLOCKLIST,
+    )
+
+
 @register("text_line_dedup", _line_dedup_oracle())
 def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style line dedup over the 5-token-chunked corpus: drop every

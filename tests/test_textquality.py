@@ -836,3 +836,66 @@ def test_char_entropy_values(spark):
     assert r[2]["char_entropy"] == pytest.approx(math.log(8), abs=1e-4)
     assert r[3]["char_entropy"] == 0.0
     assert r[2]["char_entropy"] > r[1]["char_entropy"] > r[0]["char_entropy"]
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic filters (operators/c4.py) — raw multi-line semantics; the
+# registry gate exercises the chunked-corpus form.
+# ---------------------------------------------------------------------------
+
+
+def _c4(spark, rows, **kw):
+    from manifold_spark.operators.c4 import c4_filters
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in c4_filters(df, **kw).collect()}
+
+
+def test_c4_line_rules(spark):
+    doc = (
+        "This line has enough words and ends well.\n"
+        "short line.\n"                                # < 5 words
+        "this line has five words here\n"              # no terminal punct
+        "Please enable javascript to view this page.\n"  # drop term
+        "Another perfectly reasonable sentence appears here!\n"
+    )
+    got = _c4(spark, [(1, doc)], min_words_per_line=5, min_kept_lines=1)
+    r = got[1]
+    assert r["n_lines"] == 5
+    assert r["n_kept_lines"] == 2
+    assert r["text_clean"].splitlines() == [
+        "This line has enough words and ends well.",
+        "Another perfectly reasonable sentence appears here!",
+    ]
+    assert r["keep"] == 1
+
+
+def test_c4_document_rules(spark):
+    ok_line = "A good sentence with plenty of words in it.\n"
+    rows = [
+        (1, ok_line * 3),                       # clean: kept
+        (2, ok_line * 2),                       # only 2 kept lines < 3
+        (3, ok_line * 3 + "Lorem Ipsum dolor.\n"),  # blocklist (case-insensitive)
+        (4, ok_line * 3 + "if (x) { return; }\n"),  # brace
+        (5, None),                              # NULL text: degenerate-empty
+    ]
+    got = _c4(spark, rows, min_words_per_line=5, min_kept_lines=3)
+    assert got[1]["keep"] == 1
+    assert got[2]["keep"] == 0 and got[2]["n_kept_lines"] == 2
+    assert got[3]["keep"] == 0 and got[3]["has_blocklisted"] == 1
+    assert got[4]["keep"] == 0 and got[4]["has_brace"] == 1
+    assert got[5]["keep"] == 0 and got[5]["n_lines"] == 0 and got[5]["text_clean"] == ""
+
+
+def test_c4_terminal_punct_set(spark):
+    rows = [(i, f"one two three four five{p}") for i, p in
+            enumerate([".", "!", "?", '"', ",", ""])]
+    got = _c4(spark, rows, min_words_per_line=5, min_kept_lines=1)
+    assert [got[i]["n_kept_lines"] for i in range(6)] == [1, 1, 1, 1, 0, 0]
+
+
+def test_c4_whitespace_word_count(spark):
+    # tabs / multiple spaces count as one separator
+    got = _c4(spark, [(1, "one\ttwo   three  four\tfive.")],
+              min_words_per_line=5, min_kept_lines=1)
+    assert got[1]["n_kept_lines"] == 1 and got[1]["keep"] == 1
