@@ -2093,22 +2093,41 @@ def _lm_oracle() -> str:
         SELECT doc_id, sum(term_q) AS sum_q, count(*) AS n_tri
         FROM tri JOIN model USING (tri) GROUP BY doc_id
     )
-    SELECT d.doc_id,
-           CAST(coalesce(n_tri, 0) AS INT) AS n_trigrams,
-           coalesce(CAST(sum_q AS DOUBLE) / CAST(n_tri * {scale} AS DOUBLE), 0.0)
-               AS avg_logprob
-    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    ,
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               CAST(coalesce(n_tri, 0) AS INT) AS n_trigrams,
+               coalesce(CAST(sum_q AS DOUBLE) / CAST(n_tri * {scale} AS DOUBLE), 0.0)
+                   AS avg_logprob
+        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, lang, n_trigrams, avg_logprob,
+           CAST(b AS INT) AS ppl_bucket,
+           (['head', 'middle', 'tail'])[b] AS ppl_bucket_label
+    FROM (
+        SELECT *, ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY avg_logprob DESC, doc_id) AS b
+        FROM scored
+    )
     """
 
 
 @register("text_lm_score", _lm_oracle())
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-scored corpus (train + score on `documents`) — the standard
-    corpus-filtering setup; held-out scoring with unseen-trigram pricing
-    is pinned in tests/test_textquality.py."""
-    from manifold_spark.operators.lm import score_docs
+    corpus-filtering setup — plus CCNet's per-language head/middle/tail
+    perplexity tertiles (r9: `lm.ppl_buckets` rides the same gate; the
+    sort-free threshold form for 100 TB is `lm.ppl_threshold_buckets`,
+    pinned against this exact split in pytest). Held-out scoring with
+    unseen-trigram pricing is pinned in tests/test_textquality.py."""
+    from manifold_spark.operators.lm import ppl_buckets, score_docs
 
-    return score_docs(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_docs(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return ppl_buckets(scored, group_col="lang").select(
+        "doc_id", "lang", "n_trigrams", "avg_logprob",
+        "ppl_bucket", "ppl_bucket_label",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -188,3 +188,96 @@ def score_docs(
             ).alias("avg_logprob"),
         )
     )
+
+
+#: CCNet's perplexity tertiles, best-scoring first.
+PPL_BUCKET_LABELS = ("head", "middle", "tail")
+
+
+def ppl_buckets(
+    scored: DataFrame,
+    group_col: str | None = "lang",
+    score_col: str = "avg_logprob",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = PPL_BUCKET_LABELS,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by LM score within
+    each language and cut into ``n_buckets`` equal-count tiers (head =
+    best average log-probability = lowest perplexity). Deterministic
+    total order (score desc, id asc), so bucket assignment is exact and
+    engine-portable.
+
+    Scale: `ntile` sorts each group once — fine up to groups that sort in
+    one stage (the window carries only (id, score)). For a 100 TB corpus
+    use `ppl_threshold_buckets`: CCNet itself derives its head/middle/tail
+    cutoffs from a SAMPLE and assigns by comparison, which needs no
+    per-group global sort at all.
+
+    Adds (ppl_bucket int 1-based, ppl_bucket_label) to ``scored``.
+    """
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    w = part.orderBy(F.col(score_col).desc(), F.col(id_col))
+    b = F.ntile(n_buckets).over(w)
+    if len(labels) == n_buckets:
+        label = F.element_at(F.array(*[F.lit(x) for x in labels]), b)
+    else:
+        label = b.cast("string")
+    return scored.withColumn("ppl_bucket", b.cast("int")).withColumn(
+        "ppl_bucket_label", label
+    )
+
+
+def ppl_threshold_buckets(
+    scored: DataFrame,
+    group_col: str | None = "lang",
+    score_col: str = "avg_logprob",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] = PPL_BUCKET_LABELS,
+    sample_fraction: float | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 100 TB form of `ppl_buckets`: per-group score cutpoints from
+    `approx_percentile` (optionally over a deterministic hash-sample —
+    exactly how CCNet derives its tertile thresholds), broadcast back and
+    assigned by comparison. No per-group sort of the corpus; one bounded
+    aggregate + one broadcast join. Bucket POPULATIONS are approximate at
+    the cut edges (t-digest error), monotonicity is exact: a better score
+    never lands in a worse bucket.
+    """
+    src = scored
+    if sample_fraction is not None and sample_fraction < 1.0:
+        from manifold_spark.operators.sampling import hash_sample
+
+        src = hash_sample(scored, id_col, sample_fraction)
+    probs = F.array(
+        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+    )
+    grouped = src.groupBy(group_col) if group_col else src.groupBy()
+    # cut[i] = score quantile separating bucket i from i+1, descending
+    # score order: cuts are the (1 - i/n) quantiles.
+    cuts = grouped.agg(
+        F.expr(
+            f"approx_percentile({score_col}, array("
+            + ", ".join(str(1 - i / n_buckets) for i in range(1, n_buckets))
+            + "))"
+        ).alias("cuts")
+    )
+    joined = (
+        scored.join(broadcast(cuts), on=group_col)
+        if group_col
+        else scored.crossJoin(broadcast(cuts))
+    )
+    # bucket = 1 + number of cuts strictly above the score
+    b = (
+        F.size(F.filter(F.col("cuts"), lambda c: c > F.col(score_col))) + 1
+    ).cast("int")
+    if len(labels) == n_buckets:
+        label = F.element_at(F.array(*[F.lit(x) for x in labels]), b)
+    else:
+        label = b.cast("string")
+    return joined.withColumn("ppl_bucket", b).withColumn(
+        "ppl_bucket_label", label
+    ).drop("cuts")

@@ -899,3 +899,49 @@ def test_c4_whitespace_word_count(spark):
     got = _c4(spark, [(1, "one\ttwo   three  four\tfive.")],
               min_words_per_line=5, min_kept_lines=1)
     assert got[1]["n_kept_lines"] == 1 and got[1]["keep"] == 1
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (lm.ppl_buckets / ppl_threshold_buckets)
+# ---------------------------------------------------------------------------
+
+
+def test_ppl_buckets_tertile_split(spark):
+    rows = [(i, "en" if i < 9 else "fr", float(-i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, avg_logprob double")
+    out = {r["doc_id"]: r for r in lm.ppl_buckets(df).collect()}
+    # en: 9 docs, scores -0..-8 best-first => tertiles of 3
+    assert [out[i]["ppl_bucket_label"] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # fr: 3 docs, one per tier
+    assert [out[i]["ppl_bucket"] for i in (9, 10, 11)] == [1, 2, 3]
+
+
+def test_ppl_threshold_buckets_monotone_and_consistent(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = lm.score_docs(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    exact = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in lm.ppl_buckets(scored).collect()
+    }
+    approx = [
+        (r["doc_id"], r["lang"], r["avg_logprob"], r["ppl_bucket"])
+        for r in lm.ppl_threshold_buckets(scored).collect()
+    ]
+    # monotone within a language: a better score never gets a worse bucket
+    by_lang = {}
+    for doc_id, lang, score, b in approx:
+        by_lang.setdefault(lang, []).append((score, doc_id, b))
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        assert all(a[2] <= b[2] for a, b in zip(rows, rows[1:])), lang
+    # tracks the exact tertile split except near cut edges (t-digest):
+    # at minimum 80% agreement and never off by more than one tier
+    agree = sum(1 for d, _, _, b in approx if exact[d] == b)
+    assert agree / len(approx) >= 0.8
+    assert all(abs(exact[d] - b) <= 1 for d, _, _, b in approx)
+
+    from manifold_spark.operators.dedup import release_shingle_caches
+
+    release_shingle_caches()
