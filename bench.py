@@ -132,8 +132,7 @@ def main() -> None:
         "emb_quantize_int8",
         "text_bm25",  # r8: vocab_topk key folded into this gate
         "text_contamination",
-        "events_funnel",
-        "events_retention",
+        "events_funnel",  # r9: retention folded into this gate (analysis union)
         "events_rolling_1h",
         # r7: sales_rollup_sets folded into sales_cube (gid moved over);
         # the cube gate carries the grouping-sets plan now.

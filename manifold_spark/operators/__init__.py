@@ -87,6 +87,81 @@ def _stable_hash_sql(expr: str, seed: int = 0) -> str:
     return f"CAST(('0x' || substr(md5('{seed}' || coalesce({expr}, '')), 1, 15)) AS BIGINT)"
 
 
+# ---------------------------------------------------------------------------
+# Relational Bloom-filter dedup (dedup.bloom_build / bloom_might_contain):
+# the memory-bounded approximate-membership path when the exact key set
+# outgrows its budget. The gate builds the filter over the even-doc_id
+# half of the corpus and probes EVERY document — true members must always
+# hit (no false negatives); the bitmap, positions, and word packing are
+# mirrored term-for-term in SQL, so the false-positive set is identical
+# on both engines too.
+# ---------------------------------------------------------------------------
+
+#: Gate sizing: 2^14 bits / 5 hashes over ~n/2 keys — small enough that
+#: the bitmap aggregate is visibly bounded, large enough that the FP rate
+#: stays a trace signal rather than noise.
+BLOOM_M_BITS = 1 << 14
+BLOOM_K = 5
+
+
+def _bloom_oracle() -> str:
+    from manifold_spark.operators.dedup import _BLOOM_WORD
+
+    m, k, w = BLOOM_M_BITS, BLOOM_K, _BLOOM_WORD
+    fp = f"CAST({_stable_hash_sql('text')} AS VARCHAR)"
+    pos_list = ", ".join(
+        f"({_stable_hash_sql('fp', seed=i)}) % {m}" for i in range(k)
+    )
+    return f"""
+    WITH fps AS (
+        SELECT doc_id, {fp} AS fp FROM documents
+    ),
+    bpos AS (
+        SELECT unnest([{pos_list}]) AS pos
+        FROM (SELECT fp FROM fps WHERE doc_id % 2 = 0)
+    ),
+    bloom AS (
+        SELECT pos // {w} AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % {w} AS INT)) AS bits
+        FROM bpos GROUP BY 1
+    ),
+    ppos AS (
+        SELECT fp, unnest([{pos_list}]) AS pos
+        FROM (SELECT DISTINCT fp FROM fps)
+    ),
+    pw AS (
+        SELECT fp, pos // {w} AS word_idx,
+               CAST(1 AS BIGINT) << CAST(pos % {w} AS INT) AS mask
+        FROM ppos
+    ),
+    hits AS (
+        SELECT fp,
+               CAST(CASE WHEN sum(CASE WHEN (coalesce(bits, 0) & mask) <> 0
+                                       THEN 1 ELSE 0 END) = {k}
+                         THEN 1 ELSE 0 END AS INT) AS might_contain
+        FROM pw LEFT JOIN bloom USING (word_idx)
+        GROUP BY fp
+    )
+    SELECT f.doc_id, f.fp, h.might_contain,
+           CAST(1 - h.might_contain AS INT) AS is_new
+    FROM fps f JOIN hits h USING (fp)
+    """
+
+
+@register("dedup_bloom", _bloom_oracle())
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership flags for every document against the
+    even-id half's content fingerprints (see `dedup.bloom_dedup_flags`).
+    Even docs (and odd docs whose text duplicates an even doc) must flag
+    might_contain=1; everything else is subject only to the deterministic
+    false-positive set shared by both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.bloom_dedup_flags(
+        docs, seen, m_bits=BLOOM_M_BITS, k=BLOOM_K
+    )
+
+
 _NGRAM_JACCARD_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, lang, source, {_TOKENS_SQL} AS toks FROM documents

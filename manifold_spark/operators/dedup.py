@@ -1512,3 +1512,119 @@ def line_dedup(
         ).alias("dup_line_frac"),
         F.concat_ws("\n", kept).alias("text_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational Bloom filter — memory-bounded approximate membership for
+# dedup at corpus scale (Bloom 1970; the standard streaming-dedup state
+# when the exact key set no longer fits anywhere).
+# ---------------------------------------------------------------------------
+
+#: Bits per bitmap word. 32 (not 64) so `1 << (pos % WORD)` stays far from
+#: BIGINT sign overflow on BOTH engines (DuckDB range-errors on 1<<63).
+_BLOOM_WORD = 32
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of a key: independent md5-seeded hashes mod m
+    (engine-portable — the oracle mirrors each term with
+    `_stable_hash_sql(expr, seed=i)`)."""
+    from manifold_spark.functions.hashing import stable_long_hash
+
+    return [stable_long_hash(key, seed=i) % F.lit(m_bits) for i in range(k)]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Build a Bloom bitmap over a key column as a RELATION: one row per
+    set 32-bit word — (word_idx int, bits int-as-long via bit_or). The
+    filter is m_bits/32 rows at most, broadcastable by construction, and
+    the build is one explode (k rows/key) into a map-side-combined
+    `bit_or` aggregate: at 100 TB the shuffle carries at most
+    k · min(rows, m/32 per partition) pre-OR'd words, not the key set.
+
+    Compare `DataFrame.stat` / Scala `bloomFilter`: that builds a
+    driver-side object; this stays a DataFrame end-to-end, persists as
+    parquet beside an incremental index (same pattern as
+    `minhash_index` / `span_index`), and unions/merges by re-aggregating
+    `bit_or` — the natural multi-shard merge.
+    """
+    pos = F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k)))
+    return (
+        keys.select(pos.alias("pos"))
+        .select(
+            F.expr(f"pos DIV {_BLOOM_WORD}").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Probe: adds ``out_col`` (int 0/1) — 1 iff ALL k bits are set (the
+    Bloom contract: no false negatives, bounded false positives
+    ≈ (1 − e^(−k·n/m))^k). The probe explodes each row to k (row, word)
+    lookups against the BROADCAST bitmap and folds with a count(hit)==k
+    aggregate — no window, one shuffle keyed by the probe's own id-ish
+    key (the key value itself), bitmap never shuffles."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(key_col), m_bits, k)))
+    probes = df.select(key_col).distinct().select(
+        key_col, pos.alias("pos")
+    ).select(
+        key_col,
+        F.expr(f"pos DIV {_BLOOM_WORD}").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD} AS INT))").alias("mask"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            key_col,
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0)
+            .cast("int")
+            .alias("hit"),
+        )
+        .groupBy(key_col)
+        .agg((F.sum("hit") == F.lit(k)).cast("int").alias(out_col))
+    )
+    return df.join(hits, key_col)
+
+
+def bloom_dedup_flags(
+    docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate incremental dedup: flag each doc of ``docs`` whose
+    content fingerprint might already be in ``seen`` (same text column).
+    Returns (id_col, fp, might_contain int, is_new int). Every true
+    duplicate is flagged (no false negatives); a false positive drops a
+    NEW doc at the advertised rate — the standard trade when exact state
+    (`minhash_index`-style parquet key sets) outgrows its budget."""
+    from manifold_spark.functions.hashing import stable_long_hash
+
+    fp = stable_long_hash(F.col(text_col)).cast("string")
+    bloom = bloom_build(seen.select(fp.alias("fp")), "fp", m_bits, k)
+    flagged = bloom_might_contain(
+        docs.select(F.col(id_col), fp.alias("fp")), "fp", bloom, m_bits, k
+    )
+    return flagged.select(
+        id_col,
+        "fp",
+        "might_contain",
+        (1 - F.col("might_contain")).alias("is_new"),
+    )

@@ -538,15 +538,17 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: never (or least recently) driver-checked, in case the cap ever drops.
 _DRIVER_ORDER_HEAD = [
     # new in round 9 — never driver-checked (SemDeDup, C4 heuristic
-    # filters)
+    # filters, relational Bloom dedup)
     "sim_semdedup",
     "text_c4_filters",
+    "dedup_bloom",
     # reshaped in round 9 (hourly-rollup grain union, chunk-manifest
-    # section union, perplexity buckets riding the LM gate) — re-check
-    # first
+    # section union, perplexity buckets riding the LM gate, retention
+    # folded into the funnel) — re-check first
     "events_type_stats",
     "multimodal_meta",
     "text_lm_score",
+    "events_funnel",
     # new in round 8 (late tranche)
     "text_line_dedup",
     "text_classifier_nb",
@@ -874,19 +876,47 @@ def q_events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e JOIN c ON e.user_id = c.user_id
         WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
         GROUP BY e.user_id
+    ),
+    s AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
     )
-    SELECT v.user_id,
+    SELECT 'funnel' AS analysis,
+           v.user_id,
            CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
                      WHEN c.user_id IS NOT NULL THEN 2
                      ELSE 1 END AS INT) AS stage,
            strftime(v.t_view, '%Y-%m-%d %H:%M:%S') AS t_view,
            strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS t_click,
-           strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase
+           strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+           '' AS cohort_week,
+           CAST(-1 AS INT) AS week_offset,
+           CAST(-1 AS BIGINT) AS n_active
     FROM v LEFT JOIN c ON v.user_id = c.user_id
            LEFT JOIN p ON v.user_id = p.user_id
+    UNION ALL
+    SELECT 'retention' AS analysis,
+           CAST(-1 AS BIGINT) AS user_id,
+           CAST(-1 AS INT) AS stage,
+           CAST(NULL AS VARCHAR) AS t_view,
+           CAST(NULL AS VARCHAR) AS t_click,
+           CAST(NULL AS VARCHAR) AS t_purchase,
+           strftime(s.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', s.cohort_week, a.act_week) / 7 AS INT) AS week_offset,
+           count(*) AS n_active
+    FROM a JOIN s ON a.user_id = s.user_id
+    WHERE a.act_week >= s.cohort_week
+    GROUP BY 7, 8
     """,
 )
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel AND weekly-cohort retention in one gate, union-
+    tagged by `analysis` (r9 fold of the former `events_retention` key —
+    both are cohort analytics over the same events scan; each branch's
+    plan is unchanged)."""
     e = _t(spark, sf_dir, "events")
     v = (
         e.filter(F.col("event_type") == "view")
@@ -912,48 +942,29 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1))
         .cast("int")
     )
-    return out.select(
+    null_s = F.lit(None).cast("string")
+    funnel = out.select(
+        F.lit("funnel").alias("analysis"),
         "user_id",
         stage.alias("stage"),
         F.date_format("t_view", "yyyy-MM-dd HH:mm:ss").alias("t_view"),
         F.date_format("t_click", "yyyy-MM-dd HH:mm:ss").alias("t_click"),
         F.date_format("t_purchase", "yyyy-MM-dd HH:mm:ss").alias("t_purchase"),
+        F.lit("").alias("cohort_week"),
+        F.lit(-1).cast("int").alias("week_offset"),
+        F.lit(-1).cast("bigint").alias("n_active"),
     )
-
-
-# ---------------------------------------------------------------------------
-# Cohort retention: users bucketed by signup week (ISO Monday truncation,
-# identical in both engines), activity weeks as offsets from the cohort.
-# The classic growth-analytics rollup: distinct (user, week) activity →
-# one join to the cohort table → count per (cohort, offset).
-# ---------------------------------------------------------------------------
-@register(
-    "events_retention",
-    """
-    WITH s AS (
-        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
-        FROM events WHERE event_type = 'signup' GROUP BY user_id
-    ),
-    a AS (
-        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
-    )
-    SELECT strftime(s.cohort_week, '%Y-%m-%d') AS cohort_week,
-           CAST(datediff('day', s.cohort_week, a.act_week) / 7 AS INT) AS week_offset,
-           count(*) AS n_active
-    FROM a JOIN s ON a.user_id = s.user_id
-    WHERE a.act_week >= s.cohort_week
-    GROUP BY 1, 2
-    """,
-)
-def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    # Cohort retention: users bucketed by signup week (ISO Monday
+    # truncation, identical in both engines), activity weeks as offsets
+    # from the cohort — distinct (user, week) activity → one join to the
+    # cohort table → count per (cohort, offset).
     s = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
     )
     a = e.select("user_id", F.date_trunc("week", F.col("ts")).alias("act_week")).distinct()
-    return (
+    retention = (
         a.join(s, "user_id")
         .filter(F.col("act_week") >= F.col("cohort_week"))
         .groupBy(
@@ -961,7 +972,19 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.lit("retention").alias("analysis"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit(-1).cast("int").alias("stage"),
+            null_s.alias("t_view"),
+            null_s.alias("t_click"),
+            null_s.alias("t_purchase"),
+            "cohort_week",
+            "week_offset",
+            "n_active",
+        )
     )
+    return funnel.unionByName(retention)
 
 
 # ---------------------------------------------------------------------------

@@ -911,3 +911,62 @@ def test_semdedup_keep_rule(spark):
     )
     kept = similarity.semdedup(eye, dim, n_clusters=2, iters=1, threshold=0.9)
     assert [r["is_kept"] for r in kept.collect()] == [1] * dim
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    m_bits, k = 1 << 12, 5
+    seen = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], "fp string"
+    )
+    bloom = dedup.bloom_build(seen, "fp", m_bits=m_bits, k=k)
+    # bitmap is bounded by m/32 words regardless of key count
+    assert bloom.count() <= m_bits // 32
+    probe = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(400)], "fp string"
+    )
+    got = {
+        r["fp"]: r["might_contain"]
+        for r in dedup.bloom_might_contain(probe, "fp", bloom, m_bits, k).collect()
+    }
+    # Bloom contract: every inserted key hits
+    assert all(got[f"key-{i}"] == 1 for i in range(200))
+    # unseen keys: false positives exist but are rare at this fill rate
+    # ((1 - e^(-5*200/4096))^5 ~= 4e-4)
+    fps = sum(got[f"key-{i}"] for i in range(200, 400))
+    assert fps <= 5
+
+
+def test_bloom_shard_merge_is_reaggregation(spark):
+    """Two shard bitmaps union+bit_or to exactly the whole-set bitmap —
+    the multi-shard / incremental merge story."""
+    from pyspark.sql import functions as F
+
+    m_bits, k = 1 << 10, 3
+    a = spark.createDataFrame([(f"a-{i}",) for i in range(50)], "fp string")
+    b = spark.createDataFrame([(f"b-{i}",) for i in range(50)], "fp string")
+    whole = dedup.bloom_build(a.union(b), "fp", m_bits=m_bits, k=k)
+    merged = (
+        dedup.bloom_build(a, "fp", m_bits=m_bits, k=k)
+        .union(dedup.bloom_build(b, "fp", m_bits=m_bits, k=k))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_bloom_dedup_flags_duplicate_text(spark):
+    rows = [
+        (0, "alpha beta gamma"),   # seen (even)
+        (1, "alpha beta gamma"),   # odd, duplicates seen text -> flagged
+        (2, "delta epsilon zeta"), # seen
+        (3, "unique new text"),    # genuinely new
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seen = docs.filter("doc_id % 2 = 0")
+    got = {
+        r["doc_id"]: (r["might_contain"], r["is_new"])
+        for r in dedup.bloom_dedup_flags(docs, seen, m_bits=1 << 12).collect()
+    }
+    assert got[0] == (1, 0) and got[2] == (1, 0)
+    assert got[1] == (1, 0)  # duplicate content caught without its id
+    assert got[3] == (0, 1)
