@@ -175,6 +175,12 @@ def main() -> None:
         # NB classifier (one training aggregate + broadcast-model scoring).
         "text_line_dedup",
         "text_classifier_nb",
+        # r9: SemDeDup (cluster-then-prune embedding dedup), C4 heuristic
+        # cleaning (one shuffle-free projection), relational Bloom
+        # membership (bit_or bitmap + broadcast probe).
+        "sim_semdedup",
+        "text_c4_filters",
+        "dedup_bloom",
     ]
     # min-of-2 here too (r5): single-shot extended numbers produced two
     # rounds of phantom "regressions" on this shared machine (r3's
@@ -311,8 +317,10 @@ def main() -> None:
     from manifold_spark.operators import similarity as sim_ops
     from manifold_spark.operators import IVF_CENTROIDS, IVF_NPROBE, NGRAM_MAX_DF, TOP_K
     from manifold_spark.operators.classifier import classify_self as _nb_classify
+    from manifold_spark.operators.c4 import c4_filters as _c4_filters
     from manifold_spark.operators.lm import score_docs as _lm_score
     from manifold_spark.operators.repetition import repetition_signals as _rep_signals
+    from manifold_spark.operators import _LINE_CHUNK_PATTERN as _chunk_pat
 
     factor = 10
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -375,6 +383,25 @@ def main() -> None:
             "text", "doc_id",
         ),
         "text_classifier_nb_10x": lambda: _nb_classify(docs10),
+        # r9: SemDeDup at 10× embeddings (same replicated vectors land in
+        # the same clusters — pair formation is exercised hard), C4 rules
+        # and Bloom membership at 10× docs.
+        "sim_semdedup_10x": lambda: sim_ops.semdedup(
+            emb10, 64, n_clusters=IVF_CENTROIDS, iters=2, threshold=0.2
+        ),
+        "text_c4_filters_10x": lambda: _c4_filters(
+            docs10.withColumn(
+                "text",
+                F.regexp_replace(F.col("text"), _chunk_pat, "$1.\n"),
+            ),
+            min_words_per_line=5,
+            min_kept_lines=3,
+            line_drop_terms=("javascript", "spark"),
+            blocklist=("lorem ipsum", "slow join"),
+        ),
+        "dedup_bloom_10x": lambda: dedup_ops.bloom_dedup_flags(
+            docs10, docs10.filter(F.col("doc_id") % 2 == 0)
+        ),
     }
     # Alongside each time: the plan's shuffle count (static compile — an
     # accidental extra Exchange is the classic way a linear operator goes

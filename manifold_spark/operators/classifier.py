@@ -186,7 +186,7 @@ def score_nb_classes(
     # branch repeats the tokenize+explode+bucket aggregation — the most
     # expensive pass in the scoring plan. Measured on the 10× corpus
     # (cold-cache min-of-2 per variant, interleaved in one session, r9):
-    # 90.3 s → 79.7 s self-classification. Registered with the shared
+    # 78.1 s → 64.8 s self-classification. Registered with the shared
     # operator-cache registry so `operator_cache_scope()` /
     # `release_shingle_caches()` reclaim it.
     if _PERSIST_TF:
