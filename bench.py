@@ -177,10 +177,12 @@ def main() -> None:
         "text_classifier_nb",
         # r9: SemDeDup (cluster-then-prune embedding dedup), C4 heuristic
         # cleaning (one shuffle-free projection), relational Bloom
-        # membership (bit_or bitmap + broadcast probe).
+        # membership (bit_or bitmap + broadcast probe), distributed BPE
+        # training (vocab-bounded rounds over the one-pass word table).
         "sim_semdedup",
         "text_c4_filters",
         "dedup_bloom",
+        "text_bpe",
     ]
     # min-of-2 here too (r5): single-shot extended numbers produced two
     # rounds of phantom "regressions" on this shared machine (r3's
@@ -342,6 +344,12 @@ def main() -> None:
         (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"), "embedding"
     )
 
+    def _bpe_gate_frame(spark, d):
+        from manifold_spark.operators.bpe import train_bpe
+
+        _, words = train_bpe(d, 8, min_pair_freq=2)
+        return words
+
     scale10_queries = {
         "dedup_exact_10x": lambda: dedup_ops.exact_dedup(docs10, "text", "doc_id"),
         "dedup_minhash_lsh_10x": lambda: dedup_ops.minhash_lsh_pairs(
@@ -402,6 +410,10 @@ def main() -> None:
         "dedup_bloom_10x": lambda: dedup_ops.bloom_dedup_flags(
             docs10, docs10.filter(F.col("doc_id") % 2 == 0)
         ),
+        # BPE at 10×: the replica suffix multiplies the distinct vocab by
+        # 10, so the per-round pair aggregate and rewrites scale with it
+        # while the corpus pass stays one aggregation.
+        "text_bpe_10x": lambda: _bpe_gate_frame(spark, docs10),
     }
     # Alongside each time: the plan's shuffle count (static compile — an
     # accidental extra Exchange is the classic way a linear operator goes

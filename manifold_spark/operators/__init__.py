@@ -811,6 +811,8 @@ def _text_stats_oracle() -> str:
            least(1.0, n_tokens / 200.0) * 0.4
              + (n_alpha / greatest(n_chars, 1)) * 0.4
              + least(0.2, n_stop / greatest(n_tokens, 1)) AS quality_score,
+           CAST(CASE WHEN n_tokens >= 20 AND n_alpha / greatest(n_chars, 1) > 0.5
+                     THEN 1 ELSE 0 END AS INT) AS quality_pass,
            n_tokens_bpe, fingerprint
     FROM m
     """
@@ -838,6 +840,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(textstats.CJK_PATTERN)).cast("int").alias("n_cjk"),
         textstats.language_id(F.col("text")).alias("pred_lang"),
         *[c.alias(name) for name, c in metrics.items()],
+        # r9 fold of the former `quality_filter` key: the gate predicate
+        # (≥20 ws tokens AND alpha ratio > 0.5) as a flag on the same
+        # scan — the filter half of the quality operator keeps a driver
+        # row with zero extra passes.
+        (
+            (textstats.token_count_ws(F.col("text")) >= 20)
+            & (
+                F.regexp_count(F.col("text"), F.lit(textstats.ALPHA_PATTERN))
+                / F.greatest(F.length("text"), F.lit(1))
+                > 0.5
+            )
+        )
+        .cast("int")
+        .alias("quality_pass"),
         textstats.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
         textstats.doc_fingerprint(F.col("text")).alias("fingerprint"),
     )
@@ -2294,6 +2310,119 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("and").alias("mode"), "query_id", "doc_id", "rank", "score"
     )
     return disj.unionByName(conj)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (operators/bpe.py, Sennrich et al.
+# 2016): the corpus is read ONCE into a vocab-bounded word table; each
+# merge round is a pair-count aggregate + deterministic argmax + one
+# plain `replace` over pipe-wrapped symbol strings (greedy leftmost
+# non-overlapping — BPE's merge rule — identical on both engines, no
+# lookahead regex). The oracle unrolls every round as CTEs with the same
+# tie-break and a LEFT-JOIN-ON-TRUE rewrite so an exhausted round is a
+# no-op on both sides.
+# ---------------------------------------------------------------------------
+
+#: Gate training depth / stop threshold (shared by the oracle below).
+BPE_GATE_MERGES = 8
+BPE_GATE_MIN_FREQ = 2
+
+
+def _bpe_oracle() -> str:
+    from manifold_spark.operators.bpe import EOW
+
+    syms0 = (
+        "'|' || array_to_string(list_transform(range(1, length(word) + 1), "
+        "i -> substr(word, CAST(i AS INT), 1)), '||') || '||" + EOW + "|'"
+    )
+    parts = [
+        f"""w_0 AS (
+        SELECT word, freq, {syms0} AS syms
+        FROM (
+            SELECT word, count(*) AS freq
+            FROM (SELECT unnest(toks) AS word
+                  FROM (SELECT {_TOKENS_SQL} AS toks FROM documents))
+            GROUP BY word
+        )
+    )"""
+    ]
+    for i in range(1, BPE_GATE_MERGES + 1):
+        parts.append(f"""p_{i} AS (
+        SELECT q.s[j] AS a, q.s[j + 1] AS b, SUM(q.freq) AS cnt
+        FROM (SELECT freq,
+                     string_split(substr(syms, 2, length(syms) - 2), '||') AS s
+              FROM w_{i - 1}) q,
+             UNNEST(range(1, greatest(len(q.s) - 1, 0) + 1)) AS t(j)
+        GROUP BY 1, 2
+    )""")
+        parts.append(f"""b_{i} AS (
+        SELECT a, b, cnt FROM p_{i}
+        WHERE cnt >= {BPE_GATE_MIN_FREQ}
+        ORDER BY cnt DESC, a, b LIMIT 1
+    )""")
+        parts.append(f"""w_{i} AS (
+        SELECT word, freq,
+               CASE WHEN b.a IS NOT NULL
+                    THEN replace(syms, '|' || b.a || '||' || b.b || '|',
+                                 '|' || b.a || b.b || '|')
+                    ELSE syms END AS syms
+        FROM w_{i - 1} LEFT JOIN b_{i} b ON TRUE
+    )""")
+    merge_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT 'merge' AS kind, CAST({i} AS INT) AS round, a, b, "
+        f"CAST(cnt AS BIGINT) AS pair_freq, '' AS word, "
+        f"CAST(-1 AS BIGINT) AS freq, '' AS syms FROM b_{i}"
+        for i in range(1, BPE_GATE_MERGES + 1)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    {merge_rows}
+    UNION ALL
+    SELECT 'word' AS kind, CAST(-1 AS INT) AS round, '' AS a, '' AS b,
+           CAST(-1 AS BIGINT) AS pair_freq, word, freq, syms
+    FROM w_{BPE_GATE_MERGES}
+    """
+
+
+@register("text_bpe", _bpe_oracle())
+def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training over the corpus vocabulary, union-tagged by `kind`:
+    the learned merge list (round, pair, frequency) AND the final
+    per-word subword encoding — the whole training surface is
+    driver-gated. Document tokenization under the trained vocabulary
+    (`bpe.bpe_encode` — broadcast word→subwords map) is pinned against a
+    pure-Python BPE in tests/test_textquality.py."""
+    from manifold_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, words = bpe.train_bpe(
+        docs, BPE_GATE_MERGES, min_pair_freq=BPE_GATE_MIN_FREQ
+    )
+    merge_rows = spark.createDataFrame(
+        [(i + 1, a, b, cnt) for i, (a, b, cnt) in enumerate(merges)],
+        "round int, a string, b string, pair_freq long",
+    ).select(
+        F.lit("merge").alias("kind"),
+        "round",
+        "a",
+        "b",
+        "pair_freq",
+        F.lit("").alias("word"),
+        F.lit(-1).cast("bigint").alias("freq"),
+        F.lit("").alias("syms"),
+    )
+    word_rows = words.select(
+        F.lit("word").alias("kind"),
+        F.lit(-1).cast("int").alias("round"),
+        F.lit("").alias("a"),
+        F.lit("").alias("b"),
+        F.lit(-1).cast("bigint").alias("pair_freq"),
+        "word",
+        "freq",
+        "syms",
+    )
+    return merge_rows.unionByName(word_rows)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,204 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") — the
+vocabulary-learning stage of a training-data pipeline, expressed as
+DataFrame aggregations so the corpus-scale parts distribute and only the
+inherently sequential part (picking one merge per round) touches the
+driver.
+
+Algorithm, mapped to relations:
+
+1. **Word table** (the ONE corpus-scale pass): tokenize every document
+   with the shared normalizer, count word occurrences — a map-side-
+   combined groupBy bounded by the distinct vocabulary, not the corpus.
+   At 100 TB this is the only stage that reads the data; every training
+   round below runs on the (word, freq, syms) relation.
+2. **Symbol encoding**: each word starts as its characters plus the
+   classic `</w>` end-of-word marker. Symbols live in ONE string column
+   with every symbol wrapped in pipes (`|h||e||r||</w>|`): merge
+   application is then a plain (non-regex) `replace('|a||b|' → '|ab|')`
+   whose greedy leftmost non-overlapping scan IS the BPE merge rule —
+   identical on every engine, RE2-safe (no lookahead), no per-element
+   fold. The wrapper pipes make boundaries unambiguous even after
+   symbols grow multi-character ('|ab||b|' cannot false-match '|b||b|').
+3. **Per round**: count adjacent symbol pairs weighted by word freq
+   (vocab-bounded explode + aggregate), pick the most frequent pair
+   (ties: lexicographic (a, b) asc — deterministic and engine-portable),
+   rewrite the symbol strings, record the merge. The argmax is a one-row
+   driver collect per round (the same bounded-scalar pattern as the
+   kmeans centroid roundtrip, `similarity.kmeans_centroids`); everything
+   else stays distributed. The word relation localCheckpoints each round
+   so plan depth stays constant across merges.
+
+The DuckDB oracle for the registry gate unrolls the same rounds as CTEs
+(pair counts → one-row best CTE → LEFT-JOIN-ON-TRUE rewrite, so an
+exhausted-pairs round is a no-op on both engines).
+
+Encoding a corpus with the trained merges inverts the cost argument:
+apply the merge list to the DISTINCT word table once (vocab-bounded),
+then broadcast-join documents' tokens against the word→subwords map —
+documents never pay the per-merge rewrite
+(`bpe_encode`).
+
+Pipe characters inside words cannot occur: the shared tokenizer strips
+non-alphanumerics. The reference engine has no tokenizer surface; public
+sources: Sennrich et al. 2016, the GPT-2/BPE literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from manifold_spark.operators.dedup import normalized_tokens
+from manifold_spark.plans.parallelism import ensure_parallelism
+
+#: End-of-word marker (Sennrich et al.): lets the model distinguish
+#: word-final subwords ("er</w>" vs "er").
+EOW = "</w>"
+
+#: Initial pipe-wrapped symbol string of a `word` column: characters
+#: followed by the EOW marker, e.g. "her" → "|h||e||r||</w>|".
+_SYMS_EXPR = (
+    "'|' || array_join(transform(sequence(1, length(word)),"
+    " i -> substring(word, i, 1)), '||') || '||" + EOW + "|'"
+)
+
+#: Adjacent-pair structs from a pipe-wrapped `syms` string column. The
+#: CASE guard matters: a fully-merged word has ONE symbol, and
+#: `sequence(1, 0)` counts DOWN (the round-2 pitfall) — without the
+#: guard, element_at(s, 2) then throws under ANSI mode.
+_PAIRS_EXPR = """
+CASE WHEN size(split(substring(syms, 2, length(syms) - 2), '\\\\|\\\\|')) >= 2
+     THEN transform(
+        sequence(1, size(split(substring(syms, 2, length(syms) - 2), '\\\\|\\\\|')) - 1),
+        i -> named_struct(
+            'a', element_at(split(substring(syms, 2, length(syms) - 2), '\\\\|\\\\|'), i),
+            'b', element_at(split(substring(syms, 2, length(syms) - 2), '\\\\|\\\\|'), i + 1)))
+     ELSE array()
+END
+"""
+
+
+def word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, syms) over the shared normalized tokenizer — the one
+    corpus-scale aggregation; ``syms`` is the pipe-wrapped symbol
+    string."""
+    return (
+        ensure_parallelism(docs)
+        .select(F.explode(normalized_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.expr(_SYMS_EXPR))
+    )
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent symbol pairs weighted by word frequency.
+    Key space is bounded by the (current) symbol vocabulary squared in
+    the worst case — in practice by observed adjacencies — so the
+    aggregate is map-side combined and the result is driver-collectable
+    at its top-1 regardless of corpus size."""
+    return (
+        words.select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
+    """Rewrite every word's symbol string under merge (a, b) — one plain
+    `replace`, greedy leftmost non-overlapping on every engine."""
+    return words.withColumn(
+        "syms",
+        F.expr(
+            "replace(syms, '|' || {a} || '||' || {b} || '|',"
+            " '|' || {a} || {b} || '|')".format(
+                a=f"'{a}'", b=f"'{b}'"
+            )
+        ),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn up to ``n_merges`` BPE merges (stopping early when no pair
+    reaches ``min_pair_freq``). Returns (merges, words): merges =
+    [(a, b, pair_freq), ...] in learned order; words = the final
+    (word, freq, syms) relation with all merges applied."""
+    words = word_table(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            pair_counts(words)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_freq:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        # localCheckpoint: constant plan depth per round (each rewrite
+        # would otherwise nest the previous round's whole DAG), at the
+        # cost of materializing the vocab-bounded relation.
+        words = apply_merge(words, a, b).localCheckpoint(eager=True)
+    return merges, words
+
+
+def encode_words(words: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Apply an already-learned merge list to a (word, freq, syms)
+    relation — e.g. a NEW corpus's word table under a trained tokenizer.
+    Chained column rewrites (no per-round materialization needed: the
+    merge list is fixed, so this is one projection of depth
+    len(merges))."""
+    for a, b, _ in merges:
+        words = apply_merge(words, a, b)
+    return words
+
+
+def bpe_encode(
+    docs: DataFrame,
+    trained_words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents under a trained BPE vocabulary: explode the
+    shared normalizer's words, broadcast-join the word→syms map (vocab-
+    bounded — the documents never pay a per-merge rewrite), concatenate
+    subwords back in word order. Out-of-vocabulary words fall back to
+    their character+EOW symbols. Returns (id_col, tokens array<string>,
+    n_tokens int)."""
+    wmap = broadcast(trained_words.select("word", F.col("syms").alias("w_syms")))
+    exploded = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(normalized_tokens(F.col(text_col))).alias("pos", "word"),
+        )
+        .join(wmap, "word", "left")
+        .withColumn(
+            "w_syms",
+            F.coalesce(F.col("w_syms"), F.expr(_SYMS_EXPR)),
+        )
+    )
+    toks = F.expr(
+        "split(substring(w_syms, 2, length(w_syms) - 2), '\\\\|\\\\|')"
+    )
+    per_doc = exploded.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), toks.alias("t")))
+                ),
+                lambda s: s["t"],
+            )
+        ).alias("tokens")
+    )
+    return per_doc.select(
+        id_col, "tokens", F.size("tokens").cast("int").alias("n_tokens")
+    )

@@ -538,10 +538,11 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: never (or least recently) driver-checked, in case the cap ever drops.
 _DRIVER_ORDER_HEAD = [
     # new in round 9 — never driver-checked (SemDeDup, C4 heuristic
-    # filters, relational Bloom dedup)
+    # filters, relational Bloom dedup, distributed BPE training)
     "sim_semdedup",
     "text_c4_filters",
     "dedup_bloom",
+    "text_bpe",
     # reshaped in round 9 (hourly-rollup grain union, chunk-manifest
     # section union, perplexity buckets riding the LM gate, retention
     # folded into the funnel) — re-check first
@@ -690,38 +691,8 @@ def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # survivor join in one gate.)
 
 
-# ---------------------------------------------------------------------------
-# Quality-gate filter: keep documents above a quality threshold — the
-# filter half of the text-quality operator, as a pipeline stage.
-# ---------------------------------------------------------------------------
-@register(
-    "quality_filter",
-    """
-    WITH m AS (
-        SELECT doc_id, lang,
-               CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
-                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS INT) AS n_tokens,
-               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INT) AS n_alpha,
-               CAST(length(text) AS INT) AS n_chars
-        FROM documents
-    )
-    SELECT doc_id, lang
-    FROM m
-    WHERE n_tokens >= 20 AND n_alpha / greatest(n_chars, 1) > 0.5
-    """,
-)
-def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from manifold_spark.operators.textstats import token_count_ws
-
-    docs = _t(spark, sf_dir, "documents")
-    n_tokens = token_count_ws(F.col("text"))
-    n_alpha = F.regexp_count(F.col("text"), F.lit("[A-Za-z]"))
-    n_chars = F.length("text")
-    return docs.filter(
-        (n_tokens >= 20) & (n_alpha / F.greatest(n_chars, F.lit(1)) > 0.5)
-    ).select("doc_id", "lang")
-
-
+# (r9: the former `quality_filter` key folded INTO `text_stats` as the
+# `quality_pass` flag — same scan, same predicate, zero extra passes.)
 # ---------------------------------------------------------------------------
 # Multi-dimensional aggregation: CUBE over (region, year). Beyond the
 # reference's surface (§2.4: no grouping sets) — table stakes for a

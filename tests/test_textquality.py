@@ -945,3 +945,96 @@ def test_ppl_threshold_buckets_monotone_and_consistent(spark, sf_dir):
     from manifold_spark.operators.dedup import release_shingle_caches
 
     release_shingle_caches()
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE training (operators/bpe.py) vs an independent
+# pure-Python implementation of Sennrich et al.'s merge-learning loop.
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(texts, n_merges, min_pair_freq=2):
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.sub(r"[^\w]+", " ", t.lower()).split():
+            words[w] += 1
+    symtab = {w: tuple(w) + ("</w>",) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in symtab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += words[w]
+        if not pairs:
+            break
+        # max count, ties -> lexicographic smallest (a, b)
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_freq:
+            break
+        merges.append((a, b, cnt))
+        new_tab = {}
+        for w, syms in symtab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_tab[w] = tuple(out)
+        symtab = new_tab
+    return merges, symtab
+
+
+def _spark_bpe(spark, texts, n_merges, **kw):
+    from manifold_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, words = bpe.train_bpe(docs, n_merges, **kw)
+    symtab = {
+        r["word"]: tuple(r["syms"][1:-1].split("||")) for r in words.collect()
+    }
+    return merges, symtab, docs, words
+
+
+def test_bpe_matches_pure_python(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new lower",
+        "the newest lowest widest wide wide",
+    ]
+    for n in (1, 4, 10, 40):
+        want_m, want_t = _py_bpe(texts, n)
+        got_m, got_t, _, _ = _spark_bpe(spark, texts, n)
+        assert got_m == want_m, n
+        assert got_t == want_t, n
+
+
+def test_bpe_early_stop_and_degenerate(spark):
+    # single chars + uniques: no pair ever reaches min_pair_freq=3
+    texts = ["a b c", "d e f"]
+    merges, symtab, _, _ = _spark_bpe(spark, texts, 5, min_pair_freq=3)
+    want_m, want_t = _py_bpe(texts, 5, min_pair_freq=3)
+    assert merges == want_m  # may be empty or the (x,</w>) merges
+    assert symtab == want_t
+
+
+def test_bpe_encode_docs_and_oov(spark):
+    texts = ["low lower low", "lowest low"]
+    from manifold_spark.operators import bpe
+
+    merges, symtab, docs, words = _spark_bpe(spark, texts, 6)
+    enc = {r["doc_id"]: r["tokens"] for r in bpe.bpe_encode(docs, words).collect()}
+    for i, t in enumerate(texts):
+        want = []
+        for w in t.split():
+            want.extend(symtab[w])
+        assert enc[i] == want, i
+    # out-of-vocabulary word falls back to char + EOW symbols
+    new_docs = spark.createDataFrame([(9, "zq")], "doc_id long, text string")
+    got = bpe.bpe_encode(new_docs, words).collect()[0]
+    assert got["tokens"] == ["z", "q", "</w>"]
