@@ -1628,3 +1628,59 @@ def bloom_dedup_flags(
         "might_contain",
         (1 - F.col("might_contain")).alias("is_new"),
     )
+
+
+def bloom_index_upsert(
+    batch: DataFrame,
+    bloom: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of Bloom-gated incremental dedup — the
+    constant-memory sibling of `minhash_index_upsert` (foreachBatch body
+    of a streaming exact-dedup pipeline whose key-set state must stay
+    bounded). Returns ``(flags, new_bloom)``:
+
+    - flags: (id_col, fp, might_contain, is_new) for every batch row —
+      might_contain=1 means the content fingerprint was (probably) seen
+      in ANY earlier batch; within-batch duplicates of the same
+      fingerprint are NOT flagged against each other (the caller's
+      in-batch exact dedup handles those — same contract as the minhash
+      index's id-disjointness).
+    - new_bloom: the (word_idx, bits) relation grown by this batch —
+      union + bit_or re-aggregation, so state size stays ≤ m/32 rows
+      FOREVER regardless of how many batches stream through. In
+      production each trigger writes it as the versioned parquet state
+      (the test_streaming.py pattern).
+
+    The trade vs the exact index: false positives drop new docs at the
+    advertised (1 − e^(−k·n/m))^k rate, so m is sized to the expected
+    corpus-lifetime key count; there are no false negatives.
+    """
+    from manifold_spark.functions.hashing import stable_long_hash
+
+    fp = stable_long_hash(F.col(text_col)).cast("string")
+    keyed = batch.select(F.col(id_col), fp.alias("fp"))
+    if bloom is None:
+        flags = keyed.select(
+            id_col,
+            "fp",
+            F.lit(0).alias("might_contain"),
+            F.lit(1).alias("is_new"),
+        )
+        new_bloom = bloom_build(keyed.select("fp"), "fp", m_bits, k)
+        return flags, new_bloom
+    flags = bloom_might_contain(keyed, "fp", bloom, m_bits, k).select(
+        id_col,
+        "fp",
+        "might_contain",
+        (1 - F.col("might_contain")).alias("is_new"),
+    )
+    new_bloom = (
+        bloom.union(bloom_build(keyed.select("fp"), "fp", m_bits, k))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    return flags, new_bloom

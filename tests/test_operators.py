@@ -970,3 +970,32 @@ def test_bloom_dedup_flags_duplicate_text(spark):
     assert got[0] == (1, 0) and got[2] == (1, 0)
     assert got[1] == (1, 0)  # duplicate content caught without its id
     assert got[3] == (0, 1)
+
+
+def test_bloom_index_upsert_matches_one_shot(spark):
+    """Batch-split Bloom state == one-shot build; flags match what the
+    one-shot `bloom_dedup_flags` would say about each batch vs its past."""
+    rows = [(i, f"text number {i % 30}") for i in range(90)]  # heavy dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m, k = 1 << 12, 5
+
+    bloom = None
+    flagged = {}
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        batch = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        flags, bloom = dedup.bloom_index_upsert(batch, bloom, m_bits=m, k=k)
+        flags = flags.localCheckpoint(eager=True)
+        bloom = bloom.localCheckpoint(eager=True)
+        flagged.update({r["doc_id"]: r["might_contain"] for r in flags.collect()})
+
+    # one-shot reference state over the full corpus
+    from manifold_spark.functions.hashing import stable_long_hash
+
+    fps = df.select(stable_long_hash(F.col("text")).cast("string").alias("fp"))
+    whole = dedup.bloom_build(fps, "fp", m_bits=m, k=k)
+    assert sorted(map(tuple, bloom.collect())) == sorted(map(tuple, whole.collect()))
+
+    # batch 1 (ids 0-29): all first occurrences -> not flagged
+    assert all(flagged[i] == 0 for i in range(30))
+    # batches 2-3 repeat the same 30 texts -> every row flagged
+    assert all(flagged[i] == 1 for i in range(30, 90))
