@@ -539,3 +539,84 @@ def test_streaming_nb_classify_matches_batch(spark, sf_dir, tmp_path):
     model.unpersist()
     classes.unpersist()
     release_shingle_caches()
+
+
+def test_foreachbatch_bloom_index_matches_batch(spark, sf_dir, tmp_path):
+    """The bounded-state Bloom dedup under a REAL stream: per-trigger
+    flags against parquet-versioned bitmap state. The final bitmap must
+    equal the one-shot build over the whole corpus; every cross-batch
+    content duplicate must be flagged (no false negatives) and spurious
+    flags stay at the designed false-positive rate."""
+    import os
+
+    from manifold_spark.functions.hashing import stable_long_hash
+    from manifold_spark.operators import dedup
+
+    M, K = 1 << 14, 5
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # the corpus has no EXACT text duplicates — replicate every 5th doc
+    # under a new id landing in a LATER batch (10000 % 3 == 1), so the
+    # cross-batch duplicate path is exercised for real
+    dups = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(dups)
+    fps = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", stable_long_hash(F.col("text")).cast("string").alias("fp")
+    ).collect()}
+
+    src = str(tmp_path / "bl-src")
+    for i in range(3):
+        part = f"{src}/b{i}"
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(part)
+        for name in os.listdir(part):
+            os.utime(os.path.join(part, name), (2_000_000 + i * 100,) * 2)
+
+    state_root = str(tmp_path / "bl-state")
+    versions: list[int] = []
+    flagged: dict[int, int] = {}
+
+    def sink(batch_df, batch_id):
+        v = len(versions)
+        bloom = None if v == 0 else spark.read.parquet(f"{state_root}/v{v - 1}")
+        flags, new_bloom = dedup.bloom_index_upsert(
+            batch_df, bloom, m_bits=M, k=K
+        )
+        flagged.update({r["doc_id"]: r["might_contain"] for r in flags.collect()})
+        new_bloom.write.mode("overwrite").parquet(f"{state_root}/v{v}")
+        versions.append(v)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(versions) == 3 and len(flagged) == len(fps)
+
+    # final streamed state == one-shot bitmap over the whole corpus
+    whole = dedup.bloom_build(
+        docs.select(stable_long_hash(F.col("text")).cast("string").alias("fp")),
+        "fp", m_bits=M, k=K,
+    )
+    final = spark.read.parquet(f"{state_root}/v2")
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, whole.collect()))
+
+    # no false negatives across batches: doc whose fp was seen in an
+    # EARLIER trigger (doc_id % 3 is the batch) must be flagged
+    seen: set[str] = set()
+    must_flag, may_not = set(), set()
+    for b in range(3):
+        ids = sorted(d for d in fps if d % 3 == b)
+        for d in ids:
+            (must_flag if fps[d] in seen else may_not).add(d)
+        seen.update(fps[d] for d in ids)
+    assert all(flagged[d] == 1 for d in must_flag)
+    false_pos = [d for d in may_not if flagged[d] == 1]
+    assert len(false_pos) <= 3  # (1 - e^(-5n/m))^5 at n<=500, m=2^14
+    assert len(must_flag) > 0  # the corpus really has cross-batch dups
