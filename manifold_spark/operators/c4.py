@@ -55,6 +55,7 @@ def c4_filters(
     min_kept_lines: int = 3,
     line_drop_terms: tuple[str, ...] = DEFAULT_LINE_DROP_TERMS,
     blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    require_terminal_punct: bool = True,
 ) -> DataFrame:
     """Apply the C4 line and document heuristics. Returns one row per
     input document (NULL text reads as degenerate-empty):
@@ -73,7 +74,14 @@ def c4_filters(
     )
 
     def line_keep(l: Column) -> Column:
-        ends_terminal = F.substring(l, -1, 1).isin(*TERMINAL_PUNCT)
+        # `require_terminal_punct=False` for corpora that aren't
+        # sentence-punctuated prose (transcripts, code-stripped text) —
+        # the C4 default assumes web text.
+        ends_terminal = (
+            F.substring(l, -1, 1).isin(*TERMINAL_PUNCT)
+            if require_terminal_punct
+            else F.lit(True)
+        )
         enough_words = _word_count(l) >= F.lit(min_words_per_line)
         cond = ends_terminal & enough_words
         low = F.lower(l)
