@@ -656,6 +656,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column. Cluster the corpus with the
@@ -682,6 +683,13 @@ def semdedup(
     — one shuffle of (id, vec, cent_sim). The drop decision is an
     aggregate over pair losers, not a window over cluster occupants.
 
+    ``max_cluster`` is the family's adversarial-skew guard (the minhash
+    `max_bucket` semantics): a cluster with more occupants than the cap
+    forms NO pairs — its members pass through kept — so a degenerate
+    quantizer (all vectors one direction) cannot trigger quadratic pair
+    formation. The guard is a count aggregate + broadcast semi-join on
+    the ≤n_clusters-row size table, not a window.
+
     Returns one row per corpus vector: (id_col, centroid_id, cent_sim
     double, is_kept int 0/1) — deterministic for a fixed corpus under
     any partitioning (Lloyd means use order-independent decimal sums;
@@ -703,13 +711,22 @@ def semdedup(
         .withColumn("cent_sim", cosine_expr(vec_col, "cent_vec", dim))
         .drop("cent_vec")
     )
-    a = with_sim.select(
+    pair_src = with_sim
+    if max_cluster is not None:
+        ok = (
+            with_sim.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_cluster)
+            .select("centroid_id")
+        )
+        pair_src = with_sim.join(broadcast(ok), "centroid_id")
+    a = pair_src.select(
         "centroid_id",
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
         F.col("cent_sim").alias("sim_a"),
     )
-    b = with_sim.select(
+    b = pair_src.select(
         "centroid_id",
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),

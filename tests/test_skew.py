@@ -160,3 +160,26 @@ def test_minhash_cap_is_monotone_subset(spark, skewed):
     assert len(capped) < len(uncapped)  # the cap actually bit on this corpus
     for pair, j in capped.items():
         assert uncapped[pair] == j
+
+
+def test_semdedup_max_cluster_cap_binds(spark):
+    """Adversarial quantizer skew: every vector points one way, so ALL
+    land in one cluster — uncapped, pair formation is quadratic and all
+    but one vector drop; with max_cluster below the occupancy the
+    oversized cluster forms NO pairs and every member passes through
+    kept (the minhash max_bucket semantics)."""
+    from manifold_spark.operators.similarity import semdedup
+
+    n, dim = 60, 4
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = semdedup(df, dim, n_clusters=2, iters=1, threshold=0.99)
+    assert sum(r["is_kept"] for r in uncapped.collect()) == 1
+
+    capped = semdedup(
+        df, dim, n_clusters=2, iters=1, threshold=0.99, max_cluster=50
+    )
+    got = capped.collect()
+    assert len(got) == n  # every vector still gets a verdict row
+    assert all(r["is_kept"] == 1 for r in got)
