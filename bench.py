@@ -666,6 +666,27 @@ def main() -> None:
         best = min(best, time.perf_counter() - start)
     timings["pipeline_run_week"] = round(best, 3)
 
+    # r9: the composed LLM-curation pass (clean → exact dedup → LSH+CC
+    # fuzzy dedup → repetition+perplexity quality → temperature mixture →
+    # packing) as ONE timed row, so the end-to-end pipeline — not just
+    # its stages — has a perf trail. Includes the per-stage audit counts
+    # (7 count() actions) deliberately: that IS the operation users run.
+    from manifold_spark.curation import curate_corpus
+
+    best = float("inf")
+    for _ in range(2):
+        with operator_cache_scope():
+            start = time.perf_counter()
+            packed, _report = curate_corpus(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                pack_budget=512,
+            )
+            packed.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+    # extended tier, NOT `timings`: the headline total is the frozen
+    # 17-row cross-round series and must not absorb new rows.
+    extended["curation_pipeline"] = round(best, 3)
+
     # Backfill tier (r6): run_week above measures week 1 against an EMPTY
     # warehouse; the real weekly cost at scale is an SCD2 merge against a
     # GROWN target. Ten weeks of the README's evolution protocol (80%
