@@ -391,11 +391,17 @@ def main() -> None:
             "text", "doc_id",
         ),
         "text_classifier_nb_10x": lambda: _nb_classify(docs10),
-        # r9: SemDeDup at 10× embeddings (same replicated vectors land in
-        # the same clusters — pair formation is exercised hard), C4 rules
-        # and Bloom membership at 10× docs.
+        # r9: SemDeDup at 10× embeddings. The quantizer SCALES WITH THE
+        # CORPUS (k ≈ n/⟨cluster⟩ — the paper's own design point): 10×
+        # vectors → 10× clusters keeps occupancy (and per-cluster pair
+        # work) constant. The fixed-k misconfiguration was measured once
+        # at 709 s (occupancy ×10 → pairs ×100, quadratic) — that's the
+        # failure mode `max_cluster` refuses at production scale, proven
+        # binding in test_skew.py. Also C4 rules and Bloom membership at
+        # 10× docs.
         "sim_semdedup_10x": lambda: sim_ops.semdedup(
-            emb10, 64, n_clusters=IVF_CENTROIDS, iters=2, threshold=0.2
+            emb10, 64, n_clusters=IVF_CENTROIDS * factor, iters=2,
+            threshold=0.2, max_cluster=2_000,
         ),
         "text_c4_filters_10x": lambda: _c4_filters(
             docs10.withColumn(
