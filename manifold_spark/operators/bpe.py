@@ -130,24 +130,13 @@ def train_bpe(
     reaches ``min_pair_freq``). Returns (merges, words): merges =
     [(a, b, pair_freq), ...] in learned order; words = the final
     (word, freq, syms) relation with all merges applied."""
-    words = word_table(docs, text_col).localCheckpoint(eager=True)
-    merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        top = (
-            pair_counts(words)
-            .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["cnt"] < min_pair_freq:
-            break
-        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-        merges.append((a, b, cnt))
-        # localCheckpoint: constant plan depth per round (each rewrite
-        # would otherwise nest the previous round's whole DAG), at the
-        # cost of materializing the vocab-bounded relation.
-        words = apply_merge(words, a, b).localCheckpoint(eager=True)
-    return merges, words
+    # localCheckpoint inside the loop keeps plan depth constant per
+    # round (each rewrite would otherwise nest the previous round's
+    # whole DAG), at the cost of materializing the vocab-bounded
+    # relation; the loop itself lives in `train_bpe_from_words`.
+    return train_bpe_from_words(
+        word_table(docs, text_col), n_merges, min_pair_freq=min_pair_freq
+    )
 
 
 def encode_words(words: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
@@ -202,3 +191,60 @@ def bpe_encode(
     return per_doc.select(
         id_col, "tokens", F.size("tokens").cast("int").alias("n_tokens")
     )
+
+
+def word_table_upsert(
+    batch: DataFrame,
+    words: DataFrame | None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Grow a persisted word table by one corpus batch — the continuous-
+    ingestion tokenizer-refresh path: the corpus-scale tokenize+count
+    runs over the BATCH only, then merges with the stored table by
+    frequency re-aggregation (same bounded-state pattern as
+    `dedup.bloom_index_upsert`). `syms` is recomputed from the word (raw
+    characters — retraining picks its own merges), so the result is
+    EXACTLY `word_table(all batches unioned)`: retraining merges from
+    the upserted table is bit-identical to full-corpus training, pinned
+    in tests. State stays vocabulary-bounded forever."""
+    fresh = (
+        ensure_parallelism(batch)
+        .select(F.explode(normalized_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if words is None:
+        merged = fresh
+    else:
+        merged = (
+            words.select("word", "freq")
+            .unionByName(fresh)
+            .groupBy("word")
+            .agg(F.sum("freq").alias("freq"))
+        )
+    return merged.withColumn("syms", F.expr(_SYMS_EXPR))
+
+
+def train_bpe_from_words(
+    words: DataFrame,
+    n_merges: int,
+    min_pair_freq: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """`train_bpe`'s merge loop over an ALREADY-BUILT word table (e.g.
+    `word_table_upsert` state) — retraining after corpus growth never
+    re-reads old batches."""
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            pair_counts(words)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_freq:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        words = apply_merge(words, a, b).localCheckpoint(eager=True)
+    return merges, words

@@ -1038,3 +1038,32 @@ def test_bpe_encode_docs_and_oov(spark):
     new_docs = spark.createDataFrame([(9, "zq")], "doc_id long, text string")
     got = bpe.bpe_encode(new_docs, words).collect()[0]
     assert got["tokens"] == ["z", "q", "</w>"]
+
+
+def test_bpe_word_table_upsert_equals_full(spark):
+    """Incremental word-table growth: batch upserts produce EXACTLY the
+    full-corpus word table, and retraining merges from the upserted
+    state matches full-corpus training — continuous-ingestion tokenizer
+    refresh never re-reads old batches."""
+    from manifold_spark.operators import bpe
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new lower",
+        "the newest lowest widest wide wide",
+        "wide wider new low the the",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    state = None
+    for i in range(len(texts)):
+        state = bpe.word_table_upsert(docs.filter(F.col("doc_id") == i), state)
+        state = state.localCheckpoint(eager=True)
+    full = bpe.word_table(docs)
+    assert sorted(map(tuple, state.collect())) == sorted(map(tuple, full.collect()))
+
+    inc_m, inc_w = bpe.train_bpe_from_words(state, 6)
+    full_m, full_w = bpe.train_bpe(docs, 6)
+    assert inc_m == full_m
+    assert sorted(map(tuple, inc_w.collect())) == sorted(map(tuple, full_w.collect()))
