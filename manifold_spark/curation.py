@@ -121,6 +121,10 @@ def curate_corpus(
     scored = score_docs(survivors, text_col=text_col, id_col=id_col).join(
         survivors.select(id_col, lang_col, text_col), id_col
     )
+    # Degenerate docs (< 3 normalized chars) score NULL — exclude them
+    # BEFORE bucketing so they can't occupy tertile slots (and a NULL
+    # score must never survive a quality filter).
+    scored = scored.filter(F.col("n_trigrams") > 0)
     bucketed = ppl_buckets(scored, group_col=lang_col, id_col=id_col)
     quality = bucketed.filter(
         F.col("ppl_bucket_label").isin(*keep_ppl_buckets)

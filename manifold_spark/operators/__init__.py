@@ -2188,7 +2188,7 @@ def _lm_oracle() -> str:
     scored AS (
         SELECT d.doc_id, d.lang,
                CAST(coalesce(n_tri, 0) AS INT) AS n_trigrams,
-               coalesce(CAST(sum_q AS DOUBLE) / CAST(n_tri * {scale} AS DOUBLE), 0.0)
+               CAST(sum_q AS DOUBLE) / CAST(n_tri * {scale} AS DOUBLE)
                    AS avg_logprob
         FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
     )

@@ -188,8 +188,20 @@ def bpe_encode(
             )
         ).alias("tokens")
     )
-    return per_doc.select(
-        id_col, "tokens", F.size("tokens").cast("int").alias("n_tokens")
+    # Left-join back to the doc list: a document whose normalized token
+    # array is empty emits no posexplode rows, so the groupBy would omit
+    # it entirely — (id, [], 0) is the consistent answer (the lm.score_docs
+    # convention for degenerate docs).
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("tokens"), F.array().cast("array<string>")
+            ).alias("tokens"),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("int"))
     )
 
 

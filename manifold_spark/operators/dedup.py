@@ -1403,10 +1403,10 @@ def span_index_upsert(
 # Line-level corpus dedup (CCNet-style)
 # ---------------------------------------------------------------------------
 
-#: Occurrence encoding for first-occurrence selection: occ = id·2³¹ + pos.
-#: Skew-safe (a min aggregate, map-side combined — no window over the
-#: occurrence partition of a ubiquitous line) at the documented cost of
-#: requiring 0 ≤ id < 2³² and 0 ≤ pos < 2³¹.
+#: Occurrence encoding used by the DuckDB ORACLE mirror only: occ =
+#: id·2³¹ + pos (identical ordering to the operator's (id, pos) struct
+#: min for the gate corpus's 0 ≤ id < 2³¹ integer ids). The Spark
+#: operator itself orders a struct, so it works for any id type.
 _LINE_OCC_SHIFT = 1 << 31
 
 
@@ -1452,7 +1452,8 @@ def line_dedup(
     line's occurrence list (a million-copy boilerplate line would make
     that window partition a straggler); duplicated rows come back via an
     8-byte-key join and collapse to per-doc drop-position arrays; one
-    HOF projection scrubs. Requires 0 ≤ id < 2³² (occurrence encoding).
+    HOF projection scrubs. Works for any orderable id type — "first" is
+    the lexicographic (id, pos) minimum.
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
@@ -1476,7 +1477,13 @@ def line_dedup(
         id_col,
         "pos",
         stable_long_hash(F.col("line")).alias("h"),
-        (F.col(id_col) * F.lit(_LINE_OCC_SHIFT) + F.col("pos")).alias("occ"),
+        # (id, pos) as a struct: min() over it IS the first occurrence
+        # under lexicographic (id, pos) order for ANY orderable id type —
+        # the former id·2³¹+pos bigint encoding silently produced NULL for
+        # non-numeric ids (non-ANSI string*int → NULL), turning the whole
+        # operator into a no-op. The numeric-id oracle mirror keeps the
+        # encoding (identical ordering for 0 ≤ id < 2³¹ ids).
+        F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p")).alias("occ"),
     )
     duph = (
         occ.groupBy("h")

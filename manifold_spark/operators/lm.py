@@ -127,8 +127,11 @@ def score_docs(
     on `docs` itself when None — the self-scoring corpus-filter setup).
 
     Returns (id, n_trigrams, avg_logprob): avg_logprob =
-    Σ term_q / (n_trigrams · 1e6), 0.0 for docs shorter than 3 normalized
-    chars. Unseen trigrams (held-out scoring) price as (k)/(C₂+k·V) via
+    Σ term_q / (n_trigrams · 1e6), NULL for docs shorter than 3 normalized
+    chars — NOT 0.0, which would be the best possible score (real scores
+    are negative) and let degenerate docs rank into the 'head' perplexity
+    tertile. Filter `n_trigrams > 0` before `ppl_buckets` (curate_corpus
+    does). Unseen trigrams (held-out scoring) price as (k)/(C₂+k·V) via
     the model's prefix table; unseen prefixes reduce to k/(k·V) = 1/V.
     """
     if model is None:
@@ -181,10 +184,11 @@ def score_docs(
         .select(
             id_col,
             F.coalesce(F.col("n_tri"), F.lit(0)).cast("int").alias("n_trigrams"),
-            F.coalesce(
+            # NULL for n_trigrams == 0 (no per_doc row): 0.0 would be the
+            # BEST score since real scores are negative.
+            (
                 F.col("sum_q").cast("double")
-                / (F.col("n_tri") * F.lit(TERM_SCALE)).cast("double"),
-                F.lit(0.0),
+                / (F.col("n_tri") * F.lit(TERM_SCALE)).cast("double")
             ).alias("avg_logprob"),
         )
     )

@@ -257,10 +257,17 @@ def nb_classify_sink(
     history. r8; the repetition/LM scorers stream the same way (stateless
     projections + broadcast joins) via the identical foreachBatch shape."""
     from manifold_spark.operators.classifier import score_nb
+    from manifold_spark.operators.dedup import operator_cache_scope
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        score_nb(
-            batch, model, class_table, text_col=text_col, id_col=id_col
-        ).write.mode("append").parquet(out_path)
+        # score_nb persists the batch's tf relation via the shared
+        # operator-cache registry; the parquet append below is the only
+        # consumer, so scope the cache to the trigger — without this a
+        # long-running stream accumulates one persisted frame per
+        # micro-batch until someone calls release_shingle_caches().
+        with operator_cache_scope():
+            score_nb(
+                batch, model, class_table, text_col=text_col, id_col=id_col
+            ).write.mode("append").parquet(out_path)
 
     return sink

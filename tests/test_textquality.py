@@ -120,10 +120,12 @@ def test_lm_self_score_shapes(spark):
     norm0 = "the cat sat on the mat"
     assert out[0]["n_trigrams"] == len(norm0) - 2
     assert out[0]["avg_logprob"] < 0
-    # shorter-than-trigram docs: zero trigrams, score 0
+    # shorter-than-trigram docs: zero trigrams, NULL score (0.0 would be
+    # the best possible score — real scores are negative — and would rank
+    # degenerate docs into the 'head' tertile; ADVICE r8)
     for doc_id in (2, 3):
         assert out[doc_id]["n_trigrams"] == 0
-        assert out[doc_id]["avg_logprob"] == 0.0
+        assert out[doc_id]["avg_logprob"] is None
 
 
 def test_lm_in_distribution_beats_gibberish(spark):
@@ -516,6 +518,27 @@ def test_line_dedup_no_dups_identity(spark):
         assert r["chars_removed"] == 0
         assert r["dup_line_frac"] == 0.0
     assert rows[0]["text_kept"] == "alpha\nbeta"
+
+
+def test_line_dedup_string_ids(spark):
+    """Non-numeric doc ids must dedup too (ADVICE r8: the former
+    id·2³¹+pos bigint encoding went NULL on string ids under non-ANSI
+    arithmetic, silently turning the operator into a no-op). 'first' is
+    the lexicographic (id, pos) minimum."""
+    from manifold_spark.operators.dedup import line_dedup, release_shingle_caches
+
+    df = spark.createDataFrame(
+        [
+            ("urn:a", "cookie banner\nreal a"),
+            ("urn:b", "cookie banner\nreal b"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in line_dedup(df).collect()}
+    release_shingle_caches()
+    assert rows["urn:a"]["text_kept"] == "cookie banner\nreal a"
+    assert rows["urn:b"]["text_kept"] == "real b"
+    assert rows["urn:b"]["n_dup_lines"] == 1
 
 
 def test_line_dedup_min_count_threshold(spark):
@@ -1038,6 +1061,26 @@ def test_bpe_encode_docs_and_oov(spark):
     new_docs = spark.createDataFrame([(9, "zq")], "doc_id long, text string")
     got = bpe.bpe_encode(new_docs, words).collect()[0]
     assert got["tokens"] == ["z", "q", "</w>"]
+
+
+def test_bpe_encode_empty_doc_emits_zero_row(spark):
+    """Docs whose normalized token array is empty must still appear as
+    (id, [], 0) — posexplode emits no rows for them, so without the
+    left-join-back they vanished from the output entirely (ADVICE r8;
+    the lm.score_docs degenerate-doc convention)."""
+    from manifold_spark.operators import bpe
+
+    _, _, _, words = _spark_bpe(spark, ["low lower low"], 4)
+    new_docs = spark.createDataFrame(
+        [(7, ""), (8, "  !! ??  "), (9, None), (10, "low")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in bpe.bpe_encode(new_docs, words).collect()}
+    assert set(out) == {7, 8, 9, 10}
+    for i in (7, 8, 9):
+        assert out[i]["tokens"] == []
+        assert out[i]["n_tokens"] == 0
+    assert out[10]["n_tokens"] > 0
 
 
 def test_bpe_word_table_upsert_equals_full(spark):
