@@ -2374,6 +2374,28 @@ def _bpe_oracle() -> str:
         f"CAST(-1 AS BIGINT) AS freq, '' AS syms FROM b_{i}"
         for i in range(1, BPE_GATE_MERGES + 1)
     )
+    # Document encoding under the final vocabulary (bpe.bpe_encode): each
+    # doc's tokens in word order, every word's subwords looked up in the
+    # trained word table (the corpus trained the table, so the join is
+    # total here; the OOV char+EOW fallback is pytest-pinned). `syms` is
+    # the '||'-joined token stream — the driver canonicalizer cannot sort
+    # array columns, so the gate emits the joined scalar.
+    parts.append(f"""dx AS (
+        SELECT doc_id, CAST(j AS INT) AS pos, toks[j] AS word
+        FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+             UNNEST(range(1, len(toks) + 1)) AS t(j)
+    )""")
+    parts.append(f"""denc AS (
+        SELECT x.doc_id,
+               string_agg(substr(w.syms, 2, length(w.syms) - 2),
+                          '||' ORDER BY x.pos) AS joined
+        FROM dx x JOIN w_{BPE_GATE_MERGES} w USING (word)
+        GROUP BY x.doc_id
+    )""")
+    parts.append("""ddoc AS (
+        SELECT d.doc_id, coalesce(e.joined, '') AS joined
+        FROM documents d LEFT JOIN denc e USING (doc_id)
+    )""")
     ctes = ",\n    ".join(parts)
     return f"""
     WITH {ctes}
@@ -2382,17 +2404,26 @@ def _bpe_oracle() -> str:
     SELECT 'word' AS kind, CAST(-1 AS INT) AS round, '' AS a, '' AS b,
            CAST(-1 AS BIGINT) AS pair_freq, word, freq, syms
     FROM w_{BPE_GATE_MERGES}
+    UNION ALL
+    SELECT 'doc' AS kind, CAST(-1 AS INT) AS round, '' AS a, '' AS b,
+           CAST(-1 AS BIGINT) AS pair_freq,
+           CAST(doc_id AS VARCHAR) AS word,
+           CAST(CASE WHEN joined = '' THEN 0
+                     ELSE len(string_split(joined, '||')) END AS BIGINT) AS freq,
+           joined AS syms
+    FROM ddoc
     """
 
 
 @register("text_bpe", _bpe_oracle())
 def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE training over the corpus vocabulary, union-tagged by `kind`:
-    the learned merge list (round, pair, frequency) AND the final
-    per-word subword encoding — the whole training surface is
-    driver-gated. Document tokenization under the trained vocabulary
-    (`bpe.bpe_encode` — broadcast word→subwords map) is pinned against a
-    pure-Python BPE in tests/test_textquality.py."""
+    """BPE training AND encoding, union-tagged by `kind`: the learned
+    merge list (round, pair, frequency), the final per-word subword
+    table, and (r9) every document's encoded token stream under the
+    trained vocabulary (`bpe.bpe_encode` — broadcast word→subwords map)
+    as '||'-joined scalars. The OOV char+EOW fallback (unreachable when
+    encoding the training corpus) stays pinned against a pure-Python BPE
+    in tests/test_textquality.py."""
     from manifold_spark.operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
@@ -2422,7 +2453,17 @@ def q_text_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "syms",
     )
-    return merge_rows.unionByName(word_rows)
+    doc_rows = bpe.bpe_encode(docs, words).select(
+        F.lit("doc").alias("kind"),
+        F.lit(-1).cast("int").alias("round"),
+        F.lit("").alias("a"),
+        F.lit("").alias("b"),
+        F.lit(-1).cast("bigint").alias("pair_freq"),
+        F.col("doc_id").cast("string").alias("word"),
+        F.col("n_tokens").cast("bigint").alias("freq"),
+        F.array_join("tokens", "||").alias("syms"),
+    )
+    return merge_rows.unionByName(word_rows).unionByName(doc_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -2599,7 +2640,18 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _classifier_oracle() -> str:
+#: The DSIR gate's target-domain definition: English documents are the
+#: "target" pool, everything else the "raw" crawl — mirrored between the
+#: Spark query and the oracle below.
+DSIR_TARGET_LANG = "en"
+
+
+def _nb_cte_block(label_sql: str, p: str) -> str:
+    """The full NB training + per-(doc, class) scoring CTE chain for an
+    arbitrary label expression over `documents`, with every CTE name
+    prefixed by ``p`` — used twice by `_classifier_oracle`: once with the
+    corpus's lang labels (the classifier section) and once with the
+    two-class target/raw split (the DSIR section)."""
     from manifold_spark.operators import classifier as clf
 
     B, S, a = clf.N_BUCKETS, clf.SCORE_SCALE, clf.ALPHA
@@ -2609,23 +2661,24 @@ def _classifier_oracle() -> str:
     )
     bucket = f"({_stable_hash_sql('gram', seed=clf.FEATURE_SEED)}) % {B}"
     return f"""
-    WITH toks AS (
-        SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+    {p}toks AS (
+        SELECT doc_id, {label_sql} AS label, {_TOKENS_SQL} AS toks FROM documents
     ),
-    grams AS (
-        SELECT doc_id, lang, u.gram
-        FROM toks, UNNEST(list_concat(toks, {bigrams})) AS u(gram)
+    {p}grams AS (
+        SELECT doc_id, label, u.gram
+        FROM {p}toks, UNNEST(list_concat(toks, {bigrams})) AS u(gram)
     ),
-    feats AS (
-        SELECT doc_id, lang, {bucket} AS bucket FROM grams
+    {p}feats AS (
+        SELECT doc_id, label, {bucket} AS bucket FROM {p}grams
     ),
-    cnt AS (
-        SELECT lang AS label, bucket, count(*) AS cnt FROM feats GROUP BY 1, 2
+    {p}cnt AS (
+        SELECT label, bucket, count(*) AS cnt FROM {p}feats GROUP BY 1, 2
     ),
-    class_tot AS (SELECT label, sum(cnt) AS class_total FROM cnt GROUP BY 1),
-    ndc AS (SELECT lang AS label, count(*) AS n_docs_c FROM documents GROUP BY 1),
-    nd AS (SELECT count(*) AS n_docs FROM documents),
-    class_table AS (
+    {p}class_tot AS (SELECT label, sum(cnt) AS class_total FROM {p}cnt GROUP BY 1),
+    {p}ndc AS (SELECT {label_sql} AS label, count(*) AS n_docs_c
+               FROM documents GROUP BY 1),
+    {p}nd AS (SELECT count(*) AS n_docs FROM documents),
+    {p}class_table AS (
         SELECT label,
                CAST(floor(ln(CAST(n_docs_c AS DOUBLE) / CAST(n_docs AS DOUBLE))
                           * {S}.0) AS BIGINT) AS prior_q,
@@ -2633,34 +2686,47 @@ def _classifier_oracle() -> str:
                              / CAST(coalesce(class_total, 0) + {a} * {B} AS DOUBLE))
                           * {S}.0) AS BIGINT) AS default_q,
                coalesce(class_total, 0) AS class_total
-        FROM ndc LEFT JOIN class_tot USING (label) CROSS JOIN nd
+        FROM {p}ndc LEFT JOIN {p}class_tot USING (label) CROSS JOIN {p}nd
     ),
-    buckets AS (SELECT DISTINCT bucket FROM cnt),
-    model AS (
+    {p}buckets AS (SELECT DISTINCT bucket FROM {p}cnt),
+    {p}model AS (
         SELECT b.bucket, ct.label,
                CAST(floor(ln(CAST(coalesce(c.cnt, 0) + {a} AS DOUBLE)
                              / CAST(ct.class_total + {a} * {B} AS DOUBLE))
                           * {S}.0) AS BIGINT) AS w_q
-        FROM buckets b CROSS JOIN class_table ct
-        LEFT JOIN cnt c ON c.bucket = b.bucket AND c.label = ct.label
+        FROM {p}buckets b CROSS JOIN {p}class_table ct
+        LEFT JOIN {p}cnt c ON c.bucket = b.bucket AND c.label = ct.label
     ),
-    dfeat AS (SELECT doc_id, bucket, count(*) AS tf FROM feats GROUP BY 1, 2),
-    m AS (
+    {p}dfeat AS (SELECT doc_id, bucket, count(*) AS tf FROM {p}feats GROUP BY 1, 2),
+    {p}m AS (
         SELECT f.doc_id, mo.label, sum(f.tf * mo.w_q) AS m_sum,
                sum(f.tf) AS matched_tf
-        FROM dfeat f JOIN model mo USING (bucket) GROUP BY 1, 2
+        FROM {p}dfeat f JOIN {p}model mo USING (bucket) GROUP BY 1, 2
     ),
-    tft AS (SELECT doc_id, sum(tf) AS total_tf FROM dfeat GROUP BY 1),
-    pc AS (
+    {p}tft AS (SELECT doc_id, sum(tf) AS total_tf FROM {p}dfeat GROUP BY 1),
+    {p}pc AS (
         SELECT d.doc_id, ct.label,
                ct.prior_q + coalesce(m.m_sum, 0)
                + (coalesce(t.total_tf, 0) - coalesce(m.matched_tf, 0))
                  * ct.default_q AS score_q
         FROM documents d
-        LEFT JOIN tft t USING (doc_id)
-        CROSS JOIN class_table ct
-        LEFT JOIN m ON m.doc_id = d.doc_id AND m.label = ct.label
-    ),
+        LEFT JOIN {p}tft t USING (doc_id)
+        CROSS JOIN {p}class_table ct
+        LEFT JOIN {p}m m ON m.doc_id = d.doc_id AND m.label = ct.label
+    )"""
+
+
+def _classifier_oracle() -> str:
+    from manifold_spark.operators import classifier as clf
+
+    S = clf.SCORE_SCALE
+    nb = _nb_cte_block("lang", "")
+    dsir_label = (
+        f"CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 'target' ELSE 'raw' END"
+    )
+    ds = _nb_cte_block(dsir_label, "b_")
+    return f"""
+    WITH {nb},
     r AS (
         SELECT doc_id, label, score_q,
                row_number() OVER (PARTITION BY doc_id
@@ -2668,21 +2734,78 @@ def _classifier_oracle() -> str:
                lead(score_q) OVER (PARTITION BY doc_id
                                    ORDER BY score_q DESC, label) AS next_q
         FROM pc
+    ),
+    {ds},
+    b_scores AS (
+        SELECT doc_id,
+               max(CASE WHEN label = 'target' THEN score_q END) AS t_q,
+               max(CASE WHEN label = 'raw' THEN score_q END) AS r_q
+        FROM b_pc GROUP BY doc_id
+    ),
+    b_priors AS (
+        SELECT max(CASE WHEN label = 'target' THEN prior_q END) AS pt_q,
+               max(CASE WHEN label = 'raw' THEN prior_q END) AS pr_q
+        FROM b_class_table
+    ),
+    b_nf AS (
+        SELECT doc_id,
+               len(toks) + greatest(len(toks) - 1, 0) AS n_features
+        FROM b_toks
     )
-    SELECT d.doc_id, d.lang AS label_true, r.label AS pred,
+    SELECT 'nb' AS section, d.doc_id, d.lang AS label_true, r.label AS pred,
            CAST(score_q AS DOUBLE) / {S}.0 AS score,
-           CAST(coalesce(score_q - next_q, 0) AS DOUBLE) / {S}.0 AS margin
+           CAST(coalesce(score_q - next_q, 0) AS DOUBLE) / {S}.0 AS margin,
+           CAST(-1 AS INT) AS n_features, 0.0 AS logratio
     FROM r JOIN documents d USING (doc_id)
     WHERE rnk = 1
+    UNION ALL
+    SELECT 'dsir' AS section, s.doc_id, '' AS label_true, '' AS pred,
+           0.0 AS score, 0.0 AS margin,
+           CAST(nf.n_features AS INT) AS n_features,
+           CAST((t_q - r_q) - (pt_q - pr_q) AS DOUBLE) / {S}.0 AS logratio
+    FROM b_scores s CROSS JOIN b_priors JOIN b_nf nf USING (doc_id)
     """
 
 
 @register("text_classifier_nb", _classifier_oracle())
 def q_text_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the hashed uni+bigram NB classifier on the corpus's lang
-    labels and classify every document (the fit-on-seed, apply-everywhere
-    curation setup). Held-out scoring with unseen-feature pricing and the
-    accuracy behavior are pinned in tests/test_textquality.py."""
-    from manifold_spark.operators.classifier import classify_self
+    """Two sections union-tagged by `section` (the `sample_mix_sources`
+    method-union pattern):
 
-    return classify_self(_t(spark, sf_dir, "documents"))
+    - 'nb': the hashed uni+bigram NB classifier trained on the corpus's
+      lang labels and applied to every document (the fit-on-seed,
+      apply-everywhere curation setup);
+    - 'dsir': DSIR importance log-ratios for every document under the
+      target='{en}' vs raw two-class split (`classifier.dsir_logratio`,
+      r9 fold — the last LLM-brief technique gets a driver row).
+
+    Held-out scoring / unseen-feature pricing / the pure-Python DSIR
+    reference pin live in tests/test_textquality.py."""
+    from manifold_spark.operators.classifier import classify_self, dsir_logratio
+
+    docs = _t(spark, sf_dir, "documents")
+    nb = classify_self(docs).select(
+        F.lit("nb").alias("section"),
+        "doc_id",
+        "label_true",
+        "pred",
+        "score",
+        "margin",
+        F.lit(-1).cast("int").alias("n_features"),
+        F.lit(0.0).alias("logratio"),
+    )
+    ds = dsir_logratio(
+        docs.filter(F.col("lang") == DSIR_TARGET_LANG),
+        docs.filter(F.col("lang") != DSIR_TARGET_LANG),
+        score_docs=docs,
+    ).select(
+        F.lit("dsir").alias("section"),
+        "doc_id",
+        F.lit("").alias("label_true"),
+        F.lit("").alias("pred"),
+        F.lit(0.0).alias("score"),
+        F.lit(0.0).alias("margin"),
+        "n_features",
+        "logratio",
+    )
+    return nb.unionByName(ds)
