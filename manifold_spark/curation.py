@@ -39,6 +39,8 @@ def curate_corpus(
     min_words_per_line: int = 1,
     min_kept_lines: int = 1,
     require_terminal_punct: bool = False,
+    line_drop_terms: tuple[str, ...] | None = None,
+    blocklist: tuple[str, ...] | None = None,
     lsh_threshold: float = 0.5,
     keep_ppl_buckets: tuple[str, ...] = ("head", "middle"),
     temperature: float = 0.7,
@@ -65,7 +67,11 @@ def curate_corpus(
     recompute cascade, not the stage work). This is the local stand-in
     for the 100 TB stage-boundary parquet writes.
     """
-    from manifold_spark.operators.c4 import c4_filters
+    from manifold_spark.operators.c4 import (
+        DEFAULT_BLOCKLIST,
+        DEFAULT_LINE_DROP_TERMS,
+        c4_filters,
+    )
     from manifold_spark.operators import dedup
     from manifold_spark.operators.dedup import _persist_tracked
     from manifold_spark.operators.lm import ppl_buckets, score_docs
@@ -84,6 +90,11 @@ def curate_corpus(
             id_col=id_col,
             min_words_per_line=min_words_per_line,
             min_kept_lines=min_kept_lines,
+            line_drop_terms=(
+                DEFAULT_LINE_DROP_TERMS if line_drop_terms is None
+                else line_drop_terms
+            ),
+            blocklist=DEFAULT_BLOCKLIST if blocklist is None else blocklist,
             require_terminal_punct=require_terminal_punct,
         )
         .filter(F.col("keep") == 1)

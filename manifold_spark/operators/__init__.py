@@ -2013,7 +2013,9 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _repetition_oracle() -> str:
+def _repetition_oracle(table: str = "documents") -> str:
+    """``table`` lets the curation gate point the identical signal
+    pipeline at a derived corpus CTE (the `_minhash_oracle` pattern)."""
     from manifold_spark.operators import repetition as rep
 
     top_ns = sorted(rep.TOP_NGRAM_THRESHOLDS)
@@ -2077,7 +2079,7 @@ def _repetition_oracle() -> str:
                {toks} AS toks,
                list_filter(regexp_split_to_array(coalesce(text, ''), '\\n'),
                            l -> length(trim(l)) > 0) AS lines
-        FROM documents
+        FROM {table}
     ),
     units AS (
         {units}
@@ -2154,14 +2156,18 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lm_oracle() -> str:
+def _lm_oracle(table: str = "documents", min_trigrams: int = 0) -> str:
+    """``table`` lets the curation gate train + score the identical LM
+    chain over a derived corpus CTE; ``min_trigrams`` excludes degenerate
+    docs (NULL score) BEFORE the tertile split, mirroring
+    curate_corpus's quality-stage filter."""
     from manifold_spark.operators import lm
 
     k, scale = lm.SMOOTH_K, lm.TERM_SCALE
     return f"""
     WITH nd AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-        FROM documents
+        FROM {table}
     ),
     tri AS (
         SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS tri
@@ -2190,7 +2196,7 @@ def _lm_oracle() -> str:
                CAST(coalesce(n_tri, 0) AS INT) AS n_trigrams,
                CAST(sum_q AS DOUBLE) / CAST(n_tri * {scale} AS DOUBLE)
                    AS avg_logprob
-        FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        FROM {table} d LEFT JOIN s ON d.doc_id = s.doc_id
     )
     SELECT doc_id, lang, n_trigrams, avg_logprob,
            CAST(b AS INT) AS ppl_bucket,
@@ -2199,6 +2205,7 @@ def _lm_oracle() -> str:
         SELECT *, ntile(3) OVER (PARTITION BY lang
                                  ORDER BY avg_logprob DESC, doc_id) AS b
         FROM scored
+        WHERE n_trigrams >= {min_trigrams}
     )
     """
 
@@ -2550,31 +2557,40 @@ C4_LINE_DROP_TERMS = ("javascript", "spark")
 C4_BLOCKLIST = ("lorem ipsum", "slow join")
 
 
-def _c4_oracle() -> str:
-    chunk = (
-        f"regexp_replace(coalesce(text, ''), '{_LINE_CHUNK_PATTERN}', "
-        "'\\1.' || chr(10), 'g')"
+def _c4_rules_sql(
+    table: str,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    line_drop_terms: tuple[str, ...] = C4_LINE_DROP_TERMS,
+    blocklist: tuple[str, ...] = C4_BLOCKLIST,
+    require_terminal_punct: bool = True,
+) -> str:
+    """The full C4 line+document rule chain over ``table`` rows
+    (doc_id, text) — parameterized so the curation gate can point the
+    identical rules at a derived corpus CTE."""
+    punct = (
+        "substr(x, length(x), 1) IN ('.', '!', '?', '\"') AND "
+        if require_terminal_punct
+        else ""
     )
     line_drop = " AND ".join(
-        f"NOT contains(lower(x), '{t}')" for t in C4_LINE_DROP_TERMS
+        f"NOT contains(lower(x), '{t}')" for t in line_drop_terms
     )
     blocked = " OR ".join(
-        f"contains(lower(text), '{p}')" for p in C4_BLOCKLIST
+        f"contains(lower(text), '{p}')" for p in blocklist
     )
     keep_line = (
-        "x -> substr(x, length(x), 1) IN ('.', '!', '?', '\"') "
-        "AND len(list_filter(regexp_split_to_array(x, '\\s+'), t -> t <> '')) >= 5 "
-        f"AND {line_drop}"
+        f"x -> {punct}"
+        "len(list_filter(regexp_split_to_array(x, '\\s+'), t -> t <> '')) "
+        f">= {min_words_per_line} AND {line_drop}"
     )
     return f"""
-    WITH d AS (
-        SELECT doc_id, {chunk} AS text FROM documents
-    ),
-    l AS (
-        SELECT doc_id, text,
-               list_filter(list_transform(regexp_split_to_array(text, chr(10)),
-                                          x -> trim(x)), x -> x <> '') AS lines
-        FROM d
+    WITH l AS (
+        SELECT doc_id, coalesce(text, '') AS text,
+               list_filter(list_transform(
+                   regexp_split_to_array(coalesce(text, ''), chr(10)),
+                   x -> trim(x)), x -> x <> '') AS lines
+        FROM {table}
     ),
     k AS (
         SELECT doc_id, text, lines, list_filter(lines, {keep_line}) AS kept
@@ -2586,11 +2602,20 @@ def _c4_oracle() -> str:
            coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
            CAST(CASE WHEN contains(text, '{{') THEN 1 ELSE 0 END AS INT) AS has_brace,
            CAST(CASE WHEN {blocked} THEN 1 ELSE 0 END AS INT) AS has_blocklisted,
-           CAST(CASE WHEN len(kept) >= 3 AND NOT contains(text, '{{')
+           CAST(CASE WHEN len(kept) >= {min_kept_lines}
+                          AND NOT contains(text, '{{')
                           AND NOT ({blocked})
                      THEN 1 ELSE 0 END AS INT) AS keep
     FROM k
     """
+
+
+def _c4_oracle() -> str:
+    chunk = (
+        f"regexp_replace(coalesce(text, ''), '{_LINE_CHUNK_PATTERN}', "
+        "'\\1.' || chr(10), 'g')"
+    )
+    return _c4_rules_sql(f"(SELECT doc_id, {chunk} AS text FROM documents)")
 
 
 @register("text_c4_filters", _c4_oracle())
@@ -2809,3 +2834,201 @@ def q_text_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logratio",
     )
     return nb.unionByName(ds)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (manifold_spark/curation.py): the gated
+# stages chained in canonical order — C4 clean → exact dedup → LSH +
+# components fuzzy dedup → Gopher repetition + CCNet perplexity tertiles
+# → temperature mixture → token packing. Every stage is individually
+# oracled elsewhere; this gate pins the stage WIRING (join keys, survivor
+# columns, filter polarity) the per-stage gates cannot see, by chaining
+# the SAME parameterized oracle builders over derived corpus CTEs. r9
+# (VERDICT ask #4); slot freed by the profile_orders → audit_counts fold.
+# ---------------------------------------------------------------------------
+
+#: Curation-gate knobs, shared by the Spark query and the oracle. The
+#: corpus is 5-token-chunked + period-terminated (the c4 gate rewrite) so
+#: every stage engages with real signal at sf0.001/sf0.01.
+CUR_MIN_WORDS = 5
+CUR_MIN_KEPT = 3
+CUR_LSH_THRESHOLD = 0.3
+CUR_ALPHA = 0.7
+CUR_TARGET = 0.8
+CUR_BUDGET = 512
+CUR_SHARDS = 64  # pack_documents default — curate_corpus doesn't override
+
+
+def _curation_oracle() -> str:
+    from manifold_spark.operators.sampling import RATE_DENOM, TEMP_SCALE
+
+    chunk = (
+        f"regexp_replace(coalesce(text, ''), '{_LINE_CHUNK_PATTERN}', "
+        "'\\1.' || chr(10), 'g')"
+    )
+    c4 = _c4_rules_sql(
+        "cur_src",
+        min_words_per_line=CUR_MIN_WORDS,
+        min_kept_lines=CUR_MIN_KEPT,
+        line_drop_terms=C4_LINE_DROP_TERMS,
+        blocklist=C4_BLOCKLIST,
+    )
+    pairs = _minhash_oracle(threshold=CUR_LSH_THRESHOLD, table="cur_exact")
+    rep = _repetition_oracle(table="cur_fuzzy")
+    lmq = _lm_oracle(table="cur_rep", min_trigrams=1)
+    h = _stable_hash_sql("CAST(doc_id AS VARCHAR)")
+    toks = _ws_tokens_sql("text")
+    return f"""
+    WITH RECURSIVE cur_src AS MATERIALIZED (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, {chunk} AS text
+        FROM documents
+    ),
+    cur_c4 AS MATERIALIZED (
+        SELECT s.doc_id, s.lang, f.text_clean AS text
+        FROM ({c4}) f JOIN cur_src s USING (doc_id)
+        WHERE f.keep = 1
+    ),
+    cur_exact_ids AS (
+        SELECT min(doc_id) AS doc_id FROM cur_c4 GROUP BY sha256(text)
+    ),
+    cur_exact AS MATERIALIZED (
+        SELECT c.doc_id, c.lang, c.text
+        FROM cur_c4 c JOIN cur_exact_ids USING (doc_id)
+    ),
+    cur_pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs}) mp),
+    cur_edges AS (
+        SELECT id_a AS a, id_b AS b FROM cur_pairs
+        UNION ALL
+        SELECT id_b AS a, id_a AS b FROM cur_pairs
+    ),
+    cur_reach(id, r) AS (
+        SELECT doc_id, doc_id FROM cur_exact
+        UNION
+        SELECT cur_reach.id, e.b FROM cur_reach JOIN cur_edges e ON cur_reach.r = e.a
+    ),
+    cur_clusters AS (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM cur_reach GROUP BY id
+    ),
+    cur_fuzzy AS MATERIALIZED (
+        SELECT c.doc_id, c.lang, c.text
+        FROM cur_exact c JOIN cur_clusters cl USING (doc_id)
+        WHERE cl.cluster_id = c.doc_id
+    ),
+    cur_rep AS MATERIALIZED (
+        SELECT f.doc_id, f.lang, f.text
+        FROM cur_fuzzy f
+        JOIN (SELECT doc_id, repetition_pass FROM ({rep}) rr) rp USING (doc_id)
+        WHERE rp.repetition_pass
+    ),
+    cur_quality AS MATERIALIZED (
+        SELECT r.doc_id, r.lang, r.text
+        FROM cur_rep r
+        JOIN (SELECT doc_id, ppl_bucket_label FROM ({lmq}) lq) q USING (doc_id)
+        WHERE q.ppl_bucket_label IN ('head', 'middle')
+    ),
+    cur_rates AS (
+        SELECT lang,
+               CAST(floor(least(1.0, ({CUR_TARGET} *
+                        (CAST(e AS DOUBLE) / CAST(se AS DOUBLE))) / p)
+                    * {RATE_DENOM}.0) AS BIGINT) AS rate_bps
+        FROM (
+            SELECT lang, p,
+                   CAST(floor(pow(p, {CUR_ALPHA}) * {TEMP_SCALE}.0) AS BIGINT) AS e,
+                   sum(CAST(floor(pow(p, {CUR_ALPHA}) * {TEMP_SCALE}.0) AS BIGINT))
+                       OVER () AS se
+            FROM (
+                SELECT lang,
+                       CAST(count(*) AS DOUBLE)
+                       / CAST(sum(count(*)) OVER () AS DOUBLE) AS p
+                FROM cur_quality GROUP BY lang
+            )
+        )
+    ),
+    cur_mixed AS MATERIALIZED (
+        SELECT q.doc_id, q.lang, q.text
+        FROM cur_quality q JOIN cur_rates r USING (lang)
+        WHERE ({h}) % {RATE_DENOM} < r.rate_bps
+    ),
+    cur_packed AS MATERIALIZED (
+        SELECT doc_id, lang, shard, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / {CUR_BUDGET}.0) AS BIGINT) AS bin_id
+        FROM (
+            SELECT doc_id, lang,
+                   ({h}) % {CUR_SHARDS} AS shard,
+                   least(CAST(len({toks}) AS BIGINT), {CUR_BUDGET}) AS n_tokens
+            FROM cur_mixed
+        )
+    )
+    SELECT 'doc' AS section, '' AS stage, doc_id, lang,
+           CAST(shard AS BIGINT) AS shard, bin_id, n_tokens,
+           CAST(-1 AS BIGINT) AS n
+    FROM cur_packed
+    UNION ALL SELECT 'stage', 'input', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM documents)
+    UNION ALL SELECT 'stage', 'c4_clean', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM cur_c4)
+    UNION ALL SELECT 'stage', 'exact_dedup', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM cur_exact)
+    UNION ALL SELECT 'stage', 'fuzzy_dedup', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM cur_fuzzy)
+    UNION ALL SELECT 'stage', 'quality', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM cur_quality)
+    UNION ALL SELECT 'stage', 'mixture', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM cur_mixed)
+    UNION ALL SELECT 'stage', 'packed', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM cur_packed)
+    """
+
+
+@register("curation_pipeline", _curation_oracle())
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`curation.curate_corpus` end-to-end over the 5-token-chunked,
+    period-terminated corpus: 'doc' rows carry every packed survivor's
+    (lang, shard, bin_id, n_tokens) and 'stage' rows carry the per-stage
+    audit counts — so the driver hash pins both the surviving id set AND
+    where every drop happened."""
+    from manifold_spark.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), _LINE_CHUNK_PATTERN, "$1.\n"
+        ),
+    )
+    packed, report = curate_corpus(
+        docs,
+        min_words_per_line=CUR_MIN_WORDS,
+        min_kept_lines=CUR_MIN_KEPT,
+        require_terminal_punct=True,
+        line_drop_terms=C4_LINE_DROP_TERMS,
+        blocklist=C4_BLOCKLIST,
+        lsh_threshold=CUR_LSH_THRESHOLD,
+        temperature=CUR_ALPHA,
+        mixture_target_fraction=CUR_TARGET,
+        pack_budget=CUR_BUDGET,
+    )
+    doc_rows = packed.select(
+        F.lit("doc").alias("section"),
+        F.lit("").alias("stage"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.lit(-1).cast("long").alias("n"),
+    )
+    stage_rows = spark.createDataFrame(
+        [(k, int(v)) for k, v in report.items()], "stage string, n long"
+    ).select(
+        F.lit("stage").alias("section"),
+        "stage",
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit("").alias("lang"),
+        F.lit(-1).cast("long").alias("shard"),
+        F.lit(-1).cast("long").alias("bin_id"),
+        F.lit(-1).cast("long").alias("n_tokens"),
+        "n",
+    )
+    return doc_rows.unionByName(stage_rows)

@@ -232,6 +232,34 @@ _AUDIT_COUNTS_ORACLE = (
         SELECT count(*) FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey))
+    UNION ALL
+    SELECT 'profile_orders_' || metric, n FROM (
+        WITH p AS (
+            SELECT count(*) AS n_rows,
+                   count(o_orderkey) AS nn_orderkey,
+                   count(DISTINCT o_orderkey) AS nd_orderkey,
+                   count(o_custkey) AS nn_custkey,
+                   count(DISTINCT o_custkey) AS nd_custkey,
+                   count(o_orderstatus) AS nn_status,
+                   count(DISTINCT o_orderstatus) AS nd_status,
+                   CAST(floor(min(o_totalprice) * 10000.0 + 0.5) AS BIGINT) AS min_price_q,
+                   CAST(floor(max(o_totalprice) * 10000.0 + 0.5) AS BIGINT) AS max_price_q,
+                   CAST(strftime(min(o_orderdate), '%Y%m%d') AS BIGINT) AS min_date,
+                   CAST(strftime(max(o_orderdate), '%Y%m%d') AS BIGINT) AS max_date
+            FROM orders
+        )
+        SELECT 'n_rows' AS metric, n_rows AS n FROM p
+        UNION ALL SELECT 'nn_orderkey', nn_orderkey FROM p
+        UNION ALL SELECT 'nd_orderkey', nd_orderkey FROM p
+        UNION ALL SELECT 'nn_custkey', nn_custkey FROM p
+        UNION ALL SELECT 'nd_custkey', nd_custkey FROM p
+        UNION ALL SELECT 'nn_status', nn_status FROM p
+        UNION ALL SELECT 'nd_status', nd_status FROM p
+        UNION ALL SELECT 'min_price_q', min_price_q FROM p
+        UNION ALL SELECT 'max_price_q', max_price_q FROM p
+        UNION ALL SELECT 'min_date', min_date FROM p
+        UNION ALL SELECT 'max_date', max_date FROM p
+    )
     """
 )
 
@@ -317,6 +345,45 @@ def q_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("without_any_order").alias("cohort"), "n")
     )
+    # r9 fold of the former `profile_orders` key (freed slot →
+    # `curation_pipeline`): the ANALYZE/SUMMARIZE-style one-pass table
+    # profile — per-column null counts, exact distinct counts (one Expand
+    # + a single shuffle), numeric/temporal ranges — melted into the
+    # (cohort, n) shape; the double/date scalars ride as floor-quantized
+    # ×10000 prices and yyyyMMdd ints, the house cross-engine discipline.
+    profile_metrics = [
+        "n_rows", "nn_orderkey", "nd_orderkey", "nn_custkey", "nd_custkey",
+        "nn_status", "nd_status", "min_price_q", "max_price_q",
+        "min_date", "max_date",
+    ]
+    profile = (
+        o.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("o_orderkey").cast("long").alias("nn_orderkey"),
+            F.countDistinct("o_orderkey").cast("long").alias("nd_orderkey"),
+            F.count("o_custkey").cast("long").alias("nn_custkey"),
+            F.countDistinct("o_custkey").cast("long").alias("nd_custkey"),
+            F.count("o_orderstatus").cast("long").alias("nn_status"),
+            F.countDistinct("o_orderstatus").cast("long").alias("nd_status"),
+            F.floor(F.min("o_totalprice") * 10000.0 + 0.5)
+            .cast("long")
+            .alias("min_price_q"),
+            F.floor(F.max("o_totalprice") * 10000.0 + 0.5)
+            .cast("long")
+            .alias("max_price_q"),
+            F.date_format(F.min("o_orderdate"), "yyyyMMdd")
+            .cast("long")
+            .alias("min_date"),
+            F.date_format(F.max("o_orderdate"), "yyyyMMdd")
+            .cast("long")
+            .alias("max_date"),
+        )
+        .unpivot([], profile_metrics, "metric", "n")
+        .select(
+            F.concat(F.lit("profile_orders_"), F.col("metric")).alias("cohort"),
+            "n",
+        )
+    )
     return (
         pivot_rows.unionByName(counts)
         .unionByName(dup_groups)
@@ -324,6 +391,7 @@ def q_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(never)
         .unionByName(with_urgent)
         .unionByName(without_any)
+        .unionByName(profile)
     )
 
 
@@ -537,27 +605,30 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gets a fresh driver row each round. The head still front-loads keys
 #: never (or least recently) driver-checked, in case the cap ever drops.
 _DRIVER_ORDER_HEAD = [
-    # new in round 9 — never driver-checked (SemDeDup, C4 heuristic
-    # filters, relational Bloom dedup, distributed BPE training)
+    # new in round 10 — never driver-checked (end-to-end curation
+    # pipeline; slot freed by the profile_orders → audit_counts fold)
+    "curation_pipeline",
+    # reshaped in round 10 (DSIR section riding the NB gate, BPE doc
+    # encoding riding the training gate, profile fold) — re-check first
+    "text_classifier_nb",
+    "text_bpe",
+    "audit_counts",
+    "text_lm_score",
+    # new in round 9
     "sim_semdedup",
     "text_c4_filters",
     "dedup_bloom",
-    "text_bpe",
     # reshaped in round 9 (hourly-rollup grain union, chunk-manifest
-    # section union, perplexity buckets riding the LM gate, retention
-    # folded into the funnel) — re-check first
+    # section union, retention folded into the funnel) — re-check first
     "events_type_stats",
     "multimodal_meta",
-    "text_lm_score",
     "events_funnel",
     # new in round 8 (late tranche)
     "text_line_dedup",
-    "text_classifier_nb",
     # reshaped in round 8 late tranche (BM25 and-mode union, kmeans
     # full+sampled union, semi/anti fold) — re-check first
     "text_bm25",
     "sim_ann_ivf_kmeans",
-    "audit_counts",
     # earlier round-8 additions/reshapes
     "text_repetition",
     "text_stats",
@@ -1007,45 +1078,14 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Table profiling (ANALYZE/SUMMARIZE-style): one pass over the table
-# computing per-column null counts, exact distinct counts, and numeric /
-# temporal ranges. Multiple exact COUNT(DISTINCT)s compile to one Expand
-# + a single shuffle (documented cost: rows × profiled columns); the
-# interactive-scale swap is approx_count_distinct per column, one plain
-# aggregate, no expand (operators/approx.py pattern).
+# Table profiling (ANALYZE/SUMMARIZE-style). r9: the standalone
+# `profile_orders` KEY retired under the driver's 50-key cap — the whole
+# profile (per-column null counts, exact distinct counts via one Expand +
+# a single shuffle, numeric/temporal ranges) stays driver-gated as the
+# `profile_orders_*` rows of `audit_counts`; the freed slot went to
+# `curation_pipeline`. The interactive-scale swap remains
+# approx_count_distinct per column (operators/approx.py pattern).
 # ---------------------------------------------------------------------------
-@register(
-    "profile_orders",
-    """
-    SELECT count(*) AS n_rows,
-           count(o_orderkey) AS nn_orderkey,
-           count(DISTINCT o_orderkey) AS nd_orderkey,
-           count(o_custkey) AS nn_custkey,
-           count(DISTINCT o_custkey) AS nd_custkey,
-           count(o_orderstatus) AS nn_status,
-           count(DISTINCT o_orderstatus) AS nd_status,
-           min(o_totalprice) AS min_price,
-           max(o_totalprice) AS max_price,
-           strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
-           strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
-    FROM orders
-    """,
-)
-def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return o.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("o_orderkey").alias("nn_orderkey"),
-        F.countDistinct("o_orderkey").alias("nd_orderkey"),
-        F.count("o_custkey").alias("nn_custkey"),
-        F.countDistinct("o_custkey").alias("nd_custkey"),
-        F.count("o_orderstatus").alias("nn_status"),
-        F.countDistinct("o_orderstatus").alias("nd_status"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
-        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
-        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
-    )
 
 
 # ---------------------------------------------------------------------------
