@@ -162,3 +162,321 @@ def curate_corpus(
     ).join(with_tokens.select(id_col, lang_col), id_col)
     report["packed"] = packed.count()
     return packed, report
+
+
+# ---------------------------------------------------------------------------
+# Incremental curation — the continuous-ingestion twin of `curate_corpus`
+# (r9 stretch, VERDICT r8 #8), composed from the already-pinned
+# incremental operators. The corpus-global stages become SEED-FITTED
+# models (exactly the CCNet production recipe: the LM and its perplexity
+# cutoffs are fit once on a reference corpus and applied to the stream;
+# Wenzek et al. 2020 §4), and the dedup stages carry bounded state:
+#
+#   exact  → content-hash first-seen set (streaming/jobs.first_seen_upsert
+#            semantics over the hash)
+#   fuzzy  → incremental MinHash LSH index (dedup.minhash_index_upsert);
+#            ONLINE semantics: a document is dropped iff it near-dups any
+#            previously seen (post-exact) document — the arrival-order
+#            rule; the batch pipeline's components-min rule needs future
+#            knowledge a stream doesn't have (documented divergence).
+#   quality/mixture → stateless per-doc gates under the seed models.
+#   packing → per-batch bins (bin ids are batch-local by design; a global
+#            bin id would serialize the stream).
+#
+# Contract: document ids are unique across batches and MONOTONE in
+# arrival order (give later batches larger ids) — then feeding the same
+# corpus as ONE batch or as any id-ordered split yields the SAME kept id
+# set and the same summed stage counts (pinned in tests/test_curation.py
+# and on the real writeStream/availableNow harness in test_streaming.py).
+# ---------------------------------------------------------------------------
+
+
+def curation_models(
+    seed_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    temperature: float = 0.7,
+    mixture_target_fraction: float = 0.8,
+) -> dict:
+    """Fit the corpus-global curation models ONCE on a seed corpus:
+    the char-trigram LM, per-language perplexity cutpoints (the
+    `ppl_threshold_buckets` sampled-quantile form — CCNet's own
+    threshold recipe), and per-language temperature keep-rates. The
+    returned frames are persisted via the shared operator-cache registry
+    (release with `operator_cache_scope()`); pass the dict to
+    `curate_batch_incremental` / `curation_sink`."""
+    from pyspark.sql.functions import broadcast  # noqa: F401
+
+    from manifold_spark.operators.dedup import _persist_tracked
+    from manifold_spark.operators.lm import score_docs, train_char_lm
+    from manifold_spark.operators.sampling import temperature_rates
+
+    lm_model = _persist_tracked(train_char_lm(seed_docs, text_col=text_col))
+    scored = (
+        score_docs(seed_docs, model=lm_model, text_col=text_col, id_col=id_col)
+        .filter(F.col("n_trigrams") > 0)
+        .join(seed_docs.select(id_col, lang_col), id_col)
+    )
+    probs = ", ".join(
+        str(1 - i / n_buckets) for i in range(1, n_buckets)
+    )
+    cuts = _persist_tracked(
+        scored.groupBy(lang_col).agg(
+            F.expr(f"approx_percentile(avg_logprob, array({probs}))").alias(
+                "cuts"
+            )
+        )
+    )
+    rates = _persist_tracked(
+        temperature_rates(
+            seed_docs, lang_col, alpha=temperature,
+            target_fraction=mixture_target_fraction,
+        ).withColumnRenamed("source", lang_col)
+    )
+    return {"lm_model": lm_model, "cuts": cuts, "rates": rates}
+
+
+def curate_batch_incremental(
+    batch: DataFrame,
+    models: dict,
+    state: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_words_per_line: int = 1,
+    min_kept_lines: int = 1,
+    require_terminal_punct: bool = False,
+    line_drop_terms: tuple[str, ...] | None = None,
+    blocklist: tuple[str, ...] | None = None,
+    lsh_threshold: float = 0.5,
+    max_ppl_bucket: int = 2,
+    pack_budget: int = 512,
+    require_repetition_pass: bool = True,
+) -> tuple[DataFrame, dict, dict[str, int]]:
+    """One micro-batch of incremental curation (the `foreachBatch` body).
+    Returns (packed, new_state, report): packed carries the batch's
+    surviving (id, lang, n_tokens, shard, bin_id) rows, new_state the
+    grown dedup state ({"hashes": DataFrame, "minhash": index dict}),
+    report the per-batch stage counts (same keys as `curate_corpus`).
+
+    Per-batch cost is O(batch + touched LSH buckets + broadcast models) —
+    independent of stream history; state is hash-set + LSH-index bounded
+    (token text is never stored). Unseen languages price permissively
+    (head bucket, keep-all mixture) — fit the seed to cover the stream's
+    languages. local-mode note: executor storage (state checkpoints,
+    stage caches) shares the single JVM's heap — size the driver ≥4g for
+    corpus-scale drives (bench uses 16g); on a real cluster the state
+    lives on executors/parquet and the driver holds only plans."""
+    from manifold_spark.operators.c4 import (
+        DEFAULT_BLOCKLIST,
+        DEFAULT_LINE_DROP_TERMS,
+        c4_filters,
+    )
+    from manifold_spark.operators import dedup
+    from manifold_spark.operators.dedup import _persist_tracked
+    from manifold_spark.operators.lm import score_docs
+    from manifold_spark.operators.repetition import repetition_signals
+    from manifold_spark.operators.sampling import (
+        RATE_DENOM,
+        pack_documents,
+    )
+    from manifold_spark.functions.hashing import stable_long_hash
+    from pyspark.sql.functions import broadcast
+
+    report: dict[str, int] = {"input": batch.count()}
+    state = state or {"hashes": None, "minhash": None}
+
+    # 1. heuristic clean (stateless — identical to the batch pipeline).
+    cleaned = (
+        c4_filters(
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            min_words_per_line=min_words_per_line,
+            min_kept_lines=min_kept_lines,
+            line_drop_terms=(
+                DEFAULT_LINE_DROP_TERMS if line_drop_terms is None
+                else line_drop_terms
+            ),
+            blocklist=DEFAULT_BLOCKLIST if blocklist is None else blocklist,
+            require_terminal_punct=require_terminal_punct,
+        )
+        .filter(F.col("keep") == 1)
+        .select(id_col, F.col("text_clean").alias(text_col))
+        .join(batch.select(id_col, lang_col), id_col)
+    )
+    cleaned = _persist_tracked(cleaned)
+    report["c4_clean"] = cleaned.count()
+
+    # 2. exact dedup: batch-internal min-id per content hash, then drop
+    #    hashes the accumulated state already holds (first-seen layering).
+    hashed = cleaned.withColumn("_h", F.sha2(F.col(text_col), 256))
+    picked = hashed.join(
+        hashed.groupBy("_h").agg(F.min(id_col).alias(id_col)),
+        ["_h", id_col],
+    )
+    if state["hashes"] is not None:
+        picked = picked.join(state["hashes"], "_h", "left_anti")
+    exact = _persist_tracked(picked.select(id_col, lang_col, text_col))
+    new_hashes = picked.select("_h").distinct()
+    hashes_state = (
+        new_hashes
+        if state["hashes"] is None
+        else state["hashes"].unionByName(new_hashes).distinct()
+    )
+    report["exact_dedup"] = exact.count()
+
+    # 3. fuzzy dedup: probe + grow the incremental LSH index; a batch doc
+    #    drops iff it pairs with ANY previously seen doc (cross-batch:
+    #    the batch side of the pair; within-batch: the larger id).
+    pairs, minhash_state = dedup.minhash_index_upsert(
+        exact, state["minhash"], text_col, id_col, threshold=lsh_threshold
+    )
+    b_ids = exact.select(F.col(id_col).alias("id_b")).withColumn(
+        "_b_in", F.lit(True)
+    )
+    victims = (
+        pairs.join(b_ids, "id_b", "left")
+        .select(
+            F.when(F.col("_b_in"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias(id_col)
+        )
+        .distinct()
+    )
+    fuzzy = _persist_tracked(exact.join(victims, id_col, "left_anti"))
+    report["fuzzy_dedup"] = fuzzy.count()
+
+    # 4. quality under the SEED models: repetition pass (stateless) +
+    #    LM score thresholded by the seed cutpoints (monotone comparison,
+    #    no per-batch sort). Unseen trigrams price via the model's prefix
+    #    table (held-out scoring); unseen languages bucket 'head'.
+    survivors = fuzzy
+    if require_repetition_pass:
+        rep = repetition_signals(survivors, text_col=text_col, id_col=id_col)
+        survivors = survivors.join(
+            rep.filter(F.col("repetition_pass")).select(id_col), id_col
+        )
+    scored = (
+        score_docs(survivors, model=models["lm_model"],
+                   text_col=text_col, id_col=id_col)
+        .filter(F.col("n_trigrams") > 0)
+        .join(survivors.select(id_col, lang_col, text_col), id_col)
+    )
+    bucket = (
+        F.size(
+            F.filter(F.col("cuts"), lambda c: c > F.col("avg_logprob"))
+        )
+        + 1
+    )
+    quality = _persist_tracked(
+        scored.join(broadcast(models["cuts"]), lang_col, "left")
+        .withColumn(
+            "_bucket",
+            F.when(F.col("cuts").isNull(), F.lit(1)).otherwise(bucket),
+        )
+        .filter(F.col("_bucket") <= max_ppl_bucket)
+        .select(id_col, lang_col, text_col)
+    )
+    report["quality"] = quality.count()
+
+    # 5. mixture under the SEED rates (hash gate — layout/batch-split
+    #    independent); unseen languages keep everything.
+    gate = (
+        stable_long_hash(F.col(id_col).cast("string")) % RATE_DENOM
+        < F.coalesce(F.col("rate_bps"), F.lit(RATE_DENOM))
+    )
+    mixed = _persist_tracked(
+        quality.join(
+            broadcast(models["rates"].select(lang_col, "rate_bps")),
+            lang_col,
+            "left",
+        )
+        .filter(gate)
+        .select(id_col, lang_col, text_col)
+    )
+    report["mixture"] = mixed.count()
+
+    # 6. packing: per-batch bins (bin ids batch-local by design).
+    from manifold_spark.operators.textstats import token_count_ws
+
+    with_tokens = mixed.select(
+        id_col, lang_col, token_count_ws(F.col(text_col)).alias("n_tokens")
+    )
+    packed = pack_documents(
+        with_tokens, id_col, "n_tokens", budget=pack_budget
+    ).join(with_tokens.select(id_col, lang_col), id_col)
+    report["packed"] = packed.count()
+    return packed, {"hashes": hashes_state, "minhash": minhash_state}, report
+
+
+def checkpoint_curation_state(state: dict) -> dict:
+    """Truncate the dedup-state lineage after a batch (eager
+    localCheckpoint of every state frame). REQUIRED between in-memory
+    batches: each state frame otherwise references the previous batch's
+    whole curation DAG, so plan size — and driver heap — grows without
+    bound across triggers. `curation_sink` gets the same truncation for
+    free from its parquet state writes (the production shape)."""
+    return {
+        "hashes": state["hashes"].localCheckpoint(eager=True),
+        "minhash": {
+            name: frame.localCheckpoint(eager=True)
+            for name, frame in state["minhash"].items()
+        },
+    }
+
+
+def curation_sink(
+    models: dict,
+    state_dir: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    **knobs,
+):
+    """foreachBatch body factory for streaming curation: run
+    `curate_batch_incremental` per trigger, append the kept rows to a
+    parquet sink, and persist the dedup state as versioned parquet under
+    ``state_dir`` (the test_streaming.py state-versioning pattern — at
+    production scale these writes are Delta/Iceberg upserts). Returns the
+    sink callable; batch≡stream parity is pinned in tests."""
+    import os
+
+    from manifold_spark.operators.dedup import operator_cache_scope
+
+    def _read_state(spark, version: int) -> dict | None:
+        if version < 0:
+            return None
+        root = f"{state_dir}/v{version}"
+        return {
+            "hashes": spark.read.parquet(f"{root}/hashes"),
+            "minhash": {
+                name: spark.read.parquet(f"{root}/mh_{name}")
+                for name in ("entries", "shingles", "sizes")
+            },
+        }
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        versions = sorted(
+            int(d[1:]) for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+            if d.startswith("v")
+        )
+        prev = _read_state(spark, versions[-1] if versions else -1)
+        with operator_cache_scope():
+            packed, new_state, report = curate_batch_incremental(
+                batch, models, prev,
+                text_col=text_col, id_col=id_col, lang_col=lang_col, **knobs,
+            )
+            packed.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_path)
+            root = f"{state_dir}/v{len(versions)}"
+            new_state["hashes"].write.mode("overwrite").parquet(f"{root}/hashes")
+            for name, frame in new_state["minhash"].items():
+                frame.write.mode("overwrite").parquet(f"{root}/mh_{name}")
+
+    return sink

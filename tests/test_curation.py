@@ -56,3 +56,66 @@ def test_curate_corpus_deterministic(spark, sf_dir):
     release_shingle_caches()
     assert ra == rb
     assert rows_a == rows_b
+
+
+def test_incremental_curation_batch_split_invariant(spark, sf_dir):
+    """The incremental twin's contract: feeding the corpus as ONE batch
+    or as any id-ordered split yields the SAME kept id set and the same
+    summed per-stage counts — the dedup state (first-seen hashes +
+    MinHash index) makes later batches see exactly what a one-shot run
+    sees. Every stage engages (chunked corpus, tight LSH threshold)."""
+    from manifold_spark.curation import (
+        checkpoint_curation_state,
+        curate_batch_incremental,
+        curation_models,
+    )
+    from manifold_spark.operators.dedup import operator_cache_scope
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                r"((?:\S+ ){4}\S+) ", "$1.\n",
+            ),
+        )
+    )
+    knobs = dict(
+        min_words_per_line=5, min_kept_lines=3, require_terminal_punct=True,
+        lsh_threshold=0.3, pack_budget=256,
+    )
+    models = curation_models(docs)
+
+    with operator_cache_scope():
+        one_packed, _, one_report = curate_batch_incremental(
+            docs, models, None, **knobs
+        )
+        one_ids = {r["doc_id"] for r in one_packed.collect()}
+
+    # three id-ordered batches (monotone ids across batches — the contract)
+    bounds = [(0, 170), (170, 340), (340, 1 << 60)]
+    state = None
+    split_ids: set = set()
+    summed: dict[str, int] = {}
+    for lo, hi in bounds:
+        b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        with operator_cache_scope():
+            packed, state, report = curate_batch_incremental(
+                b, models, state, **knobs
+            )
+            split_ids |= {r["doc_id"] for r in packed.collect()}
+            # truncate state lineage before the scope releases this
+            # batch's stage caches (checkpointed blocks are independent)
+            state = checkpoint_curation_state(state)
+        for k, v in report.items():
+            summed[k] = summed.get(k, 0) + v
+    release_shingle_caches()
+
+    assert split_ids == one_ids
+    assert summed == one_report
+    # real signal at every stage
+    assert one_report["input"] > one_report["c4_clean"]
+    assert one_report["quality"] < one_report["fuzzy_dedup"]
+    assert one_report["mixture"] < one_report["quality"]
+    assert one_report["packed"] > 0

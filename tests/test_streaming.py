@@ -499,6 +499,83 @@ def test_foreachbatch_minhash_index_matches_batch(spark, sf_dir, tmp_path):
     assert len(truth) > 0
 
 
+def test_streaming_curation_sink_matches_incremental_loop(spark, sf_dir, tmp_path):
+    """The full incremental curation pipeline under a REAL stream
+    (file-per-trigger, availableNow, parquet-versioned dedup state via
+    `curation_sink`) must keep exactly the documents the ONE-SHOT
+    `curate_batch_incremental` run keeps — test_curation.py already pins
+    the one-shot equal to any id-ordered in-memory split, so this closes
+    the loop at the real writeStream layer. (The in-memory loop is not
+    re-run here: duplicating it alongside the stream held every
+    localCheckpoint block in the shared 4g test JVM and OOMed.)"""
+    import os
+
+    from manifold_spark.curation import (
+        curate_batch_incremental,
+        curation_models,
+        curation_sink,
+    )
+    from manifold_spark.operators.dedup import (
+        operator_cache_scope,
+        release_shingle_caches,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                r"((?:\S+ ){4}\S+) ", "$1.\n",
+            ),
+        )
+    )
+    knobs = dict(
+        min_words_per_line=5, min_kept_lines=3, require_terminal_punct=True,
+        lsh_threshold=0.3, pack_budget=256,
+    )
+    models = curation_models(docs)
+
+    # truth: the one-shot run (split-invariance pinned in test_curation)
+    bounds = [(0, 170), (170, 340), (340, 1 << 60)]
+    with operator_cache_scope():
+        one_packed, _, _ = curate_batch_incremental(docs, models, None, **knobs)
+        loop_ids = {r["doc_id"] for r in one_packed.collect()}
+
+    # the real stream: batch files with increasing mtimes → trigger order
+    src = str(tmp_path / "cur-src")
+    for i, (lo, hi) in enumerate(bounds):
+        part = f"{src}/b{i}"
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.parquet(part)
+        for name in os.listdir(part):
+            os.utime(os.path.join(part, name), (3_000_000 + i * 100,) * 2)
+
+    out_path = str(tmp_path / "cur-out")
+    state_dir = str(tmp_path / "cur-state")
+    sink = curation_sink(models, state_dir, out_path, **knobs)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    release_shingle_caches()
+
+    streamed = spark.read.parquet(out_path)
+    streamed_ids = {r["doc_id"] for r in streamed.select("doc_id").collect()}
+    assert streamed_ids == loop_ids
+    assert len(streamed_ids) > 0
+    # three state versions persisted; batch ids stamped on the output
+    assert sorted(os.listdir(state_dir)) == ["v0", "v1", "v2"]
+    assert {r["batch_id"] for r in streamed.select("batch_id").collect()} == {0, 1, 2}
+
+
 def test_streaming_nb_classify_matches_batch(spark, sf_dir, tmp_path):
     """Stream-static NB classification (pretrained model, foreachBatch
     scoring) must land on exactly the batch `score_nb` rows when the doc
