@@ -49,10 +49,14 @@ def oracle_sql() -> dict[str, str]:
     foreachBatch micro-batch dedup, and (r7) the PQ / IVF-PQ ANN
     pipelines (per-subspace Lloyd training, codeword argmin encode,
     ADC lookup tables, exact re-rank, all unrolled in SQL) plus
-    span-level ExactSubstr dedup, and (r8) Gopher repetition signals
+    span-level ExactSubstr dedup, (r8) Gopher repetition signals
     and corpus-trained char-trigram LM scoring (integer-quantized log
-    terms, order-independent sums) — so the driver's strongest
-    (rows+schema+hash) check applies to 100% of the registry."""
+    terms, order-independent sums), and (r9) the END-TO-END curation
+    pipeline (the per-stage oracle builders chained through MATERIALIZED
+    stage CTEs, emitting packed survivors + per-stage audit counts) plus
+    DSIR importance weights and BPE document encoding riding their
+    parent gates — so the driver's strongest (rows+schema+hash) check
+    applies to 100% of the registry."""
     from manifold_spark.queries import all_oracles
 
     return all_oracles()

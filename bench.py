@@ -549,6 +549,79 @@ def main() -> None:
     }
     _sh.rmtree(inc_root, ignore_errors=True)
 
+    # r9: the full incremental CURATION pass per micro-batch — seed
+    # models fitted once, then 3 id-ordered batches through
+    # curate_batch_incremental with parquet-versioned dedup state (the
+    # curation_sink shape). Roughly flat per-batch seconds against the
+    # growing hash/LSH state is the continuous-ingestion claim; the
+    # model-fit cost is published separately (paid once per corpus
+    # epoch, not per trigger).
+    from manifold_spark.curation import curate_batch_incremental, curation_models
+
+    cur_root = _itf.mkdtemp(prefix="bench-curinc-")
+    cur_docs = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), _chunk_pat, "$1.\n"
+        ),
+    )
+    n_docs_total = cur_docs.count()
+    third = max(n_docs_total // 3, 1)
+    cur_knobs = dict(
+        min_words_per_line=5, min_kept_lines=3, require_terminal_punct=True,
+        lsh_threshold=0.3, pack_budget=512,
+    )
+    with operator_cache_scope():
+        fit_t0 = time.perf_counter()
+        cur_models = curation_models(cur_docs)
+        for name, frame in cur_models.items():
+            frame.write.mode("overwrite").parquet(f"{cur_root}/models/{name}")
+        cur_models = {
+            name: spark.read.parquet(f"{cur_root}/models/{name}")
+            for name in cur_models
+        }
+        fit_sec = round(time.perf_counter() - fit_t0, 3)
+
+        cur_state = None
+        cur_batches = []
+        kept_per_batch = []
+        for i in range(3):
+            lo, hi = i * third, (i + 1) * third if i < 2 else (1 << 62)
+            b = cur_docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            with operator_cache_scope():
+                t0 = time.perf_counter()
+                packed, new_state, report = curate_batch_incremental(
+                    b, cur_models, cur_state, **cur_knobs
+                )
+                packed.write.format("noop").mode("overwrite").save()
+                # persist only the batch DELTAS per trigger (the
+                # curation_sink append shape) — per-trigger write cost is
+                # O(batch), never O(stream history); reading the v* glob
+                # also truncates lineage for the next batch
+                deltas = new_state["deltas"]
+                deltas["hashes"].write.mode("overwrite").parquet(
+                    f"{cur_root}/v{i}/hashes"
+                )
+                for part, frame in deltas["minhash"].items():
+                    frame.write.mode("overwrite").parquet(
+                        f"{cur_root}/v{i}/mh_{part}"
+                    )
+                cur_batches.append(round(time.perf_counter() - t0, 3))
+            kept_per_batch.append(report["packed"])
+            cur_state = {
+                "hashes": spark.read.parquet(f"{cur_root}/v*/hashes"),
+                "minhash": {
+                    part: spark.read.parquet(f"{cur_root}/v*/mh_{part}")
+                    for part in PARTS
+                },
+            }
+    incremental["curation_model_fit_sec"] = fit_sec
+    incremental["curation_per_batch_sec"] = cur_batches
+    incremental["curation_kept_per_batch"] = kept_per_batch
+    _sh.rmtree(cur_root, ignore_errors=True)
+
     # Quality tier (r6): recall of every approximate operator vs exact
     # brute-force ground truth — the gates prove hash-exactness vs an
     # oracle running the SAME approximation; this publishes how good the

@@ -330,9 +330,14 @@ def curate_batch_incremental(
 
     # 3. fuzzy dedup: probe + grow the incremental LSH index; a batch doc
     #    drops iff it pairs with ANY previously seen doc (cross-batch:
-    #    the batch side of the pair; within-batch: the larger id).
+    #    the batch side of the pair; within-batch: the larger id). The
+    #    batch's own index is computed once and also returned as the
+    #    state DELTA so sinks append O(batch) per trigger instead of
+    #    rewriting the O(stream-history) cumulative snapshot.
+    b_index = dedup.minhash_index(exact, text_col, id_col)
     pairs, minhash_state = dedup.minhash_index_upsert(
-        exact, state["minhash"], text_col, id_col, threshold=lsh_threshold
+        exact, state["minhash"], text_col, id_col, threshold=lsh_threshold,
+        batch_index=b_index,
     )
     b_ids = exact.select(F.col(id_col).alias("id_b")).withColumn(
         "_b_in", F.lit(True)
@@ -409,16 +414,26 @@ def curate_batch_incremental(
         with_tokens, id_col, "n_tokens", budget=pack_budget
     ).join(with_tokens.select(id_col, lang_col), id_col)
     report["packed"] = packed.count()
-    return packed, {"hashes": hashes_state, "minhash": minhash_state}, report
+    new_state = {
+        "hashes": hashes_state,
+        "minhash": minhash_state,
+        # append-shaped persistence: only these BATCH deltas need writing
+        # per trigger (id-disjoint across batches, so a union of all
+        # persisted deltas reconstructs the cumulative state exactly).
+        "deltas": {"hashes": new_hashes, "minhash": b_index},
+    }
+    return packed, new_state, report
 
 
 def checkpoint_curation_state(state: dict) -> dict:
     """Truncate the dedup-state lineage after a batch (eager
-    localCheckpoint of every state frame). REQUIRED between in-memory
-    batches: each state frame otherwise references the previous batch's
-    whole curation DAG, so plan size — and driver heap — grows without
-    bound across triggers. `curation_sink` gets the same truncation for
-    free from its parquet state writes (the production shape)."""
+    localCheckpoint of every cumulative state frame; the per-batch
+    `deltas` are dropped — they exist for append-shaped sinks).
+    REQUIRED between in-memory batches: each state frame otherwise
+    references the previous batch's whole curation DAG, so plan size —
+    and driver heap — grows without bound across triggers.
+    `curation_sink` gets the same truncation for free from its parquet
+    state writes (the production shape)."""
     return {
         "hashes": state["hashes"].localCheckpoint(eager=True),
         "minhash": {
@@ -439,22 +454,27 @@ def curation_sink(
 ):
     """foreachBatch body factory for streaming curation: run
     `curate_batch_incremental` per trigger, append the kept rows to a
-    parquet sink, and persist the dedup state as versioned parquet under
-    ``state_dir`` (the test_streaming.py state-versioning pattern — at
-    production scale these writes are Delta/Iceberg upserts). Returns the
-    sink callable; batch≡stream parity is pinned in tests."""
+    parquet sink, and persist the dedup state APPEND-SHAPED under
+    ``state_dir``: each trigger writes only its O(batch) state deltas
+    (new content hashes + the batch's LSH index parts) as a new version
+    directory, and the accumulated state is a glob read over all
+    versions — per-trigger write cost is batch-sized, never
+    stream-history-sized (at production scale these are appends to a
+    keyed Delta/Iceberg table). Returns the sink callable; batch≡stream
+    parity is pinned in tests."""
     import os
 
     from manifold_spark.operators.dedup import operator_cache_scope
 
-    def _read_state(spark, version: int) -> dict | None:
-        if version < 0:
+    def _read_state(spark, n_versions: int) -> dict | None:
+        if n_versions <= 0:
             return None
-        root = f"{state_dir}/v{version}"
+        # union of every version's deltas == the cumulative state
+        # (batches are id-disjoint; hash deltas exclude already-seen)
         return {
-            "hashes": spark.read.parquet(f"{root}/hashes"),
+            "hashes": spark.read.parquet(f"{state_dir}/v*/hashes"),
             "minhash": {
-                name: spark.read.parquet(f"{root}/mh_{name}")
+                name: spark.read.parquet(f"{state_dir}/v*/mh_{name}")
                 for name in ("entries", "shingles", "sizes")
             },
         }
@@ -465,7 +485,7 @@ def curation_sink(
             int(d[1:]) for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
             if d.startswith("v")
         )
-        prev = _read_state(spark, versions[-1] if versions else -1)
+        prev = _read_state(spark, len(versions))
         with operator_cache_scope():
             packed, new_state, report = curate_batch_incremental(
                 batch, models, prev,
@@ -475,8 +495,9 @@ def curation_sink(
                 "append"
             ).parquet(out_path)
             root = f"{state_dir}/v{len(versions)}"
-            new_state["hashes"].write.mode("overwrite").parquet(f"{root}/hashes")
-            for name, frame in new_state["minhash"].items():
+            deltas = new_state["deltas"]
+            deltas["hashes"].write.mode("overwrite").parquet(f"{root}/hashes")
+            for name, frame in deltas["minhash"].items():
                 frame.write.mode("overwrite").parquet(f"{root}/mh_{name}")
 
     return sink

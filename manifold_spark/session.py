@@ -23,6 +23,15 @@ DEFAULT_CONF: dict[str, str] = {
     # Listing dims are broadcast-sized even at 100 TB fact scale; raise the
     # auto-broadcast threshold a bit above the 10 MB default.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # The SQL status store retains up to 1000 executions BY DEFAULT —
+    # each holding its full physical-plan description STRING. Composed
+    # pipelines over persisted stage boundaries print every
+    # InMemoryRelation's child subtree per reference, so one curation
+    # action's description measures ~67 MB; at the default retention a
+    # long-lived driver OOMs on plan strings alone (observed: heap OOM
+    # in back-to-back curation runs on a 4g test JVM). Diagnostics-only
+    # retention — no semantic or plan effect.
+    "spark.sql.ui.retainedExecutions": "16",
 }
 
 

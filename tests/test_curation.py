@@ -4,10 +4,28 @@ operators composed clean → exact dedup → fuzzy dedup → quality → mixture
 
 from __future__ import annotations
 
+import gc
+
+import pytest
 from pyspark.sql import functions as F
 
 from manifold_spark.curation import curate_corpus
 from manifold_spark.operators.dedup import release_shingle_caches
+
+
+@pytest.fixture(autouse=True)
+def _reclaim_jvm_memory(spark):
+    """These end-to-end tests each build corpus-wide broadcast models and
+    persisted stage frames; the py4j references Python still holds after
+    a test keep the JVM-side plans/broadcasts alive, and back-to-back
+    runs exhaust the shared 4g test JVM (observed: heap OOM in the third
+    test of this file, and collateral executor-memory starvation in
+    later files during full-suite runs). Drop the Python refs and ask
+    both collectors to run between tests."""
+    yield
+    release_shingle_caches()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
 
 
 def test_curate_corpus_end_to_end(spark, sf_dir):
@@ -58,17 +76,17 @@ def test_curate_corpus_deterministic(spark, sf_dir):
     assert rows_a == rows_b
 
 
-def test_incremental_curation_batch_split_invariant(spark, sf_dir):
+def test_incremental_curation_batch_split_invariant(spark, sf_dir, tmp_path):
     """The incremental twin's contract: feeding the corpus as ONE batch
     or as any id-ordered split yields the SAME kept id set and the same
     summed per-stage counts — the dedup state (first-seen hashes +
     MinHash index) makes later batches see exactly what a one-shot run
-    sees. Every stage engages (chunked corpus, tight LSH threshold)."""
-    from manifold_spark.curation import (
-        checkpoint_curation_state,
-        curate_batch_incremental,
-        curation_models,
-    )
+    sees. Every stage engages (chunked corpus, tight LSH threshold).
+    State chains through per-batch parquet DELTAS (the curation_sink
+    append shape) — in-memory localCheckpoint chaining pins unevictable
+    blocks in the shared test JVM and starved later tests of execution
+    memory in the full-suite run."""
+    from manifold_spark.curation import curate_batch_incremental, curation_models
     from manifold_spark.operators.dedup import operator_cache_scope
 
     docs = (
@@ -95,19 +113,31 @@ def test_incremental_curation_batch_split_invariant(spark, sf_dir):
 
     # three id-ordered batches (monotone ids across batches — the contract)
     bounds = [(0, 170), (170, 340), (340, 1 << 60)]
+    root = str(tmp_path / "cur-state")
+    parts = ("entries", "shingles", "sizes")
     state = None
     split_ids: set = set()
     summed: dict[str, int] = {}
-    for lo, hi in bounds:
+    for i, (lo, hi) in enumerate(bounds):
         b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         with operator_cache_scope():
-            packed, state, report = curate_batch_incremental(
+            packed, new_state, report = curate_batch_incremental(
                 b, models, state, **knobs
             )
             split_ids |= {r["doc_id"] for r in packed.collect()}
-            # truncate state lineage before the scope releases this
-            # batch's stage caches (checkpointed blocks are independent)
-            state = checkpoint_curation_state(state)
+            # persist only the batch deltas; the v* glob reconstructs the
+            # cumulative state (and truncates lineage for the next batch)
+            deltas = new_state["deltas"]
+            deltas["hashes"].write.parquet(f"{root}/v{i}/hashes")
+            for name, frame in deltas["minhash"].items():
+                frame.write.parquet(f"{root}/v{i}/mh_{name}")
+        state = {
+            "hashes": spark.read.parquet(f"{root}/v*/hashes"),
+            "minhash": {
+                name: spark.read.parquet(f"{root}/v*/mh_{name}")
+                for name in parts
+            },
+        }
         for k, v in report.items():
             summed[k] = summed.get(k, 0) + v
     release_shingle_caches()
@@ -119,3 +149,35 @@ def test_incremental_curation_batch_split_invariant(spark, sf_dir):
     assert one_report["quality"] < one_report["fuzzy_dedup"]
     assert one_report["mixture"] < one_report["quality"]
     assert one_report["packed"] > 0
+
+
+def test_checkpoint_curation_state_roundtrip(spark):
+    """`checkpoint_curation_state` (the in-memory lineage truncation for
+    notebook-style loops) must preserve state contents exactly and drop
+    the per-batch deltas. Tiny corpus — checkpointed blocks are pinned
+    unevictable in the JVM, so this stays deliberately small."""
+    from manifold_spark.curation import (
+        checkpoint_curation_state,
+        curate_batch_incremental,
+        curation_models,
+    )
+    from manifold_spark.operators.dedup import operator_cache_scope
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"alpha beta gamma delta epsilon tok{i}") for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    with operator_cache_scope():
+        models = curation_models(docs)
+        _, state, _ = curate_batch_incremental(docs, models, None)
+        before = {
+            "hashes": sorted(r["_h"] for r in state["hashes"].collect()),
+            "sizes": sorted(map(tuple, state["minhash"]["sizes"].collect())),
+        }
+        cp = checkpoint_curation_state(state)
+        assert "deltas" not in cp
+        assert sorted(r["_h"] for r in cp["hashes"].collect()) == before["hashes"]
+        assert (
+            sorted(map(tuple, cp["minhash"]["sizes"].collect()))
+            == before["sizes"]
+        )
