@@ -254,12 +254,16 @@ def curate_batch_incremental(
     max_ppl_bucket: int = 2,
     pack_budget: int = 512,
     require_repetition_pass: bool = True,
+    audit: bool = True,
 ) -> tuple[DataFrame, dict, dict[str, int]]:
     """One micro-batch of incremental curation (the `foreachBatch` body).
     Returns (packed, new_state, report): packed carries the batch's
     surviving (id, lang, n_tokens, shard, bin_id) rows, new_state the
     grown dedup state ({"hashes": DataFrame, "minhash": index dict}),
-    report the per-batch stage counts (same keys as `curate_corpus`).
+    report the per-batch stage counts (same keys as `curate_corpus`);
+    ``audit=False`` skips the per-stage count() actions (report comes
+    back empty) — the production-sink fast path; stage frames still
+    persist where multiple consumers need them.
 
     Per-batch cost is O(batch + touched LSH buckets + broadcast models) —
     independent of stream history; state is hash-set + LSH-index bounded
@@ -285,7 +289,9 @@ def curate_batch_incremental(
     from manifold_spark.functions.hashing import stable_long_hash
     from pyspark.sql.functions import broadcast
 
-    report: dict[str, int] = {"input": batch.count()}
+    report: dict[str, int] = {}
+    if audit:
+        report["input"] = batch.count()
     state = state or {"hashes": None, "minhash": None}
 
     # 1. heuristic clean (stateless — identical to the batch pipeline).
@@ -308,7 +314,8 @@ def curate_batch_incremental(
         .join(batch.select(id_col, lang_col), id_col)
     )
     cleaned = _persist_tracked(cleaned)
-    report["c4_clean"] = cleaned.count()
+    if audit:
+        report["c4_clean"] = cleaned.count()
 
     # 2. exact dedup: batch-internal min-id per content hash, then drop
     #    hashes the accumulated state already holds (first-seen layering).
@@ -326,7 +333,8 @@ def curate_batch_incremental(
         if state["hashes"] is None
         else state["hashes"].unionByName(new_hashes).distinct()
     )
-    report["exact_dedup"] = exact.count()
+    if audit:
+        report["exact_dedup"] = exact.count()
 
     # 3. fuzzy dedup: probe + grow the incremental LSH index; a batch doc
     #    drops iff it pairs with ANY previously seen doc (cross-batch:
@@ -352,7 +360,8 @@ def curate_batch_incremental(
         .distinct()
     )
     fuzzy = _persist_tracked(exact.join(victims, id_col, "left_anti"))
-    report["fuzzy_dedup"] = fuzzy.count()
+    if audit:
+        report["fuzzy_dedup"] = fuzzy.count()
 
     # 4. quality under the SEED models: repetition pass (stateless) +
     #    LM score thresholded by the seed cutpoints (monotone comparison,
@@ -385,7 +394,8 @@ def curate_batch_incremental(
         .filter(F.col("_bucket") <= max_ppl_bucket)
         .select(id_col, lang_col, text_col)
     )
-    report["quality"] = quality.count()
+    if audit:
+        report["quality"] = quality.count()
 
     # 5. mixture under the SEED rates (hash gate — layout/batch-split
     #    independent); unseen languages keep everything.
@@ -402,7 +412,8 @@ def curate_batch_incremental(
         .filter(gate)
         .select(id_col, lang_col, text_col)
     )
-    report["mixture"] = mixed.count()
+    if audit:
+        report["mixture"] = mixed.count()
 
     # 6. packing: per-batch bins (bin ids batch-local by design).
     from manifold_spark.operators.textstats import token_count_ws
@@ -413,7 +424,8 @@ def curate_batch_incremental(
     packed = pack_documents(
         with_tokens, id_col, "n_tokens", budget=pack_budget
     ).join(with_tokens.select(id_col, lang_col), id_col)
-    report["packed"] = packed.count()
+    if audit:
+        report["packed"] = packed.count()
     new_state = {
         "hashes": hashes_state,
         "minhash": minhash_state,
