@@ -188,6 +188,14 @@ def curate_corpus(
 # corpus as ONE batch or as any id-ordered split yields the SAME kept id
 # set and the same summed stage counts (pinned in tests/test_curation.py
 # and on the real writeStream/availableNow harness in test_streaming.py).
+# CAP CAVEAT: split-invariance holds only while the LSH skew cap
+# (`lsh_max_bucket`, default 50 — plumbed to `minhash_index_upsert`)
+# never ENGAGES at a batch boundary. The upsert's streaming-cap
+# semantics pair a bucket's early entries before it outgrows the cap,
+# while a one-shot run of the same corpus sees the bucket over-cap from
+# the start and emits none of those pairs — different kept sets. Raise
+# `lsh_max_bucket` (or pre-shard boilerplate upstream) when exact
+# split-invariance matters more than the skew bound.
 # ---------------------------------------------------------------------------
 
 
@@ -251,6 +259,7 @@ def curate_batch_incremental(
     line_drop_terms: tuple[str, ...] | None = None,
     blocklist: tuple[str, ...] | None = None,
     lsh_threshold: float = 0.5,
+    lsh_max_bucket: int = 50,
     max_ppl_bucket: int = 2,
     pack_budget: int = 512,
     require_repetition_pass: bool = True,
@@ -267,7 +276,9 @@ def curate_batch_incremental(
 
     Per-batch cost is O(batch + touched LSH buckets + broadcast models) —
     independent of stream history; state is hash-set + LSH-index bounded
-    (token text is never stored). Unseen languages price permissively
+    (token text is never stored). ``lsh_max_bucket`` is the fuzzy
+    stage's skew cap (see the module-header CAP CAVEAT: an engaging cap
+    breaks exact one-shot ≡ split invariance at the boundary batch). Unseen languages price permissively
     (head bucket, keep-all mixture) — fit the seed to cover the stream's
     languages. local-mode note: executor storage (state checkpoints,
     stage caches) shares the single JVM's heap — size the driver ≥4g for
@@ -345,7 +356,7 @@ def curate_batch_incremental(
     b_index = dedup.minhash_index(exact, text_col, id_col)
     pairs, minhash_state = dedup.minhash_index_upsert(
         exact, state["minhash"], text_col, id_col, threshold=lsh_threshold,
-        batch_index=b_index,
+        max_bucket=lsh_max_bucket, batch_index=b_index,
     )
     b_ids = exact.select(F.col(id_col).alias("id_b")).withColumn(
         "_b_in", F.lit(True)

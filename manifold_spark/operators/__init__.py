@@ -2821,7 +2821,10 @@ def q_text_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ds = dsir_logratio(
         docs.filter(F.col("lang") == DSIR_TARGET_LANG),
-        docs.filter(F.col("lang") != DSIR_TARGET_LANG),
+        # NULL-lang docs belong to the RAW pool (the oracle's CASE WHEN
+        # lang='en' THEN target ELSE raw sends NULL to ELSE); a bare
+        # `!=` would drop them from training entirely.
+        docs.filter(F.coalesce(F.col("lang"), F.lit("")) != DSIR_TARGET_LANG),
         score_docs=docs,
     ).select(
         F.lit("dsir").alias("section"),
