@@ -495,6 +495,97 @@ def minhash_index_upsert(
     return pairs, {"entries": all_entries, "shingles": all_sh, "sizes": all_sizes}
 
 
+def minhash_index_probe(
+    b_index: dict[str, DataFrame],
+    read_entries,
+    read_doc_state,
+    threshold: float = 0.5,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """`minhash_index_upsert`'s pairing step against an EXTERNAL state
+    store with PRUNED reads — the per-trigger cost model a 100 TB stream
+    needs: instead of shuffling the full cumulative index into the probe
+    (O(stream history) per trigger), the store is read three ways, each
+    bounded by the BATCH:
+
+    - ``read_entries(b_entries)`` → the state's (doc_id, band, key) rows
+      for buckets the batch TOUCHES (or None when the state is empty).
+      Correctness needs every state entry of each touched bucket and
+      nothing else: untouched buckets cannot form a candidate with the
+      batch, and their cap counts are never consulted (`new_b` only holds
+      batch entries, so over/under-cap status of an untouched bucket is
+      unobservable). O(touched buckets), not O(history).
+    - ``read_doc_state(old_ids)`` → (shingles, sizes) restricted to the
+      given OLD-side candidate doc ids. The verify join only reads
+      candidate docs' rows, and `old_ids` is bounded by the post-cap
+      pair-formation bound — O(candidates), independent of history.
+
+    Pair-emission contract is IDENTICAL to `minhash_index_upsert` with
+    the same ``max_bucket`` (streaming-cap semantics; pinned equal in
+    tests/test_curation.py): pairs with ≥1 batch side, cap on current
+    post-batch bucket sizes. One extra driver action collects the
+    old-side candidate ids (bounded as above).
+
+    Returns the verified pairs only — the state GROWTH is the caller's
+    append of ``b_index`` itself (the store's delta shape)."""
+    b_entries = b_index["entries"]
+    old_entries = read_entries(b_entries)
+    all_entries = (
+        b_entries if old_entries is None else old_entries.unionByName(b_entries)
+    )
+
+    ok_buckets = (
+        all_entries.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_bucket)
+        .select("band", "key")
+    )
+    new_b = b_entries.join(ok_buckets, ["band", "key"])
+
+    nb_a, nb_b = new_b.alias("a"), new_b.alias("b")
+    cand = nb_a.join(
+        nb_b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    if old_entries is not None:
+        old_b = old_entries.join(ok_buckets, ["band", "key"])
+        o, n = old_b.alias("o"), new_b.alias("n")
+        cross = o.join(
+            n,
+            (F.col("o.band") == F.col("n.band"))
+            & (F.col("o.key") == F.col("n.key"))
+            & (F.col("o.doc_id") != F.col("n.doc_id")),
+        ).select(
+            F.least(F.col("o.doc_id"), F.col("n.doc_id")).alias("id_a"),
+            F.greatest(F.col("o.doc_id"), F.col("n.doc_id")).alias("id_b"),
+        )
+        cand = cand.unionByName(cross)
+    candidates = _persist_tracked(cand.distinct())
+
+    b_sh, b_sizes = b_index["shingles"], b_index["sizes"]
+    all_sh, all_sizes = b_sh, b_sizes
+    if old_entries is not None:
+        # Old-side candidate ids: candidate endpoints minus batch docs —
+        # ONE bounded driver collect gates the shingle/size state read.
+        batch_ids = b_sizes.select("doc_id")
+        old_ids = [
+            r["doc_id"]
+            for r in candidates.select(
+                F.explode(F.array("id_a", "id_b")).alias("doc_id")
+            )
+            .distinct()
+            .join(batch_ids, "doc_id", "left_anti")
+            .collect()
+        ]
+        if old_ids:
+            old_sh, old_sizes = read_doc_state(old_ids)
+            all_sh = b_sh.unionByName(old_sh)
+            all_sizes = b_sizes.unionByName(old_sizes)
+    return _verify_candidates(candidates, all_sh, all_sizes, threshold)
+
+
 def simhash_fingerprint(tokens: Column, num_bits: int = 32) -> Column:
     """32-bit SimHash: per bit j, sign of Σ_tokens (bit_j(hash(t))·2−1);
     packed into an int. Pure column expressions."""

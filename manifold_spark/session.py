@@ -32,6 +32,15 @@ DEFAULT_CONF: dict[str, str] = {
     # in back-to-back curation runs on a 4g test JVM). Diagnostics-only
     # retention — no semantic or plan effect.
     "spark.sql.ui.retainedExecutions": "16",
+    # r10 companion to the retention cap: nested cached compositions
+    # re-print InMemoryRelation subtrees once PER REFERENCE, so a deep
+    # persist chain's plan description grows multiplicatively with
+    # nesting depth — measured ~40-90 s of DRIVER time and multi-GB of
+    # retained strings PER ACTION in the streaming-curation sink before
+    # the cap. 2M chars (~4 MB) is far more than any human-readable
+    # diagnostic needs; truncation affects only display strings, never
+    # the executed plan.
+    "spark.sql.maxPlanStringLength": "2000000",
 }
 
 
