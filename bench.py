@@ -630,6 +630,52 @@ def main() -> None:
     incremental["curation_model_fit_sec"] = fit_sec
     incremental["curation_per_batch_sec"] = cur_batches
     incremental["curation_kept_per_batch"] = kept_per_batch
+
+    # r11: the STORE-BACKED incremental tier — `curation_sink` against
+    # the bucketed, snapshot-compacted `CurationState` parquet store
+    # (the production foreachBatch path; supersedes the in-memory loop
+    # above, kept one round for continuity per VERDICT r10 #2). Six
+    # triggers with compact_every=3 so compaction engages mid-run, and
+    # per-trigger PRUNED state-read files/bytes published — the flatness
+    # evidence for the O(touched-buckets)-not-O(history) read claim
+    # (r9 #2's "Done" criterion). audit=False: the production fast path
+    # (no per-stage count() actions); kept counts come from the output
+    # partitions afterwards.
+    from manifold_spark.curation import curation_sink
+
+    store_root = _itf.mkdtemp(prefix="bench-curstore-")
+    n_store_batches = 6
+    slice_w = max(n_docs_total // n_store_batches, 1)
+    state_metrics: list = []
+    sink = curation_sink(
+        cur_models, f"{store_root}/state", f"{store_root}/out",
+        compact_every=3, state_metrics=state_metrics,
+        audit=False, **cur_knobs,
+    )
+    store_batch_secs = []
+    for i in range(n_store_batches):
+        lo = i * slice_w
+        hi = (i + 1) * slice_w if i < n_store_batches - 1 else (1 << 62)
+        b = cur_docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        t0 = time.perf_counter()
+        sink(b, i)
+        store_batch_secs.append(round(time.perf_counter() - t0, 3))
+    store_kept = {
+        int(r["batch_id"]): int(r["n"])
+        for r in spark.read.parquet(f"{store_root}/out")
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    incremental["curation_store_per_batch_sec"] = store_batch_secs
+    incremental["curation_store_kept_per_batch"] = [
+        store_kept.get(i, 0) for i in range(n_store_batches)
+    ]
+    incremental["curation_store_state_reads"] = [
+        {k: int(v) for k, v in m.items() if k != "batch_id"}
+        for m in sorted(state_metrics, key=lambda m: m["batch_id"])
+    ]
+    _sh.rmtree(store_root, ignore_errors=True)
     _sh.rmtree(cur_root, ignore_errors=True)
 
     # Quality tier (r6): recall of every approximate operator vs exact

@@ -45,6 +45,8 @@ def curate_corpus(
     keep_ppl_buckets: tuple[str, ...] = ("head", "middle"),
     temperature: float = 0.7,
     mixture_target_fraction: float = 0.8,
+    mixture: str = "temperature",
+    dsir_target_lang: str = "en",
     pack_budget: int = 512,
     require_repetition_pass: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
@@ -82,7 +84,7 @@ def curate_corpus(
     report: dict[str, int] = {"input": docs.count()}
 
     # 1. heuristic clean: C4 line+document rules; keep passers, carry the
-    #    cleaned text forward.
+    #    cleaned text forward (lang rides the projection — no join back).
     cleaned = (
         c4_filters(
             docs,
@@ -96,10 +98,10 @@ def curate_corpus(
             ),
             blocklist=DEFAULT_BLOCKLIST if blocklist is None else blocklist,
             require_terminal_punct=require_terminal_punct,
+            passthrough_cols=(lang_col,),
         )
         .filter(F.col("keep") == 1)
-        .select(id_col, F.col("text_clean").alias(text_col))
-        .join(docs.select(id_col, lang_col), id_col)
+        .select(id_col, lang_col, F.col("text_clean").alias(text_col))
     )
     cleaned = _persist_tracked(cleaned)
     report["c4_clean"] = cleaned.count()
@@ -143,23 +145,40 @@ def curate_corpus(
     quality = _persist_tracked(quality)
     report["quality"] = quality.count()
 
-    # 5. mixture: per-language p^alpha temperature resampling flattens the
-    #    language skew deterministically (hash gates — layout-independent).
-    mixed = temperature_sample(
-        quality, lang_col, id_col,
-        alpha=temperature, target_fraction=mixture_target_fraction,
-    ).select(id_col, lang_col, text_col)
+    # 5. mixture (both options are deterministic hash gates —
+    #    layout-independent):
+    #    - "temperature": per-language p^alpha resampling flattens the
+    #      language skew (XLM-R/mT5 recipe);
+    #    - "dsir": per-DOCUMENT importance-weighted keep-rates under the
+    #      target-vs-raw hashed-ngram models (Xie et al. 2023; VERDICT
+    #      r10 #8) — `dsir_target_lang` picks the target pool.
+    if mixture == "temperature":
+        mixed = temperature_sample(
+            quality, lang_col, id_col,
+            alpha=temperature, target_fraction=mixture_target_fraction,
+        ).select(id_col, lang_col, text_col)
+    elif mixture == "dsir":
+        from manifold_spark.operators.sampling import dsir_sample
+
+        mixed = dsir_sample(
+            quality, lang_col, id_col, dsir_target_lang,
+            target_fraction=mixture_target_fraction, text_col=text_col,
+        ).select(id_col, lang_col, text_col)
+    else:
+        raise ValueError(f"unknown mixture {mixture!r}")
     mixed = _persist_tracked(mixed)
     report["mixture"] = mixed.count()
 
     # 6. packing: whitespace token budget bins (swap in BPE counts via
     #    operators/bpe.bpe_encode when a trained tokenizer is in play).
+    #    lang rides the shard shuffle as a payload column — no join back.
     with_tokens = mixed.select(
         id_col, lang_col, token_count_ws(F.col(text_col)).alias("n_tokens")
     )
     packed = pack_documents(
-        with_tokens, id_col, "n_tokens", budget=pack_budget
-    ).join(with_tokens.select(id_col, lang_col), id_col)
+        with_tokens, id_col, "n_tokens", budget=pack_budget,
+        payload_cols=(lang_col,),
+    )
     report["packed"] = packed.count()
     return packed, report
 
@@ -312,7 +331,8 @@ def curate_batch_incremental(
     if store is None:
         state = state or {"hashes": None, "minhash": None}
 
-    # 1. heuristic clean (stateless — identical to the batch pipeline).
+    # 1. heuristic clean (stateless — identical to the batch pipeline;
+    #    lang rides the projection, no join back).
     cleaned = (
         c4_filters(
             batch,
@@ -326,21 +346,28 @@ def curate_batch_incremental(
             ),
             blocklist=DEFAULT_BLOCKLIST if blocklist is None else blocklist,
             require_terminal_punct=require_terminal_punct,
+            passthrough_cols=(lang_col,),
         )
         .filter(F.col("keep") == 1)
-        .select(id_col, F.col("text_clean").alias(text_col))
-        .join(batch.select(id_col, lang_col), id_col)
+        .select(id_col, lang_col, F.col("text_clean").alias(text_col))
     )
     cleaned = _persist_tracked(cleaned)
     if audit:
         report["c4_clean"] = cleaned.count()
 
-    # 2. exact dedup: batch-internal min-id per content hash, then drop
-    #    hashes the accumulated state already holds (first-seen layering).
+    # 2. exact dedup: batch-internal min-id per content hash (ONE window
+    #    shuffle — the agg+self-join form cost two), then drop hashes the
+    #    accumulated state already holds (first-seen layering).
+    from pyspark.sql import Window
+
     hashed = cleaned.withColumn("_h", F.sha2(F.col(text_col), 256))
-    picked = hashed.join(
-        hashed.groupBy("_h").agg(F.min(id_col).alias(id_col)),
-        ["_h", id_col],
+    picked = (
+        hashed.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_h").orderBy(id_col)),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     if store is not None:
         # Pruned state probe: the store reads only the hash-prefix
@@ -353,7 +380,9 @@ def curate_batch_incremental(
     elif state["hashes"] is not None:
         picked = picked.join(state["hashes"], "_h", "left_anti")
     exact = _persist_tracked(picked.select(id_col, lang_col, text_col))
-    new_hashes = picked.select("_h").distinct()
+    # picked holds exactly one row per _h (the window pick), so the
+    # hashes are already distinct — no extra shuffle.
+    new_hashes = picked.select("_h")
     if store is None:
         hashes_state = (
             new_hashes
@@ -402,21 +431,22 @@ def curate_batch_incremental(
     if audit:
         report["fuzzy_dedup"] = fuzzy.count()
 
-    # 4. quality under the SEED models: repetition pass (stateless) +
-    #    LM score thresholded by the seed cutpoints (monotone comparison,
-    #    no per-batch sort). Unseen trigrams price via the model's prefix
-    #    table (held-out scoring); unseen languages bucket 'head'.
-    survivors = fuzzy
-    if require_repetition_pass:
-        rep = repetition_signals(survivors, text_col=text_col, id_col=id_col)
-        survivors = survivors.join(
-            rep.filter(F.col("repetition_pass")).select(id_col), id_col
-        )
-    scored = (
-        score_docs(survivors, model=models["lm_model"],
-                   text_col=text_col, id_col=id_col)
-        .filter(F.col("n_trigrams") > 0)
-        .join(survivors.select(id_col, lang_col, text_col), id_col)
+    # 4+5. FUSED quality + mixture under the SEED models (r9 #3 / r10
+    #    #3): ONE gated frame instead of four chained stage frames. The
+    #    per-doc signals keep their two aggregate shuffles (repetition's
+    #    gram relation, the LM's trigram relation — both doc_id-keyed),
+    #    but the cutpoint threshold, the rate gate, and the stage
+    #    filters collapse into flag COLUMNS on a single join chain, so
+    #    the stage boundaries cost no extra persists/actions and the
+    #    audit counts come from ONE conditional aggregate instead of two
+    #    count() jobs. Semantics are unchanged: the flags replicate the
+    #    exact filter conjunction (rep pass ∧ n_trigrams>0 ∧ bucket ≤
+    #    max ∧ hash gate); scoring docs that fail repetition is extra
+    #    map-side work but removes a stage barrier. Unseen trigrams
+    #    price via the model's prefix table; unseen languages bucket
+    #    'head' and keep-all mixture.
+    sc = score_docs(
+        fuzzy, model=models["lm_model"], text_col=text_col, id_col=id_col
     )
     bucket = (
         F.size(
@@ -424,45 +454,51 @@ def curate_batch_incremental(
         )
         + 1
     )
-    quality = _persist_tracked(
-        scored.join(broadcast(models["cuts"]), lang_col, "left")
-        .withColumn(
-            "_bucket",
-            F.when(F.col("cuts").isNull(), F.lit(1)).otherwise(bucket),
-        )
-        .filter(F.col("_bucket") <= max_ppl_bucket)
-        .select(id_col, lang_col, text_col)
-    )
-    if audit:
-        report["quality"] = quality.count()
-
-    # 5. mixture under the SEED rates (hash gate — layout/batch-split
-    #    independent); unseen languages keep everything.
-    gate = (
-        stable_long_hash(F.col(id_col).cast("string")) % RATE_DENOM
-        < F.coalesce(F.col("rate_bps"), F.lit(RATE_DENOM))
-    )
-    mixed = _persist_tracked(
-        quality.join(
+    gated = (
+        fuzzy.join(sc, id_col)
+        .join(broadcast(models["cuts"]), lang_col, "left")
+        .join(
             broadcast(models["rates"].select(lang_col, "rate_bps")),
             lang_col,
             "left",
         )
-        .filter(gate)
-        .select(id_col, lang_col, text_col)
     )
+    q_ok = (F.col("n_trigrams") > 0) & (
+        F.when(F.col("cuts").isNull(), F.lit(1)).otherwise(bucket)
+        <= max_ppl_bucket
+    )
+    if require_repetition_pass:
+        rep = repetition_signals(fuzzy, text_col=text_col, id_col=id_col)
+        gated = gated.join(rep.select(id_col, "repetition_pass"), id_col)
+        q_ok = F.col("repetition_pass") & q_ok
+    m_ok = q_ok & (
+        stable_long_hash(F.col(id_col).cast("string")) % RATE_DENOM
+        < F.coalesce(F.col("rate_bps"), F.lit(RATE_DENOM))
+    )
+    gated = gated.withColumn("_q_ok", q_ok).withColumn("_m_ok", m_ok)
     if audit:
-        report["mixture"] = mixed.count()
+        gated = _persist_tracked(gated)
+        stage_counts = gated.agg(
+            F.sum(F.col("_q_ok").cast("long")).alias("q"),
+            F.sum(F.col("_m_ok").cast("long")).alias("m"),
+        ).collect()[0]
+        report["quality"] = stage_counts["q"] or 0
+        report["mixture"] = stage_counts["m"] or 0
+    mixed = _persist_tracked(
+        gated.filter(F.col("_m_ok")).select(id_col, lang_col, text_col)
+    )
 
-    # 6. packing: per-batch bins (bin ids batch-local by design).
+    # 6. packing: per-batch bins (bin ids batch-local by design); lang
+    #    rides the shard shuffle as a payload column — no join back.
     from manifold_spark.operators.textstats import token_count_ws
 
     with_tokens = mixed.select(
         id_col, lang_col, token_count_ws(F.col(text_col)).alias("n_tokens")
     )
     packed = pack_documents(
-        with_tokens, id_col, "n_tokens", budget=pack_budget
-    ).join(with_tokens.select(id_col, lang_col), id_col)
+        with_tokens, id_col, "n_tokens", budget=pack_budget,
+        payload_cols=(lang_col,),
+    )
     if audit:
         report["packed"] = packed.count()
     if store is not None:
@@ -491,8 +527,14 @@ def checkpoint_curation_state(state: dict) -> dict:
     REQUIRED between in-memory batches: each state frame otherwise
     references the previous batch's whole curation DAG, so plan size —
     and driver heap — grows without bound across triggers.
+    Store-shaped state ({"store", "deltas"} from a `CurationState` run)
+    passes through UNCHANGED — the store already truncates lineage via
+    its parquet versions, so there is nothing to checkpoint (ADVICE r10:
+    raising KeyError here broke callers chaining store-backed batches).
     `curation_sink` gets the same truncation for free from its parquet
     state writes (the production shape)."""
+    if "store" in state:
+        return state
     return {
         "hashes": state["hashes"].localCheckpoint(eager=True),
         "minhash": {
@@ -505,8 +547,9 @@ def checkpoint_curation_state(state: dict) -> dict:
 def _py_stable_long_hash(value, seed: int = 0) -> int:
     """Driver-side twin of `functions.hashing.stable_long_hash` (md5 →
     first 15 hex chars → int). MUST track the column expression exactly —
-    pinned in tests/test_curation.py — so the store can compute a doc
-    id's shingle-state bucket without a Spark job."""
+    pinned in tests/test_curation_state.py::test_py_hash_twin_matches_column
+    — so the store can compute a doc id's shingle-state bucket without a
+    Spark job."""
     import hashlib
 
     return int(
@@ -574,6 +617,10 @@ class CurationState:
         self._base: int | None = None
         self._live: list[int] = []
         self.read_stats: dict[str, int] = {}
+        #: opt-in: the per-read os.walk byte-count is driver work nobody
+        #: should pay unless they asked for the flatness evidence
+        #: (`curation_sink(state_metrics=[...])` flips it on).
+        self.collect_read_stats = False
 
     # -- directory scanning ------------------------------------------------
 
@@ -646,20 +693,21 @@ class CurationState:
                     d = os.path.join(root, p)
                     if os.path.isdir(d):
                         dirs.append(d)
-        files = 0
-        size = 0
-        for d in dirs:
-            for dirpath, _dirnames, filenames in os.walk(d):
-                for fn in filenames:
-                    if fn.endswith(".parquet"):
-                        files += 1
-                        size += os.path.getsize(os.path.join(dirpath, fn))
-        self.read_stats[f"{part}_files"] = (
-            self.read_stats.get(f"{part}_files", 0) + files
-        )
-        self.read_stats[f"{part}_bytes"] = (
-            self.read_stats.get(f"{part}_bytes", 0) + size
-        )
+        if self.collect_read_stats:
+            files = 0
+            size = 0
+            for d in dirs:
+                for dirpath, _dirnames, filenames in os.walk(d):
+                    for fn in filenames:
+                        if fn.endswith(".parquet"):
+                            files += 1
+                            size += os.path.getsize(os.path.join(dirpath, fn))
+            self.read_stats[f"{part}_files"] = (
+                self.read_stats.get(f"{part}_files", 0) + files
+            )
+            self.read_stats[f"{part}_bytes"] = (
+                self.read_stats.get(f"{part}_bytes", 0) + size
+            )
         return dirs
 
     # -- pruned reads --------------------------------------------------------
@@ -707,18 +755,27 @@ class CurationState:
             "leftsemi",
         )
 
-    def read_doc_state(self, old_ids: list) -> tuple[DataFrame, DataFrame]:
+    def read_doc_state(
+        self, old_ids: list
+    ) -> tuple[DataFrame | None, DataFrame | None]:
         """(shingles, sizes) for exactly the given old-side candidate
         docs: partition-pruned by the driver-side hash-bucket twin, then
         row-filtered (the verify join re-filters anyway — the isin is
         scan reduction, skipped past 10k ids where the literal list
-        would bloat the plan)."""
+        would bloat the plan). (None, None) when no pruned dir holds any
+        of the buckets — unreachable when candidates came from this
+        stream's own entries, but the invariant is now explicit instead
+        of a zero-path `spark.read.parquet()` crash."""
         buckets = sorted({
             _py_stable_long_hash(str(v)) % self.doc_buckets for v in old_ids
         })
         parts = [f"dpfx={b}" for b in buckets]
-        sh = self.spark.read.parquet(*self._leaf_dirs("mh_shingles", parts))
-        sizes = self.spark.read.parquet(*self._leaf_dirs("mh_sizes", parts))
+        sh_dirs = self._leaf_dirs("mh_shingles", parts)
+        sz_dirs = self._leaf_dirs("mh_sizes", parts)
+        if not sh_dirs or not sz_dirs:
+            return None, None
+        sh = self.spark.read.parquet(*sh_dirs)
+        sizes = self.spark.read.parquet(*sz_dirs)
         if len(old_ids) <= 10_000:
             sh = sh.filter(F.col("doc_id").isin(old_ids))
             sizes = sizes.filter(F.col("doc_id").isin(old_ids))
@@ -726,45 +783,107 @@ class CurationState:
 
     # -- writes ----------------------------------------------------------------
 
-    def _delta_frames(self, deltas: dict) -> dict[str, tuple[DataFrame, str]]:
+    def _project(self, part: str, frame: DataFrame) -> tuple[DataFrame, str]:
+        """Data columns + partition column RE-DERIVED from the data for
+        `part` — the single projection both `write_delta` and
+        `maybe_compact` go through. Compaction MUST NOT trust the
+        partition value Spark read back: partition-type inference turns
+        an all-numeric string bucket ('05') into int 5 and a rewrite
+        would land it under ``pfx=5``, silently invisible to pruned
+        probes of ``pfx=05`` (ADVICE r10, reproduced; latent at the
+        prefix lengths the cluster-scale docstring recommends). Deriving
+        pfx/kb/dpfx from `_h`/`key`/`doc_id` at every write makes the
+        directory names a pure function of the data."""
         from manifold_spark.functions.hashing import stable_long_hash
 
-        dpfx = F.pmod(
-            stable_long_hash(F.col("doc_id").cast("string")),
-            F.lit(self.doc_buckets),
-        ).alias("dpfx")
-        mh = deltas["minhash"]
-        return {
-            "hashes": (
-                deltas["hashes"].select(
-                    "_h", F.substring("_h", 1, self.hash_prefix_len).alias("pfx")
+        if part == "hashes":
+            return (
+                frame.select(
+                    "_h",
+                    F.substring("_h", 1, self.hash_prefix_len).alias("pfx"),
                 ),
                 "pfx",
-            ),
-            "mh_entries": (
-                mh["entries"].select(
+            )
+        if part == "mh_entries":
+            return (
+                frame.select(
                     "doc_id", "band", "key",
                     F.substring("key", 1, self.key_prefix_len).alias("kb"),
                 ),
                 "kb",
-            ),
-            "mh_shingles": (mh["shingles"].select("doc_id", "h", dpfx), "dpfx"),
-            "mh_sizes": (mh["sizes"].select("doc_id", "n", dpfx), "dpfx"),
-        }
+            )
+        dpfx = F.pmod(
+            stable_long_hash(F.col("doc_id").cast("string")),
+            F.lit(self.doc_buckets),
+        ).alias("dpfx")
+        cols = {"mh_shingles": ("doc_id", "h"), "mh_sizes": ("doc_id", "n")}[
+            part
+        ]
+        return frame.select(*cols, dpfx), "dpfx"
+
+    def state_totals(self) -> dict[str, int]:
+        """Total committed-state parquet files/bytes on disk — published
+        next to `read_stats` so the bench shows the pruned-read fraction
+        explicitly (read ≤ total; the gap is what pruning saved)."""
+        import os
+
+        files = 0
+        size = 0
+        snaps, deltas = self._scan()
+        for name in [f"s{s}" for s in snaps] + [f"v{d}" for d in deltas]:
+            for dirpath, _dirnames, filenames in os.walk(
+                os.path.join(self.state_dir, name)
+            ):
+                for fn in filenames:
+                    if fn.endswith(".parquet"):
+                        files += 1
+                        size += os.path.getsize(os.path.join(dirpath, fn))
+        return {"state_total_files": files, "state_total_bytes": size}
+
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        """True iff the dir holds at least one parquet file. An EMPTY
+        delta (fully-duplicate micro-batch) writes only _SUCCESS — no
+        partition dirs, no parquet — and a schema-less read of such a
+        dir throws UNABLE_TO_INFER_SCHEMA (ADVICE r10: killed any
+        compaction window spanning it)."""
+        import os
+
+        for dirpath, _dirnames, filenames in os.walk(path):
+            if any(fn.endswith(".parquet") for fn in filenames):
+                return True
+        return False
 
     def write_delta(self, batch_id: int, deltas: dict) -> None:
         """Persist the batch's O(batch) state delta as ``v{batch_id}``:
         full-dir overwrite (idempotent under trigger retry), committed by
-        the `_COMMIT` marker only after every part landed."""
+        the `_COMMIT` marker only after every part landed. The four part
+        writes are independent jobs — submitted concurrently (driver
+        threads; Spark schedules them FIFO across the same executors) so
+        the per-trigger write cost is the largest part, not the sum."""
         import os
         import shutil
+        from concurrent.futures import ThreadPoolExecutor
 
         root = os.path.join(self.state_dir, f"v{batch_id}")
         shutil.rmtree(root, ignore_errors=True)
-        for part, (frame, pcol) in self._delta_frames(deltas).items():
-            frame.write.partitionBy(pcol).mode("overwrite").parquet(
+        mh = deltas["minhash"]
+        parts = {
+            "hashes": deltas["hashes"],
+            "mh_entries": mh["entries"],
+            "mh_shingles": mh["shingles"],
+            "mh_sizes": mh["sizes"],
+        }
+
+        def _write(item):
+            part, frame = item
+            proj, pcol = self._project(part, frame)
+            proj.write.partitionBy(pcol).mode("overwrite").parquet(
                 os.path.join(root, part)
             )
+
+        with ThreadPoolExecutor(max_workers=len(parts)) as pool:
+            list(pool.map(_write, parts.items()))
         with open(os.path.join(root, "_COMMIT"), "w"):
             pass
 
@@ -774,9 +893,13 @@ class CurationState:
         Idempotent: a retry that finds its snapshot already committed
         skips; a partial snapshot dir is rewritten. Superseded dirs are
         NOT deleted here — `begin_batch` of a LATER trigger GCs them,
-        so a retry of THIS trigger can still read its inputs."""
+        so a retry of THIS trigger can still read its inputs. Empty
+        deltas are skipped per-part (`_has_parquet`), and the snapshot's
+        partition columns are re-derived from the data (`_project`) —
+        never round-tripped through partition-type inference."""
         import os
         import shutil
+        from concurrent.futures import ThreadPoolExecutor
 
         snaps, deltas = self._scan()
         if batch_id in snaps:
@@ -791,25 +914,41 @@ class CurationState:
         ]
         root = os.path.join(self.state_dir, f"s{batch_id}")
         shutil.rmtree(root, ignore_errors=True)
-        for part in ("hashes", "mh_entries", "mh_shingles", "mh_sizes"):
+
+        data_cols = {
+            "hashes": ["_h"],
+            "mh_entries": ["doc_id", "band", "key"],
+            "mh_shingles": ["doc_id", "h"],
+            "mh_sizes": ["doc_id", "n"],
+        }
+
+        def _compact_part(part: str) -> None:
             frames = []
             for src in sources:
                 p = os.path.join(self.state_dir, src, part)
-                if os.path.isdir(p):
-                    frames.append(self.spark.read.parquet(p))
+                if os.path.isdir(p) and self._has_parquet(p):
+                    # Data columns ONLY: the read-back partition column is
+                    # inference-typed (string '05' vs int 5 across
+                    # versions) and must neither be unioned nor trusted.
+                    frames.append(
+                        self.spark.read.parquet(p).select(*data_cols[part])
+                    )
             if not frames:
-                continue
+                return
             merged = frames[0]
             for f in frames[1:]:
                 merged = merged.unionByName(f)
-            pcol = {
-                "hashes": "pfx",
-                "mh_entries": "kb",
-                "mh_shingles": "dpfx",
-                "mh_sizes": "dpfx",
-            }[part]
-            merged.write.partitionBy(pcol).mode("overwrite").parquet(
+            proj, pcol = self._project(part, merged)
+            proj.write.partitionBy(pcol).mode("overwrite").parquet(
                 os.path.join(root, part)
+            )
+
+        with ThreadPoolExecutor(max_workers=len(self.MH_PARTS) + 1) as pool:
+            list(
+                pool.map(
+                    _compact_part,
+                    ("hashes", "mh_entries", "mh_shingles", "mh_sizes"),
+                )
             )
         with open(os.path.join(root, "_COMMIT"), "w"):
             pass
@@ -853,6 +992,7 @@ def curation_sink(
             hash_prefix_len=hash_prefix_len, key_prefix_len=key_prefix_len,
             doc_buckets=doc_buckets, compact_every=compact_every,
         )
+        store.collect_read_stats = state_metrics is not None
         store.begin_batch(batch_id)
         with operator_cache_scope():
             packed, new_state, report = curate_batch_incremental(
@@ -866,7 +1006,12 @@ def curation_sink(
             store.maybe_compact(batch_id)
         if state_metrics is not None:
             state_metrics.append(
-                {"batch_id": batch_id, **store.read_stats, **report}
+                {
+                    "batch_id": batch_id,
+                    **store.read_stats,
+                    **store.state_totals(),
+                    **report,
+                }
             )
 
     return sink

@@ -2862,7 +2862,18 @@ CUR_BUDGET = 512
 CUR_SHARDS = 64  # pack_documents default — curate_corpus doesn't override
 
 
-def _curation_oracle() -> str:
+def _curation_chain_sql(
+    p: str,
+    src_where: str = "",
+    require_terminal_punct: bool = True,
+    keep_buckets: tuple[str, ...] = ("head", "middle"),
+) -> str:
+    """The full curation CTE chain with prefix ``p`` — parameterized so
+    the gate can run TWO knob paths (VERDICT r10 #5): the default and an
+    alternate (`require_terminal_punct=False`, head-only perplexity
+    keep) over a sliced corpus, pinning filter-polarity wiring under a
+    second path. Returns the comma-joined CTE definitions (caller owns
+    the WITH RECURSIVE keyword)."""
     from manifold_spark.operators.sampling import RATE_DENOM, TEMP_SCALE
 
     chunk = (
@@ -2870,66 +2881,67 @@ def _curation_oracle() -> str:
         "'\\1.' || chr(10), 'g')"
     )
     c4 = _c4_rules_sql(
-        "cur_src",
+        f"{p}src",
         min_words_per_line=CUR_MIN_WORDS,
         min_kept_lines=CUR_MIN_KEPT,
         line_drop_terms=C4_LINE_DROP_TERMS,
         blocklist=C4_BLOCKLIST,
+        require_terminal_punct=require_terminal_punct,
     )
-    pairs = _minhash_oracle(threshold=CUR_LSH_THRESHOLD, table="cur_exact")
-    rep = _repetition_oracle(table="cur_fuzzy")
-    lmq = _lm_oracle(table="cur_rep", min_trigrams=1)
+    pairs = _minhash_oracle(threshold=CUR_LSH_THRESHOLD, table=f"{p}exact")
+    rep = _repetition_oracle(table=f"{p}fuzzy")
+    lmq = _lm_oracle(table=f"{p}rep", min_trigrams=1)
     h = _stable_hash_sql("CAST(doc_id AS VARCHAR)")
     toks = _ws_tokens_sql("text")
-    return f"""
-    WITH RECURSIVE cur_src AS MATERIALIZED (
+    buckets = ", ".join(f"'{b}'" for b in keep_buckets)
+    return f"""{p}src AS MATERIALIZED (
         SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, {chunk} AS text
-        FROM documents
+        FROM documents {src_where}
     ),
-    cur_c4 AS MATERIALIZED (
+    {p}c4 AS MATERIALIZED (
         SELECT s.doc_id, s.lang, f.text_clean AS text
-        FROM ({c4}) f JOIN cur_src s USING (doc_id)
+        FROM ({c4}) f JOIN {p}src s USING (doc_id)
         WHERE f.keep = 1
     ),
-    cur_exact_ids AS (
-        SELECT min(doc_id) AS doc_id FROM cur_c4 GROUP BY sha256(text)
+    {p}exact_ids AS (
+        SELECT min(doc_id) AS doc_id FROM {p}c4 GROUP BY sha256(text)
     ),
-    cur_exact AS MATERIALIZED (
+    {p}exact AS MATERIALIZED (
         SELECT c.doc_id, c.lang, c.text
-        FROM cur_c4 c JOIN cur_exact_ids USING (doc_id)
+        FROM {p}c4 c JOIN {p}exact_ids USING (doc_id)
     ),
-    cur_pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs}) mp),
-    cur_edges AS (
-        SELECT id_a AS a, id_b AS b FROM cur_pairs
+    {p}pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs}) mp),
+    {p}edges AS (
+        SELECT id_a AS a, id_b AS b FROM {p}pairs
         UNION ALL
-        SELECT id_b AS a, id_a AS b FROM cur_pairs
+        SELECT id_b AS a, id_a AS b FROM {p}pairs
     ),
-    cur_reach(id, r) AS (
-        SELECT doc_id, doc_id FROM cur_exact
+    {p}reach(id, r) AS (
+        SELECT doc_id, doc_id FROM {p}exact
         UNION
-        SELECT cur_reach.id, e.b FROM cur_reach JOIN cur_edges e ON cur_reach.r = e.a
+        SELECT {p}reach.id, e.b FROM {p}reach JOIN {p}edges e ON {p}reach.r = e.a
     ),
-    cur_clusters AS (
-        SELECT id AS doc_id, min(r) AS cluster_id FROM cur_reach GROUP BY id
+    {p}clusters AS (
+        SELECT id AS doc_id, min(r) AS cluster_id FROM {p}reach GROUP BY id
     ),
-    cur_fuzzy AS MATERIALIZED (
+    {p}fuzzy AS MATERIALIZED (
         SELECT c.doc_id, c.lang, c.text
-        FROM cur_exact c JOIN cur_clusters cl USING (doc_id)
+        FROM {p}exact c JOIN {p}clusters cl USING (doc_id)
         WHERE cl.cluster_id = c.doc_id
     ),
-    cur_rep AS MATERIALIZED (
+    {p}rep AS MATERIALIZED (
         SELECT f.doc_id, f.lang, f.text
-        FROM cur_fuzzy f
+        FROM {p}fuzzy f
         JOIN (SELECT doc_id, repetition_pass FROM ({rep}) rr) rp USING (doc_id)
         WHERE rp.repetition_pass
     ),
-    cur_quality AS MATERIALIZED (
+    {p}quality AS MATERIALIZED (
         SELECT r.doc_id, r.lang, r.text
-        FROM cur_rep r
+        FROM {p}rep r
         JOIN (SELECT doc_id, ppl_bucket_label FROM ({lmq}) lq) q USING (doc_id)
-        WHERE q.ppl_bucket_label IN ('head', 'middle')
+        WHERE q.ppl_bucket_label IN ({buckets})
     ),
-    cur_rates AS (
+    {p}rates AS (
         SELECT lang,
                CAST(floor(least(1.0, ({CUR_TARGET} *
                         (CAST(e AS DOUBLE) / CAST(se AS DOUBLE))) / p)
@@ -2943,16 +2955,16 @@ def _curation_oracle() -> str:
                 SELECT lang,
                        CAST(count(*) AS DOUBLE)
                        / CAST(sum(count(*)) OVER () AS DOUBLE) AS p
-                FROM cur_quality GROUP BY lang
+                FROM {p}quality GROUP BY lang
             )
         )
     ),
-    cur_mixed AS MATERIALIZED (
+    {p}mixed AS MATERIALIZED (
         SELECT q.doc_id, q.lang, q.text
-        FROM cur_quality q JOIN cur_rates r USING (lang)
+        FROM {p}quality q JOIN {p}rates r USING (lang)
         WHERE ({h}) % {RATE_DENOM} < r.rate_bps
     ),
-    cur_packed AS MATERIALIZED (
+    {p}packed AS MATERIALIZED (
         SELECT doc_id, lang, shard, n_tokens,
                CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                                ROWS UNBOUNDED PRECEDING)
@@ -2961,37 +2973,85 @@ def _curation_oracle() -> str:
             SELECT doc_id, lang,
                    ({h}) % {CUR_SHARDS} AS shard,
                    least(CAST(len({toks}) AS BIGINT), {CUR_BUDGET}) AS n_tokens
-            FROM cur_mixed
+            FROM {p}mixed
         )
-    )
-    SELECT 'doc' AS section, '' AS stage, doc_id, lang,
+    )"""
+
+
+def _curation_section_sql(p: str, section: str, input_from: str) -> str:
+    """The per-chain output rows: 'doc'-shaped survivor rows + the stage
+    counts, tagged with ``section`` / ``{section}_stage``."""
+    return f"""
+    SELECT '{section}' AS section, '' AS stage, doc_id, lang,
            CAST(shard AS BIGINT) AS shard, bin_id, n_tokens,
            CAST(-1 AS BIGINT) AS n
-    FROM cur_packed
-    UNION ALL SELECT 'stage', 'input', -1, '', -1, -1, -1,
-              (SELECT count(*) FROM documents)
-    UNION ALL SELECT 'stage', 'c4_clean', -1, '', -1, -1, -1,
-              (SELECT count(*) FROM cur_c4)
-    UNION ALL SELECT 'stage', 'exact_dedup', -1, '', -1, -1, -1,
-              (SELECT count(*) FROM cur_exact)
-    UNION ALL SELECT 'stage', 'fuzzy_dedup', -1, '', -1, -1, -1,
-              (SELECT count(*) FROM cur_fuzzy)
-    UNION ALL SELECT 'stage', 'quality', -1, '', -1, -1, -1,
-              (SELECT count(*) FROM cur_quality)
-    UNION ALL SELECT 'stage', 'mixture', -1, '', -1, -1, -1,
-              (SELECT count(*) FROM cur_mixed)
-    UNION ALL SELECT 'stage', 'packed', -1, '', -1, -1, -1,
-              (SELECT count(*) FROM cur_packed)
+    FROM {p}packed
+    UNION ALL SELECT '{section}_stage', 'input', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM {input_from})
+    UNION ALL SELECT '{section}_stage', 'c4_clean', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM {p}c4)
+    UNION ALL SELECT '{section}_stage', 'exact_dedup', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM {p}exact)
+    UNION ALL SELECT '{section}_stage', 'fuzzy_dedup', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM {p}fuzzy)
+    UNION ALL SELECT '{section}_stage', 'quality', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM {p}quality)
+    UNION ALL SELECT '{section}_stage', 'mixture', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM {p}mixed)
+    UNION ALL SELECT '{section}_stage', 'packed', -1, '', -1, -1, -1,
+              (SELECT count(*) FROM {p}packed)
+    """
+
+
+#: The alternate knob path (VERDICT r10 #5): terminal-punctuation rule
+#: OFF and head-only perplexity keep, over the doc_id % 4 = 0 corpus
+#: slice (a quarter corpus keeps the doubled oracle affordable at
+#: sf0.01 while still exercising every stage).
+CUR_ALT_MOD = 4
+
+
+def _curation_oracle() -> str:
+    main = _curation_chain_sql("cur_")
+    alt = _curation_chain_sql(
+        "ca_",
+        src_where=f"WHERE CAST(doc_id AS BIGINT) % {CUR_ALT_MOD} = 0",
+        require_terminal_punct=False,
+        keep_buckets=("head",),
+    )
+    main_rows = _curation_section_sql("cur_", "doc", "documents")
+    alt_rows = _curation_section_sql(
+        "ca_",
+        "alt",
+        f"(SELECT 1 FROM documents WHERE CAST(doc_id AS BIGINT) % {CUR_ALT_MOD} = 0)",
+    )
+    # DuckDB quirk: 'stage' section names differ ('stage' historically) —
+    # keep the main section's legacy names for hash continuity.
+    main_rows = main_rows.replace("'doc_stage'", "'stage'")
+    return f"""
+    WITH RECURSIVE {main},
+    {alt}
+    {main_rows}
+    UNION ALL
+    {alt_rows}
     """
 
 
 @register("curation_pipeline", _curation_oracle())
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`curation.curate_corpus` end-to-end over the 5-token-chunked,
-    period-terminated corpus: 'doc' rows carry every packed survivor's
-    (lang, shard, bin_id, n_tokens) and 'stage' rows carry the per-stage
-    audit counts — so the driver hash pins both the surviving id set AND
-    where every drop happened."""
+    period-terminated corpus, under TWO knob paths (VERDICT r10 #5):
+
+    - 'doc'/'stage': the default path — terminal-punct rule on,
+      head+middle perplexity keep, full corpus;
+    - 'alt'/'alt_stage': `require_terminal_punct=False` +
+      `keep_ppl_buckets=("head",)` over the doc_id % 4 slice — pins the
+      filter-POLARITY wiring (the punct predicate actually disengages,
+      the bucket filter actually narrows) that one path cannot see.
+
+    'doc'/'alt' rows carry every packed survivor's (lang, shard, bin_id,
+    n_tokens); the stage rows carry per-stage audit counts — so the
+    driver hash pins both surviving id sets AND where every drop
+    happened on each path."""
     from manifold_spark.curation import curate_corpus
 
     docs = _t(spark, sf_dir, "documents").withColumn(
@@ -3000,11 +3060,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("text"), F.lit("")), _LINE_CHUNK_PATTERN, "$1.\n"
         ),
     )
-    packed, report = curate_corpus(
-        docs,
+    shared = dict(
         min_words_per_line=CUR_MIN_WORDS,
         min_kept_lines=CUR_MIN_KEPT,
-        require_terminal_punct=True,
         line_drop_terms=C4_LINE_DROP_TERMS,
         blocklist=C4_BLOCKLIST,
         lsh_threshold=CUR_LSH_THRESHOLD,
@@ -3012,26 +3070,41 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixture_target_fraction=CUR_TARGET,
         pack_budget=CUR_BUDGET,
     )
-    doc_rows = packed.select(
-        F.lit("doc").alias("section"),
-        F.lit("").alias("stage"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "lang",
-        F.col("shard").cast("long").alias("shard"),
-        F.col("bin_id").cast("long").alias("bin_id"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.lit(-1).cast("long").alias("n"),
+
+    def _rows(packed, report, doc_section, stage_section):
+        doc_rows = packed.select(
+            F.lit(doc_section).alias("section"),
+            F.lit("").alias("stage"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("bin_id").cast("long").alias("bin_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.lit(-1).cast("long").alias("n"),
+        )
+        stage_rows = spark.createDataFrame(
+            [(k, int(v)) for k, v in report.items()], "stage string, n long"
+        ).select(
+            F.lit(stage_section).alias("section"),
+            "stage",
+            F.lit(-1).cast("long").alias("doc_id"),
+            F.lit("").alias("lang"),
+            F.lit(-1).cast("long").alias("shard"),
+            F.lit(-1).cast("long").alias("bin_id"),
+            F.lit(-1).cast("long").alias("n_tokens"),
+            "n",
+        )
+        return doc_rows.unionByName(stage_rows)
+
+    packed, report = curate_corpus(
+        docs, require_terminal_punct=True, **shared
     )
-    stage_rows = spark.createDataFrame(
-        [(k, int(v)) for k, v in report.items()], "stage string, n long"
-    ).select(
-        F.lit("stage").alias("section"),
-        "stage",
-        F.lit(-1).cast("long").alias("doc_id"),
-        F.lit("").alias("lang"),
-        F.lit(-1).cast("long").alias("shard"),
-        F.lit(-1).cast("long").alias("bin_id"),
-        F.lit(-1).cast("long").alias("n_tokens"),
-        "n",
+    alt_packed, alt_report = curate_corpus(
+        docs.filter(F.col("doc_id").cast("long") % CUR_ALT_MOD == 0),
+        require_terminal_punct=False,
+        keep_ppl_buckets=("head",),
+        **shared,
     )
-    return doc_rows.unionByName(stage_rows)
+    return _rows(packed, report, "doc", "stage").unionByName(
+        _rows(alt_packed, alt_report, "alt", "alt_stage")
+    )

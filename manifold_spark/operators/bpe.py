@@ -237,6 +237,45 @@ def word_table_upsert(
     return merged.withColumn("syms", F.expr(_SYMS_EXPR))
 
 
+def save_bpe_state(path: str, merges: list[tuple[str, str, int]],
+                   words: DataFrame) -> None:
+    """Persist the tokenizer state beside itself (VERDICT r10 #4): the
+    learned merge table as ``{path}/merges`` rows (round, a, b,
+    pair_freq) — round preserves the learned ORDER, which is the
+    tokenizer's identity — and the upserted word table as
+    ``{path}/words`` (word, freq). `syms` is NOT stored: it is a pure
+    function of the word (`_SYMS_EXPR`), and retraining re-derives its
+    own merge rewrites anyway. Overwrite semantics: the state is a
+    snapshot (vocabulary-bounded, tiny next to any corpus), not a log."""
+    spark = words.sparkSession
+    rows = [(i, a, b, int(cnt)) for i, (a, b, cnt) in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "round int, a string, b string, pair_freq long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    words.select("word", "freq").write.mode("overwrite").parquet(
+        f"{path}/words"
+    )
+
+
+def load_bpe_state(spark, path: str) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Reload (merges, words) written by `save_bpe_state`. The merge
+    list comes back in learned order (ORDER BY round — parquet row order
+    is not a contract); the word table gets `syms` re-derived so it
+    feeds `word_table_upsert` / `train_bpe_from_words` directly.
+    Refresh-from-disk ≡ from-scratch is pinned in
+    tests/test_textquality.py::test_bpe_state_roundtrip_refresh."""
+    merges = [
+        (r["a"], r["b"], int(r["pair_freq"]))
+        for r in spark.read.parquet(f"{path}/merges")
+        .orderBy("round")
+        .collect()
+    ]
+    words = spark.read.parquet(f"{path}/words").withColumn(
+        "syms", F.expr(_SYMS_EXPR)
+    )
+    return merges, words
+
+
 def train_bpe_from_words(
     words: DataFrame,
     n_merges: int,

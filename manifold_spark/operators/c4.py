@@ -56,16 +56,20 @@ def c4_filters(
     line_drop_terms: tuple[str, ...] = DEFAULT_LINE_DROP_TERMS,
     blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,
     require_terminal_punct: bool = True,
+    passthrough_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply the C4 line and document heuristics. Returns one row per
     input document (NULL text reads as degenerate-empty):
 
-    (id_col, n_lines, n_kept_lines, text_clean, has_brace int,
-     has_blocklisted int, keep int)
+    (id_col, *passthrough_cols, n_lines, n_kept_lines, text_clean,
+     has_brace int, has_blocklisted int, keep int)
 
     ``text_clean`` is the surviving lines re-joined with newlines —
     flagged documents still carry their cleaned text so callers can
     audit what WOULD have been kept; ``keep`` is the C4 decision.
+    ``passthrough_cols`` ride the projection unchanged — the curation
+    pipelines carry `lang` through here instead of joining it back on
+    (one shuffle saved per batch; this stays a single scan-side pass).
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(
@@ -102,6 +106,7 @@ def c4_filters(
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
         F.size(lines).cast("int").alias("n_lines"),
         n_kept.cast("int").alias("n_kept_lines"),
         F.array_join(kept, "\n").alias("text_clean"),

@@ -521,10 +521,12 @@ def minhash_index_probe(
       pair-formation bound — O(candidates), independent of history.
 
     Pair-emission contract is IDENTICAL to `minhash_index_upsert` with
-    the same ``max_bucket`` (streaming-cap semantics; pinned equal in
-    tests/test_curation.py): pairs with ≥1 batch side, cap on current
-    post-batch bucket sizes. One extra driver action collects the
-    old-side candidate ids (bounded as above).
+    the same ``max_bucket`` (streaming-cap semantics; pinned equal —
+    including with an ENGAGING cap — in
+    tests/test_curation_state.py::test_probe_matches_upsert_pairs): pairs
+    with ≥1 batch side, cap on current post-batch bucket sizes. One
+    extra driver action collects the old-side candidate ids (bounded as
+    above).
 
     Returns the verified pairs only — the state GROWTH is the caller's
     append of ``b_index`` itself (the store's delta shape)."""
@@ -581,8 +583,13 @@ def minhash_index_probe(
         ]
         if old_ids:
             old_sh, old_sizes = read_doc_state(old_ids)
-            all_sh = b_sh.unionByName(old_sh)
-            all_sizes = b_sizes.unionByName(old_sizes)
+            # (None, None) = the store holds no rows for any touched
+            # bucket (possible only if candidates arrived from entries
+            # whose shingle state was never written) — verify proceeds
+            # batch-only and the cross pairs fail verification naturally.
+            if old_sh is not None and old_sizes is not None:
+                all_sh = b_sh.unionByName(old_sh)
+                all_sizes = b_sizes.unionByName(old_sizes)
     return _verify_candidates(candidates, all_sh, all_sizes, threshold)
 
 
