@@ -436,6 +436,18 @@ def test_sink_trigger_retry_idempotent(spark, tmp_path):
     assert crash_state == clean_state
 
 
+def test_checkpoint_passes_store_state_through(spark, tmp_path):
+    """Store-shaped state ({"store", "deltas"}) must pass through
+    `checkpoint_curation_state` unchanged — the store already truncates
+    lineage via parquet (ADVICE r10: this raised KeyError and crashed
+    callers chaining store-backed in-memory batches)."""
+    from manifold_spark.curation import checkpoint_curation_state
+
+    store = CurationState(spark, str(tmp_path / "cp-state"))
+    state = {"store": store, "deltas": {"hashes": None, "minhash": None}}
+    assert checkpoint_curation_state(state) is state
+
+
 # ---------------------------------------------------------------------------
 # 7. CAP CAVEAT characterization (VERDICT r10 #6)
 # ---------------------------------------------------------------------------
