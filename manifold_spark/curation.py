@@ -878,9 +878,16 @@ class CurationState:
         def _write(item):
             part, frame = item
             proj, pcol = self._project(part, frame)
-            proj.write.partitionBy(pcol).mode("overwrite").parquet(
-                os.path.join(root, part)
-            )
+            # ONE file per bucket value: without the repartition, every
+            # upstream task writes its own file into every bucket dir
+            # (tasks × buckets files — measured 11.8k files for a 19 MB
+            # state at sf0.1), and the per-trigger read cost becomes
+            # file-open bound. The delta is O(batch)-small, so the extra
+            # shuffle is noise; at cluster scale widen with
+            # repartition(N, col) to a few files per bucket.
+            proj.repartition(F.col(pcol)).write.partitionBy(pcol).mode(
+                "overwrite"
+            ).parquet(os.path.join(root, part))
 
         with ThreadPoolExecutor(max_workers=len(parts)) as pool:
             list(pool.map(_write, parts.items()))
@@ -939,9 +946,10 @@ class CurationState:
             for f in frames[1:]:
                 merged = merged.unionByName(f)
             proj, pcol = self._project(part, merged)
-            proj.write.partitionBy(pcol).mode("overwrite").parquet(
-                os.path.join(root, part)
-            )
+            # one file per bucket value — see write_delta
+            proj.repartition(F.col(pcol)).write.partitionBy(pcol).mode(
+                "overwrite"
+            ).parquet(os.path.join(root, part))
 
         with ThreadPoolExecutor(max_workers=len(self.MH_PARTS) + 1) as pool:
             list(
@@ -952,6 +960,46 @@ class CurationState:
             )
         with open(os.path.join(root, "_COMMIT"), "w"):
             pass
+
+
+def start_curation_stream(
+    stream: DataFrame,
+    models: dict,
+    state_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+    **sink_knobs,
+):
+    """Deploy incremental curation as a Structured Streaming query: the
+    one-call production wiring of `curation_sink` —
+
+        readStream(...) → foreachBatch(curation_sink) with a CHECKPOINT
+
+    Returns the started `StreamingQuery`. The checkpoint is what makes
+    the store's idempotence contract real across process restarts: the
+    engine replays the last uncommitted batch with the SAME batch_id,
+    and the sink's reads (< batch_id horizon), output partition
+    overwrite, and state-version overwrite converge to the same bytes
+    (crash points pinned in tests/test_curation_state.py; restart-resume
+    across a new query instance pinned in
+    tests/test_streaming.py::test_curation_stream_restart_resumes).
+
+    ``available_now=True`` drains the source and stops (batch backfill /
+    catch-up); ``processing_time`` (e.g. ``"5 minutes"``) sets a
+    steady-state trigger cadence. `sink_knobs` forward to
+    `curation_sink` (store layout knobs + pipeline knobs + audit)."""
+    sink = curation_sink(models, state_dir, out_path, **sink_knobs)
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
 
 
 def curation_sink(

@@ -576,6 +576,99 @@ def test_streaming_curation_sink_matches_incremental_loop(spark, sf_dir, tmp_pat
     assert {r["batch_id"] for r in streamed.select("batch_id").collect()} == {0, 1, 2}
 
 
+def test_curation_stream_restart_resumes(spark, sf_dir, tmp_path):
+    """`start_curation_stream` with a CHECKPOINT, killed mid-corpus and
+    restarted as a NEW query instance on the same checkpoint/state/out
+    dirs: batch ids must RESUME (no reprocessing of drained files), and
+    the union of both query instances' output must keep exactly the
+    one-shot document set — the production restart-recovery contract
+    the crash-point pins in test_curation_state.py simulate at the
+    sink level."""
+    import os
+
+    from manifold_spark.curation import (
+        curate_batch_incremental,
+        curation_models,
+        start_curation_stream,
+    )
+    from manifold_spark.operators.dedup import (
+        operator_cache_scope,
+        release_shingle_caches,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                r"((?:\S+ ){4}\S+) ", "$1.\n",
+            ),
+        )
+    )
+    knobs = dict(
+        min_words_per_line=5, min_kept_lines=3, require_terminal_punct=True,
+        lsh_threshold=0.3, pack_budget=256,
+    )
+    models = curation_models(docs)
+
+    with operator_cache_scope():
+        one_packed, _, _ = curate_batch_incremental(docs, models, None, **knobs)
+        one_ids = {r["doc_id"] for r in one_packed.collect()}
+
+    bounds = [(0, 128), (128, 256), (256, 384), (384, 1 << 60)]
+    src = str(tmp_path / "rcur-src")
+
+    def write_slice(i, lo, hi):
+        part = f"{src}/b{i}"
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(part)
+        for name in os.listdir(part):
+            os.utime(os.path.join(part, name), (4_000_000 + i * 100,) * 2)
+
+    out_path = str(tmp_path / "rcur-out")
+    state_dir = str(tmp_path / "rcur-state")
+    ckpt = str(tmp_path / "rcur-ckpt")
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = start_curation_stream(
+            stream, models, state_dir, out_path, ckpt,
+            available_now=True, **knobs,
+        )
+        q.awaitTermination(600)
+
+    # first query instance drains the first two slices, then stops
+    for i, (lo, hi) in enumerate(bounds[:2]):
+        write_slice(i, lo, hi)
+    run_available()
+    first_batches = {
+        int(r["batch_id"])
+        for r in spark.read.parquet(out_path).select("batch_id").collect()
+    }
+    assert first_batches == {0, 1}
+
+    # rest of the corpus arrives; a NEW query resumes from the checkpoint
+    for i, (lo, hi) in enumerate(bounds[2:], start=2):
+        write_slice(i, lo, hi)
+    run_available()
+    release_shingle_caches()
+
+    streamed = spark.read.parquet(out_path)
+    assert {
+        int(r["batch_id"]) for r in streamed.select("batch_id").collect()
+    } == {0, 1, 2, 3}
+    streamed_ids = {r["doc_id"] for r in streamed.select("doc_id").collect()}
+    assert streamed_ids == one_ids
+    assert len(streamed_ids) > 0
+
+
 def test_streaming_nb_classify_matches_batch(spark, sf_dir, tmp_path):
     """Stream-static NB classification (pretrained model, foreachBatch
     scoring) must land on exactly the batch `score_nb` rows when the doc
