@@ -678,6 +678,64 @@ def main() -> None:
     _sh.rmtree(store_root, ignore_errors=True)
     _sh.rmtree(cur_root, ignore_errors=True)
 
+    # r11: ANN-index-store tier (`operators/ann_store.AnnIndexStore`) —
+    # the disk-backed IVF(-PQ) cells. Build = initialize on the first
+    # third (codebooks + centroids FREEZE there — the production seed
+    # recipe) + two appends (the second crosses the compact_every=2
+    # boundary, so compaction mechanics are inside the measured build).
+    # Probes publish the PRUNED read files/bytes next to the state
+    # totals — the evidence that a probe reads O(nprobe cells) of the
+    # index, never the corpus; the PQ probe's `codes_bytes` vs the raw
+    # probe's `vecs_bytes` is the ~code-size compression the 100 TB ADC
+    # scan banks on. (Search-result equality to the in-memory operators
+    # is pinned in tests/test_ann_store.py — this tier measures cost.)
+    from manifold_spark.operators.ann_store import AnnIndexStore
+
+    ann_root = _itf.mkdtemp(prefix="bench-annstore-")
+    emb_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_vec = emb_full.count()
+    third = max(n_vec // 3, 1)
+    ann = AnnIndexStore(spark, f"{ann_root}/state", compact_every=2)
+    t0 = time.perf_counter()
+    ann.initialize(
+        emb_full.filter(F.col("vec_id") < third),
+        n_centroids=32, use_pq=True, sample_fraction=0.2,
+    )
+    ann.append(
+        emb_full.filter(
+            (F.col("vec_id") >= third) & (F.col("vec_id") < 2 * third)
+        )
+    )
+    ann.append(emb_full.filter(F.col("vec_id") >= 2 * third))
+    ann_build_sec = round(time.perf_counter() - t0, 3)
+    ann.collect_read_stats = True
+    ann_q = emb_full.filter(F.col("vec_id") < 16)
+    t0 = time.perf_counter()
+    ann.topk(ann_q, k=5, nprobe=4).write.format("noop").mode("overwrite").save()
+    ann_probe_ivf_sec = round(time.perf_counter() - t0, 3)
+    ann_ivf_reads = {k: int(v) for k, v in ann.read_stats.items()}
+    t0 = time.perf_counter()
+    ann.topk_pq(ann_q, k=5, nprobe=4).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    ann_probe_pq_sec = round(time.perf_counter() - t0, 3)
+    ann_pq_reads = {k: int(v) for k, v in ann.read_stats.items()}
+    ann_store_tier = {
+        "n_vectors": int(n_vec),
+        "n_centroids": 32,
+        "nprobe": 4,
+        "n_queries": 16,
+        "build_init_plus_2appends_sec": ann_build_sec,
+        "probe_ivf_sec": ann_probe_ivf_sec,
+        "probe_ivf_reads": ann_ivf_reads,
+        "probe_pq_sec": ann_probe_pq_sec,
+        "probe_pq_reads": ann_pq_reads,
+        **ann.state_totals(),
+    }
+    _sh.rmtree(ann_root, ignore_errors=True)
+
     # Quality tier (r6): recall of every approximate operator vs exact
     # brute-force ground truth — the gates prove hash-exactness vs an
     # oracle running the SAME approximation; this publishes how good the
@@ -913,6 +971,7 @@ def main() -> None:
         "scale30": scale30,
         "skew": skew,
         "incremental": incremental,
+        "ann_store": ann_store_tier,
         "quality": quality,
         "backfill": backfill,
         "multifile": multifile,

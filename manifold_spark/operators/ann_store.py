@@ -1,0 +1,448 @@
+"""Disk-backed IVF(-PQ) ANN index — the similarity-search twin of
+`curation.CurationState`: the index lives as parquet CELLS partitioned
+by coarse list id, so a probe reads O(nprobe cells) of state, never the
+corpus and never the whole index.
+
+This is the persistence layer the in-memory operators already
+anticipate: `similarity.topk_ivf(lists=…, centroids=…)` and
+`pq.topk_ivf_pq(encoded=…, codebooks=…, centroids=…)` accept
+pre-materialized indexes and REQUIRE the quantizer that built them —
+the store owns exactly that pairing (frozen quantizer + cell tables) on
+disk, with the `CurationState` versioning discipline:
+
+1. **Keyed versions + commit markers** — each `append` lands in
+   ``v{batch_id}`` (full-dir overwrite ⇒ idempotent under retry),
+   committed by an empty ``_COMMIT`` written LAST; readers ignore
+   uncommitted dirs.
+2. **Cell-partitioned layout** — every part is ``partitionBy`` the
+   coarse list id, ONE file per cell per version (repartition by the
+   partition column before write), so a query batch's probe reads
+   ``|probed cells| × |live versions|`` files. The partition value is
+   never trusted on read-back: ``centroid_id`` is stored as a DATA
+   column and the partition column is a derived copy (the ADVICE-r10
+   partition-type-inference lesson, applied from day one here).
+3. **Snapshot compaction** — after ``compact_every`` deltas, fold into
+   ``s{batch_id}``; superseded dirs GC at the NEXT append. The probe
+   glob is never more than ``compact_every`` deltas + one snapshot.
+
+The quantizer is FROZEN at `initialize` (the FAISS production recipe:
+train once, encode forever — retraining would silently invalidate every
+persisted cell assignment, the same contract `topk_ivf`/`topk_ivf_pq`
+enforce on their `lists`/`encoded` arguments). Appends encode new
+vectors against it: a stateless per-vector projection, so incremental ≡
+one-shot EXACTLY (pinned in tests/test_ann_store.py).
+
+100 TB shape: cells of PQ codes are ~64× smaller than the raw vectors
+(`use_pq=True` stores both: codes for the ADC scan, vectors cell-
+partitioned for the exact re-rank — the re-rank only ever touches
+probed cells, so it prunes identically). With thousands of coarse
+cells, a probe reads nprobe/n_cells of the state: the partition-pruning
+economics this store exists for, published per-probe via `read_stats`.
+
+Public technique: Jégou, Douze, Schmid 2011 (IVFADC); FAISS index
+persistence. No counterpart in /root/reference (the reference has no
+vector search); cited against SURVEY.md's LLM-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class AnnIndexStore:
+    """Persistent IVF(-PQ) index under ``state_dir``:
+
+    - ``quantizer/centroids/``  (id_col, vec_col) — the frozen coarse
+      quantizer (+ ``quantizer/meta.json``: dim, pq knobs, codebooks).
+    - ``v{n}/vecs/pc=*/``   (id, vec, centroid_id) per cell.
+    - ``v{n}/codes/pc=*/``  (id, codes, centroid_id) per cell (PQ only).
+    - ``s{n}/…``            compacted snapshots, same parts.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        compact_every: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.compact_every = compact_every
+        self.read_stats: dict[str, int] = {}
+        #: opt-in (bench flatness evidence) — same contract as
+        #: CurationState.collect_read_stats.
+        self.collect_read_stats = False
+        self._meta: dict | None = None
+
+    # -- quantizer ----------------------------------------------------------
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            with open(os.path.join(self.state_dir, "quantizer", "meta.json")) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    def centroids_df(self) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.state_dir, "quantizer", "centroids")
+        )
+
+    # -- versioning (CurationState discipline) -------------------------------
+
+    def _scan(self) -> tuple[list[int], list[int]]:
+        """Committed (snapshot_ids, delta_ids), ascending — uncommitted
+        and stray dirs invisible."""
+        snaps: list[int] = []
+        deltas: list[int] = []
+        if os.path.isdir(self.state_dir):
+            for name in os.listdir(self.state_dir):
+                m = re.fullmatch(r"([vs])(\d+)", name)
+                if m is None:
+                    continue
+                if not os.path.exists(os.path.join(self.state_dir, name, "_COMMIT")):
+                    continue
+                (snaps if m.group(1) == "s" else deltas).append(int(m.group(2)))
+        return sorted(snaps), sorted(deltas)
+
+    def _live_names(self) -> list[str]:
+        """Read horizon: the newest committed snapshot + every committed
+        delta after it (searches see ALL committed state — appends are
+        caller-sequenced, unlike CurationState's per-trigger horizon)."""
+        snaps, deltas = self._scan()
+        base = snaps[-1] if snaps else None
+        names = [f"v{d}" for d in deltas if base is None or d > base]
+        if base is not None:
+            names.insert(0, f"s{base}")
+        return names
+
+    def _gc_superseded(self) -> None:
+        """Remove dirs a committed snapshot supersedes — called at the
+        START of the next append (deferred one step so a retry of the
+        compacting append can still read its inputs)."""
+        snaps, deltas = self._scan()
+        if not snaps:
+            return
+        base = snaps[-1]
+        for name in [f"v{d}" for d in deltas if d <= base] + [
+            f"s{s}" for s in snaps if s < base
+        ]:
+            shutil.rmtree(os.path.join(self.state_dir, name), ignore_errors=True)
+
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        for _dirpath, _dirnames, filenames in os.walk(path):
+            if any(fn.endswith(".parquet") for fn in filenames):
+                return True
+        return False
+
+    # -- encode + write -------------------------------------------------------
+
+    def _encode_parts(self, batch: DataFrame) -> dict[str, DataFrame]:
+        """(part → frame) for one batch under the FROZEN quantizer.
+        Stateless per-vector projections — this is why incremental
+        appends compose to exactly the one-shot index."""
+        from manifold_spark.operators.pq import ivf_pq_index
+        from manifold_spark.operators.similarity import assign_centroids
+
+        meta = self.meta
+        cdf = self.centroids_df()
+        parts = {
+            "vecs": assign_centroids(
+                batch.select(self.id_col, self.vec_col),
+                cdf, meta["dim"], self.id_col, self.vec_col,
+            )
+        }
+        if meta["pq"]:
+            parts["codes"] = ivf_pq_index(
+                batch, meta["codebooks"], meta["dim"], cdf,
+                self.id_col, self.vec_col, residual=meta["residual"],
+            )
+        return parts
+
+    def _write_version(self, name: str, parts: dict[str, DataFrame]) -> None:
+        root = os.path.join(self.state_dir, name)
+        shutil.rmtree(root, ignore_errors=True)
+        for part, frame in parts.items():
+            # partition column = derived COPY of the data column; one
+            # file per cell (repartition by pc — see CurationState
+            # write_delta's small-file lesson).
+            proj = frame.withColumn("pc", F.col("centroid_id"))
+            proj.repartition(F.col("pc")).write.partitionBy("pc").mode(
+                "overwrite"
+            ).parquet(os.path.join(root, part))
+        with open(os.path.join(root, "_COMMIT"), "w"):
+            pass
+
+    def initialize(
+        self,
+        corpus: DataFrame,
+        n_centroids: int = 16,
+        centroids: DataFrame | None = None,
+        use_pq: bool = False,
+        m: int | None = None,
+        ksub: int | None = None,
+        iters: int = 2,
+        residual: bool = False,
+        sample_fraction: float | None = None,
+        codebooks: list | None = None,
+    ) -> "AnnIndexStore":
+        """Train/fix the quantizer on the seed corpus, write it frozen,
+        and append the corpus as version 0. Default centroids are the
+        first ``n_centroids`` corpus vectors by id (the `topk_ivf`
+        convention); pass Lloyd-trained ``centroids`` for tighter cells
+        and/or pre-trained ``codebooks`` (the production shape: the
+        quantizer trains on a SEED sample, then freezes — later appends
+        must see the identical quantizer or their cells silently
+        diverge, which is the whole reason it persists in the store)."""
+        from manifold_spark.operators.pq import (
+            PQ_KSUB,
+            PQ_M,
+            _residual_frame,
+            _sorted_cents,
+            pq_codebooks,
+        )
+
+        dim = int(
+            corpus.select(F.size(F.col(self.vec_col)).alias("d")).first()["d"]
+        )
+        if centroids is None:
+            centroids = corpus.orderBy(self.id_col).limit(n_centroids)
+        cents = centroids.select(self.id_col, self.vec_col)
+
+        meta: dict = {"dim": dim, "pq": bool(use_pq), "residual": bool(residual)}
+        if use_pq:
+            m = m if m is not None else PQ_M
+            ksub = ksub if ksub is not None else PQ_KSUB
+            if codebooks is None:
+                if residual:
+                    rf = _residual_frame(
+                        corpus, _sorted_cents(cents, self.id_col, self.vec_col),
+                        dim, cents.schema[self.id_col].dataType,
+                        self.id_col, self.vec_col,
+                    )
+                    codebooks = pq_codebooks(
+                        rf, dim, m, ksub, iters, self.id_col, "residual",
+                        sample_fraction,
+                        seed_filter=F.aggregate(
+                            F.col("residual"), F.lit(0.0), lambda a, x: a + x * x
+                        )
+                        > 0,
+                    )
+                else:
+                    codebooks = pq_codebooks(
+                        corpus, dim, m, ksub, iters, self.id_col, self.vec_col,
+                        sample_fraction,
+                    )
+            meta.update({"m": m, "ksub": ksub, "codebooks": codebooks})
+
+        qdir = os.path.join(self.state_dir, "quantizer")
+        shutil.rmtree(qdir, ignore_errors=True)
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(qdir, "centroids")
+        )
+        with open(os.path.join(qdir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        self._meta = None  # force re-read
+        self.append(corpus, batch_id=0)
+        return self
+
+    def append(self, batch: DataFrame, batch_id: int | None = None) -> int:
+        """Encode `batch` against the frozen quantizer and commit it as
+        ``v{batch_id}`` (next free id when None). Idempotent: a retry
+        with the same batch_id overwrites its own dir and re-marks.
+        Runs deferred GC first, compaction after. Contract: batch ids
+        are caller-sequenced ascending, and vector ids are UNIQUE across
+        appends (re-appending an id duplicates its index rows — dedup is
+        upstream's job, e.g. the curation store's first-seen gate)."""
+        self._gc_superseded()
+        if batch_id is None:
+            snaps, deltas = self._scan()
+            batch_id = max(snaps + deltas, default=-1) + 1
+        self._write_version(f"v{batch_id}", self._encode_parts(batch))
+        self._maybe_compact(batch_id)
+        return batch_id
+
+    def _maybe_compact(self, batch_id: int) -> None:
+        """Fold committed state into ``s{batch_id}`` once more than
+        ``compact_every`` deltas sit past the last snapshot. Idempotent
+        (committed snapshot ⇒ skip); empty parts skipped per-dir
+        (`_has_parquet` — the ADVICE-r10 empty-delta crash class);
+        ``centroid_id`` comes from the DATA columns, never the inferred
+        partition value."""
+        snaps, deltas = self._scan()
+        if batch_id in snaps:
+            return
+        base = snaps[-1] if snaps else None
+        live = [d for d in deltas if base is None or d > base]
+        if len(live) <= self.compact_every:
+            return
+        sources = ([f"s{base}"] if base is not None else []) + [
+            f"v{d}" for d in live
+        ]
+        data_cols = {"vecs": [self.id_col, self.vec_col, "centroid_id"]}
+        if self.meta["pq"]:
+            data_cols["codes"] = [self.id_col, "codes", "centroid_id"]
+        root = os.path.join(self.state_dir, f"s{batch_id}")
+        shutil.rmtree(root, ignore_errors=True)
+        for part, cols in data_cols.items():
+            frames = []
+            for src in sources:
+                p = os.path.join(self.state_dir, src, part)
+                if os.path.isdir(p) and self._has_parquet(p):
+                    frames.append(self.spark.read.parquet(p).select(*cols))
+            if not frames:
+                continue
+            merged = frames[0]
+            for fr in frames[1:]:
+                merged = merged.unionByName(fr)
+            proj = merged.withColumn("pc", F.col("centroid_id"))
+            proj.repartition(F.col("pc")).write.partitionBy("pc").mode(
+                "overwrite"
+            ).parquet(os.path.join(root, part))
+        with open(os.path.join(root, "_COMMIT"), "w"):
+            pass
+
+    # -- pruned reads ----------------------------------------------------------
+
+    def _leaf_dirs(self, part: str, cids: list | None) -> list[str]:
+        dirs: list[str] = []
+        for v in self._live_names():
+            root = os.path.join(self.state_dir, v, part)
+            if not os.path.isdir(root):
+                continue
+            if cids is None:
+                # Always hand Spark LEAF dirs: version roots would trip
+                # multi-root partition discovery (and we never want the
+                # inferred pc column anyway — centroid_id is in the data).
+                dirs.extend(
+                    os.path.join(root, name)
+                    for name in sorted(os.listdir(root))
+                    if name.startswith("pc=")
+                    and os.path.isdir(os.path.join(root, name))
+                )
+            else:
+                for cid in cids:
+                    d = os.path.join(root, f"pc={cid}")
+                    if os.path.isdir(d):
+                        dirs.append(d)
+        if self.collect_read_stats:
+            files = 0
+            size = 0
+            for d in dirs:
+                for dirpath, _dirnames, filenames in os.walk(d):
+                    for fn in filenames:
+                        if fn.endswith(".parquet"):
+                            files += 1
+                            size += os.path.getsize(os.path.join(dirpath, fn))
+            self.read_stats[f"{part}_files"] = (
+                self.read_stats.get(f"{part}_files", 0) + files
+            )
+            self.read_stats[f"{part}_bytes"] = (
+                self.read_stats.get(f"{part}_bytes", 0) + size
+            )
+        return dirs
+
+    def read_cells(self, part: str, cids: list | None = None) -> DataFrame | None:
+        """The given cells of `part` across the live read horizon —
+        data columns only (pc dropped: leaf-dir reads never touch
+        partition inference)."""
+        dirs = self._leaf_dirs(part, cids)
+        if not dirs:
+            return None
+        cols = {
+            "vecs": [self.id_col, self.vec_col, "centroid_id"],
+            "codes": [self.id_col, "codes", "centroid_id"],
+        }[part]
+        return self.spark.read.parquet(*dirs).select(*cols)
+
+    def state_totals(self) -> dict[str, int]:
+        files = 0
+        size = 0
+        for name in self._live_names():
+            for dirpath, _dirnames, filenames in os.walk(
+                os.path.join(self.state_dir, name)
+            ):
+                for fn in filenames:
+                    if fn.endswith(".parquet"):
+                        files += 1
+                        size += os.path.getsize(os.path.join(dirpath, fn))
+        return {"state_total_files": files, "state_total_bytes": size}
+
+    # -- search ------------------------------------------------------------------
+
+    def _probe_cids(self, queries: DataFrame, nprobe: int) -> list:
+        """The union of every query's nprobe nearest cells — computed
+        with `assign_centroids` itself (the SAME column expression and
+        tie-break scoring uses), so the pruned read can never disagree
+        with the in-memory operator's probe set. Driver collect is
+        bounded by |queries|·nprobe (queries are a batch by contract)."""
+        from manifold_spark.operators.similarity import assign_centroids
+
+        probes = assign_centroids(
+            queries.select(self.id_col, self.vec_col),
+            self.centroids_df(), self.meta["dim"],
+            self.id_col, self.vec_col, rank_limit=nprobe,
+        )
+        return sorted(
+            r["centroid_id"]
+            for r in probes.select("centroid_id").distinct().collect()
+        )
+
+    def topk(self, queries: DataFrame, k: int = 5, nprobe: int = 4) -> DataFrame:
+        """IVF top-k against the stored index ≡
+        `similarity.topk_ivf(queries, corpus, …)` over the appended
+        corpus (pinned) — but the scan reads ONLY the probed cells."""
+        from manifold_spark.operators.similarity import topk_ivf
+
+        self.read_stats = {}
+        cids = self._probe_cids(queries, nprobe)
+        lists = self.read_cells("vecs", cids)
+        if lists is None:
+            raise ValueError("empty index — initialize()/append() first")
+        return topk_ivf(
+            queries, corpus=None, dim=self.meta["dim"], k=k, nprobe=nprobe,
+            id_col=self.id_col, vec_col=self.vec_col,
+            centroids=self.centroids_df(), lists=lists,
+        )
+
+    def topk_pq(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        n_candidates: int | None = None,
+    ) -> DataFrame:
+        """IVF-PQ top-k against the stored codes ≡
+        `pq.topk_ivf_pq(…, encoded=one-shot index)` (pinned). The ADC
+        scan reads only the probed cells' CODES; the exact re-rank reads
+        only the probed cells' vectors (every candidate lives in a
+        probed cell, so the pruned re-rank side is sufficient)."""
+        from manifold_spark.operators.pq import topk_ivf_pq
+
+        meta = self.meta
+        if not meta["pq"]:
+            raise ValueError("store was initialized without use_pq=True")
+        self.read_stats = {}
+        cids = self._probe_cids(queries, nprobe)
+        codes = self.read_cells("codes", cids)
+        vecs = self.read_cells("vecs", cids)
+        if codes is None or vecs is None:
+            raise ValueError("empty index — initialize()/append() first")
+        return topk_ivf_pq(
+            queries, corpus=vecs.select(self.id_col, self.vec_col),
+            dim=meta["dim"], k=k, nprobe=nprobe, n_candidates=n_candidates,
+            codebooks=meta["codebooks"], centroids=self.centroids_df(),
+            encoded=codes, id_col=self.id_col, vec_col=self.vec_col,
+            residual=meta["residual"],
+        )

@@ -1,0 +1,169 @@
+"""AnnIndexStore pins: the disk-backed IVF(-PQ) index must be EXACTLY
+the in-memory operator over the appended corpus (same quantizer ⇒ same
+cells ⇒ same candidates ⇒ bit-identical cosines), its probe reads must
+prune to the probed cells, and its versioning (commit markers /
+compaction / GC / retry) must follow the CurationState discipline."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from manifold_spark.operators.ann_store import AnnIndexStore
+from manifold_spark.operators.pq import topk_ivf_pq
+from manifold_spark.operators.similarity import topk_ivf
+
+DIM = 64
+N_CENTROIDS = 16
+K = 5
+NPROBE = 4
+N_QUERIES = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < N_QUERIES)
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in df.collect()
+    )
+
+
+def test_store_topk_matches_in_memory(spark, emb, queries, tmp_path):
+    store = AnnIndexStore(spark, str(tmp_path / "ann")).initialize(
+        emb, n_centroids=N_CENTROIDS
+    )
+    got = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    want = _rows(
+        topk_ivf(queries, emb, DIM, k=K, n_centroids=N_CENTROIDS, nprobe=NPROBE)
+    )
+    assert got == want
+    assert len(got) == N_QUERIES * K
+
+
+def test_append_split_invariance(spark, emb, queries, tmp_path):
+    """Appending the corpus in 3 id-ordered batches ≡ one shot: encoding
+    under a FROZEN quantizer is a stateless per-vector projection, so
+    the composed index — and every search over it — is identical."""
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+
+    one = AnnIndexStore(spark, str(tmp_path / "one")).initialize(
+        emb, centroids=cents
+    )
+    split = AnnIndexStore(spark, str(tmp_path / "split"))
+    b0 = emb.filter(F.col("vec_id") < 170)
+    split.initialize(b0, centroids=cents)
+    split.append(emb.filter((F.col("vec_id") >= 170) & (F.col("vec_id") < 340)))
+    split.append(emb.filter(F.col("vec_id") >= 340))
+
+    got = _rows(split.topk(queries, k=K, nprobe=NPROBE))
+    assert got == _rows(one.topk(queries, k=K, nprobe=NPROBE))
+
+    # State content equality too, not just search results.
+    def idx_rows(store):
+        return sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in store.read_cells("vecs").select("vec_id", "centroid_id").collect()
+        )
+
+    assert idx_rows(split) == idx_rows(one)
+
+
+def test_store_topk_pq_matches_in_memory(spark, emb, queries, tmp_path):
+    store = AnnIndexStore(spark, str(tmp_path / "pq")).initialize(
+        emb, n_centroids=N_CENTROIDS, use_pq=True, residual=True
+    )
+    got = _rows(store.topk_pq(queries, k=K, nprobe=NPROBE))
+    want = _rows(
+        topk_ivf_pq(
+            queries, emb, DIM, k=K, nprobe=NPROBE,
+            codebooks=store.meta["codebooks"], centroids=store.centroids_df(),
+            residual=True,
+        )
+    )
+    assert got == want
+    assert len(got) == N_QUERIES * K
+
+
+def test_probe_reads_only_probed_cells(spark, emb, queries, tmp_path):
+    store = AnnIndexStore(spark, str(tmp_path / "pr")).initialize(
+        emb, n_centroids=N_CENTROIDS
+    )
+    store.collect_read_stats = True
+    # nprobe=1 with 8 queries bounds the probe set at 8 of 16 cells, so
+    # the "strictly less than the whole state" assertions cannot flake.
+    store.topk(queries, k=K, nprobe=1)
+    cids = store._probe_cids(queries, 1)
+    # one file per cell per live version (one version here)
+    assert 0 < store.read_stats["vecs_files"] <= len(cids)
+    assert len(cids) <= N_QUERIES < N_CENTROIDS  # the probe really pruned
+    totals = store.state_totals()
+    assert store.read_stats["vecs_bytes"] < totals["state_total_bytes"]
+
+
+def test_compaction_gc_retry_and_empty_batch(spark, emb, queries, tmp_path):
+    """Sequenced appends with compact_every=2: compaction folds into
+    s{n}, a LATER append GCs superseded dirs (deferred one step), the
+    live read glob stays bounded, an EMPTY batch inside a compaction
+    window is skipped per-part (the ADVICE-r10 empty-delta crash
+    class), and a retried append converges to the same search results."""
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+    store = AnnIndexStore(spark, str(tmp_path / "c"), compact_every=2)
+    slices = [
+        emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 80))
+        for lo in range(0, 480, 80)
+    ]
+    empty = emb.filter(F.lit(False))
+
+    # v0(init) v1 v2 → compacts s2 | v3(EMPTY) v4 — the empty delta sits
+    # inside the NEXT compaction window (s5 below folds across it).
+    store.initialize(slices[0], centroids=cents)
+    store.append(slices[1])  # v1
+    store.append(slices[2])  # v2 → s2
+    snaps, _deltas = store._scan()
+    assert snaps == [2], "compaction never engaged"
+    store.append(empty)  # v3 — empty delta
+    store.append(slices[3])  # v4
+    assert len(store._live_names()) <= store.compact_every + 1
+
+    before = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+
+    # retry: re-append the last batch with the SAME id (redelivery)
+    store.append(slices[3], batch_id=4)
+    after = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    assert after == before
+
+    # v5 folds {s2, v3(empty), v4, v5} into s5 (empty part SKIPPED, not
+    # crashed); the append AFTER that GCs every superseded dir.
+    store.append(slices[4])  # v5 → s5
+    assert store._scan()[0][-1] == 5
+    store.append(slices[5])  # v6 — GC of s2/v3/v4/v5 runs here
+    base = 5
+    for name in os.listdir(store.state_dir):
+        if name.startswith("v") and name[1:].isdigit():
+            assert int(name[1:]) > base or not os.path.exists(
+                os.path.join(store.state_dir, name, "_COMMIT")
+            ), f"superseded {name} survived GC"
+    assert not os.path.isdir(os.path.join(store.state_dir, "s2"))
+
+    # and the fully-appended store still equals the in-memory operator
+    corpus = emb.filter(F.col("vec_id") < 480)
+    got = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    want = _rows(
+        topk_ivf(queries, corpus, DIM, k=K, nprobe=NPROBE, centroids=cents)
+    )
+    assert got == want
