@@ -446,3 +446,62 @@ class AnnIndexStore:
             encoded=codes, id_col=self.id_col, vec_col=self.vec_col,
             residual=meta["residual"],
         )
+
+
+def ann_index_sink(
+    state_dir: str,
+    base_version: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int = 4,
+):
+    """foreachBatch sink appending an embedding stream into an
+    `AnnIndexStore` that was ALREADY `initialize`d on a seed corpus (the
+    quantizer must exist and be frozen before the stream starts).
+
+    Version mapping is DETERMINISTIC: trigger ``batch_id`` lands in
+    ``v{batch_id + base_version}`` — never derived from what is on disk,
+    because a replayed trigger (crash after the version committed but
+    before the engine's checkpoint commit) must overwrite ITS OWN dir,
+    and any scan-derived offset would shift under exactly that replay.
+    Set ``base_version`` above the highest pre-stream version (the
+    default 1 clears `initialize`'s v0)."""
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        store = AnnIndexStore(
+            batch.sparkSession, state_dir,
+            id_col=id_col, vec_col=vec_col, compact_every=compact_every,
+        )
+        store.append(batch, batch_id=batch_id + base_version)
+
+    return sink
+
+
+def start_ann_index_stream(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    processing_time: str | None = None,
+    **sink_knobs,
+):
+    """Deploy continuous ANN-index ingestion as a Structured Streaming
+    query — the `start_curation_stream` twin for embeddings:
+
+        readStream(...) → foreachBatch(ann_index_sink) with a CHECKPOINT
+
+    The checkpoint + the sink's deterministic version mapping make
+    restarts exactly-once at the index level: a replayed trigger
+    rewrites its own committed version (same bytes — encoding under the
+    frozen quantizer is deterministic), a new query instance on the same
+    checkpoint resumes batch ids without reprocessing drained input
+    (pinned in tests/test_ann_store.py::test_ann_stream_restart_resumes)."""
+    sink = ann_index_sink(state_dir, **sink_knobs)
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

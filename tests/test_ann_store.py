@@ -167,3 +167,62 @@ def test_compaction_gc_retry_and_empty_batch(spark, emb, queries, tmp_path):
         topk_ivf(queries, corpus, DIM, k=K, nprobe=NPROBE, centroids=cents)
     )
     assert got == want
+
+
+def test_ann_stream_restart_resumes(spark, emb, queries, tmp_path):
+    """`start_ann_index_stream` on a checkpoint, killed mid-corpus and
+    restarted as a NEW query instance: batch ids resume (drained files
+    are not reprocessed), every stream version lands at its
+    deterministic `batch_id + base_version` slot, and the final index
+    searches exactly like the one-shot in-memory operator over the full
+    corpus."""
+    from manifold_spark.operators.ann_store import start_ann_index_stream
+
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+    state_dir = str(tmp_path / "astream-state")
+    ckpt = str(tmp_path / "astream-ckpt")
+    src = str(tmp_path / "astream-src")
+
+    # seed: first 100 vectors initialize (and freeze) the quantizer → v0
+    seed = emb.filter(F.col("vec_id") < 100)
+    AnnIndexStore(spark, state_dir).initialize(seed, centroids=cents)
+
+    bounds = [(100, 200), (200, 300), (300, 400), (400, 1 << 60)]
+
+    def write_slice(i, lo, hi):
+        part = f"{src}/b{i}"
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(part)
+        for name in os.listdir(part):
+            os.utime(os.path.join(part, name), (4_000_000 + i * 100,) * 2)
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(seed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = start_ann_index_stream(
+            stream, state_dir, ckpt, available_now=True
+        )
+        q.awaitTermination(600)
+
+    # first instance drains two slices → v1, v2
+    for i, (lo, hi) in enumerate(bounds[:2]):
+        write_slice(i, lo, hi)
+    run_available()
+    store = AnnIndexStore(spark, state_dir)
+    snaps, deltas = store._scan()
+    assert set(deltas) | {s for s in snaps} >= {0, 1, 2}
+
+    # rest arrives; a NEW query instance resumes from the checkpoint
+    for i, (lo, hi) in enumerate(bounds[2:], start=2):
+        write_slice(i, lo, hi)
+    run_available()
+
+    got = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    want = _rows(
+        topk_ivf(queries, emb, DIM, k=K, nprobe=NPROBE, centroids=cents)
+    )
+    assert got == want
