@@ -627,23 +627,12 @@ class CurationState:
     def _scan(self) -> tuple[list[int], list[int]]:
         """Committed (snapshot_ids, delta_ids), ascending. Uncommitted
         dirs and stray names are invisible (ADVICE r9: a partial version
-        dir left by a crash must not break the next trigger)."""
-        import os
-        import re
+        dir left by a crash must not break the next trigger). Shared
+        contract with every versioned parquet store:
+        `manifold_spark.versioned_store`."""
+        from manifold_spark.versioned_store import scan_committed
 
-        snaps: list[int] = []
-        deltas: list[int] = []
-        if os.path.isdir(self.state_dir):
-            for name in os.listdir(self.state_dir):
-                m = re.fullmatch(r"([vs])(\d+)", name)
-                if m is None:
-                    continue
-                if not os.path.exists(
-                    os.path.join(self.state_dir, name, "_COMMIT")
-                ):
-                    continue
-                (snaps if m.group(1) == "s" else deltas).append(int(m.group(2)))
-        return sorted(snaps), sorted(deltas)
+        return scan_committed(self.state_dir)
 
     def begin_batch(self, batch_id: int) -> None:
         """Pin the trigger's read horizon (< batch_id), GC dirs that a
@@ -694,14 +683,9 @@ class CurationState:
                     if os.path.isdir(d):
                         dirs.append(d)
         if self.collect_read_stats:
-            files = 0
-            size = 0
-            for d in dirs:
-                for dirpath, _dirnames, filenames in os.walk(d):
-                    for fn in filenames:
-                        if fn.endswith(".parquet"):
-                            files += 1
-                            size += os.path.getsize(os.path.join(dirpath, fn))
+            from manifold_spark.versioned_store import walk_parquet_stats
+
+            files, size = walk_parquet_stats(dirs)
             self.read_stats[f"{part}_files"] = (
                 self.read_stats.get(f"{part}_files", 0) + files
             )
@@ -827,32 +811,25 @@ class CurationState:
         explicitly (read ≤ total; the gap is what pruning saved)."""
         import os
 
-        files = 0
-        size = 0
+        from manifold_spark.versioned_store import walk_parquet_stats
+
         snaps, deltas = self._scan()
-        for name in [f"s{s}" for s in snaps] + [f"v{d}" for d in deltas]:
-            for dirpath, _dirnames, filenames in os.walk(
+        files, size = walk_parquet_stats(
+            [
                 os.path.join(self.state_dir, name)
-            ):
-                for fn in filenames:
-                    if fn.endswith(".parquet"):
-                        files += 1
-                        size += os.path.getsize(os.path.join(dirpath, fn))
+                for name in [f"s{s}" for s in snaps] + [f"v{d}" for d in deltas]
+            ]
+        )
         return {"state_total_files": files, "state_total_bytes": size}
 
     @staticmethod
     def _has_parquet(path: str) -> bool:
-        """True iff the dir holds at least one parquet file. An EMPTY
-        delta (fully-duplicate micro-batch) writes only _SUCCESS — no
-        partition dirs, no parquet — and a schema-less read of such a
-        dir throws UNABLE_TO_INFER_SCHEMA (ADVICE r10: killed any
-        compaction window spanning it)."""
-        import os
+        """True iff the dir holds at least one parquet file (the
+        ADVICE-r10 empty-delta guard — shared contract:
+        `versioned_store.has_parquet`)."""
+        from manifold_spark.versioned_store import has_parquet
 
-        for dirpath, _dirnames, filenames in os.walk(path):
-            if any(fn.endswith(".parquet") for fn in filenames):
-                return True
-        return False
+        return has_parquet(path)
 
     def write_delta(self, batch_id: int, deltas: dict) -> None:
         """Persist the batch's O(batch) state delta as ``v{batch_id}``:
@@ -891,8 +868,9 @@ class CurationState:
 
         with ThreadPoolExecutor(max_workers=len(parts)) as pool:
             list(pool.map(_write, parts.items()))
-        with open(os.path.join(root, "_COMMIT"), "w"):
-            pass
+        from manifold_spark.versioned_store import write_commit_marker
+
+        write_commit_marker(root)
 
     def maybe_compact(self, batch_id: int) -> None:
         """Fold the live deltas (+ previous snapshot) into
@@ -958,8 +936,9 @@ class CurationState:
                     ("hashes", "mh_entries", "mh_shingles", "mh_sizes"),
                 )
             )
-        with open(os.path.join(root, "_COMMIT"), "w"):
-            pass
+        from manifold_spark.versioned_store import write_commit_marker
+
+        write_commit_marker(root)
 
 
 def start_curation_stream(

@@ -54,6 +54,13 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from manifold_spark.versioned_store import (
+    has_parquet,
+    scan_committed,
+    walk_parquet_stats,
+    write_commit_marker,
+)
+
 
 class AnnIndexStore:
     """Persistent IVF(-PQ) index under ``state_dir``:
@@ -63,6 +70,16 @@ class AnnIndexStore:
     - ``v{n}/vecs/pc=*/``   (id, vec, centroid_id) per cell.
     - ``v{n}/codes/pc=*/``  (id, codes, centroid_id) per cell (PQ only).
     - ``s{n}/…``            compacted snapshots, same parts.
+
+    Concurrency contract (same stand-in status as `CurationState`'s
+    local-FS layout): ONE writer, and search DataFrames must be consumed
+    before the next append — compaction GC deletes superseded dirs, and
+    a lazy plan holding pre-GC leaf paths would hit FileNotFound
+    mid-scan. `topk`/`topk_pq` resolve paths at call time, so
+    call-search-consume inside one append interval is safe; serving
+    queries concurrently with ingestion needs the snapshot isolation a
+    keyed Delta/Iceberg table provides (this store is its plain-parquet
+    twin, documented in SCALING.md).
     """
 
     def __init__(
@@ -83,6 +100,7 @@ class AnnIndexStore:
         #: CurationState.collect_read_stats.
         self.collect_read_stats = False
         self._meta: dict | None = None
+        self._encoded_cache: DataFrame | None = None
 
     # -- quantizer ----------------------------------------------------------
 
@@ -102,18 +120,8 @@ class AnnIndexStore:
 
     def _scan(self) -> tuple[list[int], list[int]]:
         """Committed (snapshot_ids, delta_ids), ascending — uncommitted
-        and stray dirs invisible."""
-        snaps: list[int] = []
-        deltas: list[int] = []
-        if os.path.isdir(self.state_dir):
-            for name in os.listdir(self.state_dir):
-                m = re.fullmatch(r"([vs])(\d+)", name)
-                if m is None:
-                    continue
-                if not os.path.exists(os.path.join(self.state_dir, name, "_COMMIT")):
-                    continue
-                (snaps if m.group(1) == "s" else deltas).append(int(m.group(2)))
-        return sorted(snaps), sorted(deltas)
+        and stray dirs invisible (shared contract: `versioned_store`)."""
+        return scan_committed(self.state_dir)
 
     def _live_names(self) -> list[str]:
         """Read horizon: the newest committed snapshot + every committed
@@ -139,36 +147,44 @@ class AnnIndexStore:
         ]:
             shutil.rmtree(os.path.join(self.state_dir, name), ignore_errors=True)
 
-    @staticmethod
-    def _has_parquet(path: str) -> bool:
-        for _dirpath, _dirnames, filenames in os.walk(path):
-            if any(fn.endswith(".parquet") for fn in filenames):
-                return True
-        return False
+    _has_parquet = staticmethod(has_parquet)
 
     # -- encode + write -------------------------------------------------------
 
     def _encode_parts(self, batch: DataFrame) -> dict[str, DataFrame]:
         """(part → frame) for one batch under the FROZEN quantizer.
         Stateless per-vector projections — this is why incremental
-        appends compose to exactly the one-shot index."""
+        appends compose to exactly the one-shot index.
+
+        PQ stores encode in ONE zero-shuffle scan: `ivf_pq_index`
+        already computes the coarse cell scan-side, so the vecs part
+        reuses its centroid_id (same (dot desc, cid asc) tie-break as
+        `assign_centroids` — the pq.py positional-argmax contract)
+        instead of paying a second scoring pass + groupBy shuffle per
+        trigger. The encoded frame persists for the two part writes and
+        is released after (`append` unpersists)."""
         from manifold_spark.operators.pq import ivf_pq_index
         from manifold_spark.operators.similarity import assign_centroids
 
         meta = self.meta
         cdf = self.centroids_df()
-        parts = {
+        if meta["pq"]:
+            enc = ivf_pq_index(
+                batch, meta["codebooks"], meta["dim"], cdf,
+                self.id_col, self.vec_col, residual=meta["residual"],
+                extra_cols=(self.vec_col,),
+            ).persist()
+            self._encoded_cache = enc
+            return {
+                "vecs": enc.select(self.id_col, self.vec_col, "centroid_id"),
+                "codes": enc.select(self.id_col, "codes", "centroid_id"),
+            }
+        return {
             "vecs": assign_centroids(
                 batch.select(self.id_col, self.vec_col),
                 cdf, meta["dim"], self.id_col, self.vec_col,
             )
         }
-        if meta["pq"]:
-            parts["codes"] = ivf_pq_index(
-                batch, meta["codebooks"], meta["dim"], cdf,
-                self.id_col, self.vec_col, residual=meta["residual"],
-            )
-        return parts
 
     def _write_version(self, name: str, parts: dict[str, DataFrame]) -> None:
         root = os.path.join(self.state_dir, name)
@@ -181,8 +197,7 @@ class AnnIndexStore:
             proj.repartition(F.col("pc")).write.partitionBy("pc").mode(
                 "overwrite"
             ).parquet(os.path.join(root, part))
-        with open(os.path.join(root, "_COMMIT"), "w"):
-            pass
+        write_commit_marker(root)
 
     def initialize(
         self,
@@ -196,6 +211,7 @@ class AnnIndexStore:
         residual: bool = False,
         sample_fraction: float | None = None,
         codebooks: list | None = None,
+        overwrite: bool = False,
     ) -> "AnnIndexStore":
         """Train/fix the quantizer on the seed corpus, write it frozen,
         and append the corpus as version 0. Default centroids are the
@@ -204,7 +220,13 @@ class AnnIndexStore:
         and/or pre-trained ``codebooks`` (the production shape: the
         quantizer trains on a SEED sample, then freezes — later appends
         must see the identical quantizer or their cells silently
-        diverge, which is the whole reason it persists in the store)."""
+        diverge, which is the whole reason it persists in the store).
+
+        Refuses a ``state_dir`` that already holds committed versions
+        unless ``overwrite=True`` (which wipes them): a new quantizer
+        invalidates every existing cell assignment, and the versioning
+        horizon would otherwise HIDE the new v0 behind an old snapshot —
+        silently serving old-quantizer cells."""
         from manifold_spark.operators.pq import (
             PQ_KSUB,
             PQ_M,
@@ -213,12 +235,41 @@ class AnnIndexStore:
             pq_codebooks,
         )
 
+        snaps, deltas = self._scan()
+        if snaps or deltas:
+            if not overwrite:
+                raise ValueError(
+                    f"{self.state_dir} already holds committed index "
+                    "versions; initialize(overwrite=True) to retrain the "
+                    "quantizer and rebuild (existing cells would be "
+                    "invalid under a new quantizer)"
+                )
+            for name in [f"s{s}" for s in snaps] + [f"v{d}" for d in deltas]:
+                shutil.rmtree(
+                    os.path.join(self.state_dir, name), ignore_errors=True
+                )
+
         dim = int(
             corpus.select(F.size(F.col(self.vec_col)).alias("d")).first()["d"]
         )
         if centroids is None:
             centroids = corpus.orderBy(self.id_col).limit(n_centroids)
         cents = centroids.select(self.id_col, self.vec_col)
+        # Partition-dir safety: pruned reads address cells as literal
+        # ``pc={cid}`` paths WITHOUT Spark's partition-value percent-
+        # escaping, so centroid ids must be path-literal-safe. Integral
+        # ids (every corpus in this repo) always are; reject anything
+        # else loudly instead of silently missing escaped dirs later.
+        unsafe = [
+            r[0]
+            for r in cents.select(self.id_col).collect()
+            if not re.fullmatch(r"[0-9A-Za-z_.\-]+", str(r[0]))
+        ]
+        if unsafe:
+            raise ValueError(
+                "centroid ids must match [0-9A-Za-z_.-]+ to be used as "
+                f"literal partition dir names; offending ids: {unsafe[:5]}"
+            )
 
         meta: dict = {"dim": dim, "pq": bool(use_pq), "residual": bool(residual)}
         if use_pq:
@@ -269,7 +320,13 @@ class AnnIndexStore:
         if batch_id is None:
             snaps, deltas = self._scan()
             batch_id = max(snaps + deltas, default=-1) + 1
-        self._write_version(f"v{batch_id}", self._encode_parts(batch))
+        self._encoded_cache = None
+        try:
+            self._write_version(f"v{batch_id}", self._encode_parts(batch))
+        finally:
+            if self._encoded_cache is not None:
+                self._encoded_cache.unpersist()
+                self._encoded_cache = None
         self._maybe_compact(batch_id)
         return batch_id
 
@@ -310,8 +367,7 @@ class AnnIndexStore:
             proj.repartition(F.col("pc")).write.partitionBy("pc").mode(
                 "overwrite"
             ).parquet(os.path.join(root, part))
-        with open(os.path.join(root, "_COMMIT"), "w"):
-            pass
+        write_commit_marker(root)
 
     # -- pruned reads ----------------------------------------------------------
 
@@ -337,14 +393,7 @@ class AnnIndexStore:
                     if os.path.isdir(d):
                         dirs.append(d)
         if self.collect_read_stats:
-            files = 0
-            size = 0
-            for d in dirs:
-                for dirpath, _dirnames, filenames in os.walk(d):
-                    for fn in filenames:
-                        if fn.endswith(".parquet"):
-                            files += 1
-                            size += os.path.getsize(os.path.join(dirpath, fn))
+            files, size = walk_parquet_stats(dirs)
             self.read_stats[f"{part}_files"] = (
                 self.read_stats.get(f"{part}_files", 0) + files
             )
@@ -367,49 +416,93 @@ class AnnIndexStore:
         return self.spark.read.parquet(*dirs).select(*cols)
 
     def state_totals(self) -> dict[str, int]:
-        files = 0
-        size = 0
-        for name in self._live_names():
-            for dirpath, _dirnames, filenames in os.walk(
-                os.path.join(self.state_dir, name)
-            ):
-                for fn in filenames:
-                    if fn.endswith(".parquet"):
-                        files += 1
-                        size += os.path.getsize(os.path.join(dirpath, fn))
+        files, size = walk_parquet_stats(
+            [os.path.join(self.state_dir, n) for n in self._live_names()]
+        )
         return {"state_total_files": files, "state_total_bytes": size}
 
     # -- search ------------------------------------------------------------------
 
     def _probe_cids(self, queries: DataFrame, nprobe: int) -> list:
-        """The union of every query's nprobe nearest cells — computed
-        with `assign_centroids` itself (the SAME column expression and
-        tie-break scoring uses), so the pruned read can never disagree
-        with the in-memory operator's probe set. Driver collect is
-        bounded by |queries|·nprobe (queries are a batch by contract)."""
-        from manifold_spark.operators.similarity import assign_centroids
+        """The union of every query's nprobe nearest cells, computed
+        DRIVER-SIDE (two bounded collects — the centroid table is
+        cell-count-sized, the query batch is driver-sized by contract)
+        with the exact `topk_ivf_pq` probe recipe: left-associated
+        double dots, (dot desc, cid asc) tie-break. That is bit-
+        identical to the `assign_centroids` column expression (same
+        IEEE-double op order over the same float32→double values — the
+        repo-wide determinism contract `linalg.py` documents and the
+        store's equality pins exercise), so the pruned read can never
+        disagree with scoring's probe set — without paying a Spark job
+        per search just to rank nprobe centroids."""
+        import functools
+        import operator
 
-        probes = assign_centroids(
-            queries.select(self.id_col, self.vec_col),
-            self.centroids_df(), self.meta["dim"],
-            self.id_col, self.vec_col, rank_limit=nprobe,
+        from manifold_spark.operators.pq import _sorted_cents
+
+        cents = _sorted_cents(self.centroids_df(), self.id_col, self.vec_col)
+        q_vecs = [
+            [float(v) for v in r["qv"]]
+            for r in queries.select(F.col(self.vec_col).alias("qv")).collect()
+        ]
+        cids: set = set()
+        for vec in q_vecs:
+            dots = sorted(
+                (
+                    -functools.reduce(
+                        operator.add, (v * c for v, c in zip(vec, cvec))
+                    ),
+                    cid,
+                )
+                for cid, cvec in cents
+            )[:nprobe]
+            cids.update(cid for _negdot, cid in dots)
+        return sorted(cids)
+
+    def _empty_result(self, queries: DataFrame) -> DataFrame:
+        """Zero-row frame in the `topk_bruteforce` result contract — what
+        the in-memory operator returns when no candidate scores (empty
+        query batch, or every probed cell empty)."""
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
         )
-        return sorted(
-            r["centroid_id"]
-            for r in probes.select("centroid_id").distinct().collect()
+
+        id_type = queries.schema[self.id_col].dataType
+        return self.spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", id_type),
+                    StructField("neighbor_id", id_type),
+                    StructField("rank", IntegerType()),
+                    StructField("cosine", DoubleType()),
+                ]
+            ),
         )
+
+    def _require_nonempty(self) -> None:
+        snaps, deltas = self._scan()
+        if not snaps and not deltas:
+            raise ValueError("empty index — initialize()/append() first")
 
     def topk(self, queries: DataFrame, k: int = 5, nprobe: int = 4) -> DataFrame:
         """IVF top-k against the stored index ≡
         `similarity.topk_ivf(queries, corpus, …)` over the appended
-        corpus (pinned) — but the scan reads ONLY the probed cells."""
+        corpus (pinned) — but the scan reads ONLY the probed cells. An
+        empty PROBE (no queries, or every probed cell empty) returns an
+        empty frame, matching the in-memory operator; an index with no
+        committed versions at all is a usage error and raises."""
         from manifold_spark.operators.similarity import topk_ivf
 
+        self._require_nonempty()
         self.read_stats = {}
         cids = self._probe_cids(queries, nprobe)
-        lists = self.read_cells("vecs", cids)
+        lists = self.read_cells("vecs", cids) if cids else None
         if lists is None:
-            raise ValueError("empty index — initialize()/append() first")
+            return self._empty_result(queries)
         return topk_ivf(
             queries, corpus=None, dim=self.meta["dim"], k=k, nprobe=nprobe,
             id_col=self.id_col, vec_col=self.vec_col,
@@ -433,12 +526,13 @@ class AnnIndexStore:
         meta = self.meta
         if not meta["pq"]:
             raise ValueError("store was initialized without use_pq=True")
+        self._require_nonempty()
         self.read_stats = {}
         cids = self._probe_cids(queries, nprobe)
-        codes = self.read_cells("codes", cids)
-        vecs = self.read_cells("vecs", cids)
+        codes = self.read_cells("codes", cids) if cids else None
+        vecs = self.read_cells("vecs", cids) if cids else None
         if codes is None or vecs is None:
-            raise ValueError("empty index — initialize()/append() first")
+            return self._empty_result(queries)
         return topk_ivf_pq(
             queries, corpus=vecs.select(self.id_col, self.vec_col),
             dim=meta["dim"], k=k, nprobe=nprobe, n_candidates=n_candidates,

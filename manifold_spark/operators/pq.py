@@ -546,8 +546,10 @@ def _residual_frame(
     cid_type,
     id_col: str,
     vec_col: str,
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """(id, centroid_id, residual array<double>) — one zero-shuffle pass:
+    """(id, centroid_id, residual array<double>, *extra_cols) — one
+    zero-shuffle pass:
     scan-side argmax picks the coarse list POSITION (cents is cid-sorted,
     so (dot desc, pos asc) ≡ the assign_centroids (dot desc, cid asc)
     tie-break), then positional literal lookups produce the centroid id
@@ -573,7 +575,10 @@ def _residual_frame(
         *[F.array(*[F.lit(float(v)) for v in cvec]) for _cid, cvec in cents]
     )
     staged = ensure_parallelism(corpus).select(
-        F.col(id_col), F.col(vec_col).alias("_vec"), pos.alias("_cpos")
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.col(vec_col).alias("_vec"),
+        pos.alias("_cpos"),
     )
     return staged.select(
         F.col(id_col),
@@ -583,6 +588,7 @@ def _residual_frame(
             F.element_at(cent_mat, F.col("_cpos") + 1),
             lambda a, b: a - b,
         ).alias("residual"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -594,8 +600,10 @@ def ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """(id, codes, centroid_id) — the persistable IVF-PQ index: ONE
+    """(id, codes, centroid_id, *extra_cols) — the persistable IVF-PQ
+    index: ONE
     zero-shuffle corpus pass computing both the PQ codes and the coarse
     list assignment as literal scan-side argmin/argmax (struct sort =
     -dot asc then cid asc ⇒ highest dot, smallest cid — the
@@ -614,12 +622,13 @@ def ivf_pq_index(
         cents_sorted = _sorted_cents(centroids, id_col, vec_col)
         rf = _residual_frame(
             corpus, cents_sorted, dim, centroids.schema[id_col].dataType,
-            id_col, vec_col,
+            id_col, vec_col, extra_cols=extra_cols,
         )
         return rf.select(
             F.col(id_col),
             _codes_expr("residual", codebooks, dim).alias("codes"),
             F.col("centroid_id"),
+            *[F.col(c) for c in extra_cols],
         )
     cents = _collect_centroids(centroids, id_col, vec_col)
     # Centroid-id literals are cast to the centroids frame's own id type:
@@ -643,6 +652,7 @@ def ivf_pq_index(
         F.col(id_col),
         _codes_expr(vec_col, codebooks, dim).alias("codes"),
         coarse.alias("centroid_id"),
+        *[F.col(c) for c in extra_cols],
     )
 
 

@@ -226,3 +226,39 @@ def test_ann_stream_restart_resumes(spark, emb, queries, tmp_path):
         topk_ivf(queries, emb, DIM, k=K, nprobe=NPROBE, centroids=cents)
     )
     assert got == want
+
+
+def test_initialize_refuses_live_state(spark, emb, queries, tmp_path):
+    """Re-initializing over committed versions must fail loudly (a new
+    quantizer invalidates every existing cell, and the version horizon
+    would hide the new v0 behind an old snapshot); overwrite=True wipes
+    and rebuilds."""
+    path = str(tmp_path / "re")
+    store = AnnIndexStore(spark, path).initialize(
+        emb.filter(F.col("vec_id") < 200), n_centroids=N_CENTROIDS
+    )
+    with pytest.raises(ValueError, match="already holds committed"):
+        store.initialize(emb, n_centroids=N_CENTROIDS)
+    store.initialize(emb, n_centroids=N_CENTROIDS, overwrite=True)
+    got = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    want = _rows(
+        topk_ivf(queries, emb, DIM, k=K, n_centroids=N_CENTROIDS, nprobe=NPROBE)
+    )
+    assert got == want
+
+
+def test_empty_query_batch_returns_empty_frame(spark, emb, tmp_path):
+    """An empty probe returns an empty frame in the result contract —
+    matching the in-memory operator — not a misleading 'empty index'
+    error; a store with NO committed versions still raises."""
+    store = AnnIndexStore(spark, str(tmp_path / "eq")).initialize(
+        emb, n_centroids=N_CENTROIDS
+    )
+    none = emb.filter(F.lit(False))
+    res = store.topk(none, k=K, nprobe=NPROBE)
+    assert res.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    assert res.count() == 0
+
+    virgin = AnnIndexStore(spark, str(tmp_path / "virgin"))
+    with pytest.raises(ValueError, match="empty index"):
+        virgin.topk(none, k=K, nprobe=NPROBE)
