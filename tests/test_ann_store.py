@@ -22,13 +22,27 @@ NPROBE = 4
 N_QUERIES = 8
 
 
+@pytest.fixture(autouse=True)
+def _release_operator_caches():
+    """The in-memory comparison operators persist through the shared
+    tracked-cache registry; release after EVERY test — leaked cached
+    plans make every later persist() in the shared session canonicalize
+    against them (this module once pushed a later suite's big-plan
+    analysis into driver-heap OOM)."""
+    yield
+    from manifold_spark.operators.dedup import release_shingle_caches
+
+    release_shingle_caches()
+
+
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     df.cache().count()
-    return df
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
