@@ -594,7 +594,18 @@ class CurationState:
 
     ``read_stats`` accumulates the files/bytes each pruned read actually
     touched since the last `begin_batch` — the bench's flatness
-    evidence."""
+    evidence.
+
+    No delete API, deliberately (`AnnIndexStore.delete` has one): a
+    takedown must stop a document from being SERVED — which happens at
+    the curated-output table, not here — but whether its dedup state
+    should also be forgotten is a policy choice with opposite
+    failure modes (forget ⇒ a later copy of the removed document
+    sails through the first-seen gate and re-enters the corpus;
+    remember ⇒ the store provably retains a fingerprint of removed
+    content). Forgetting is mechanically the ANN store's tombstone
+    recipe applied to the hash/entry/shingle parts; it is not wired
+    until a real retention policy picks a side."""
 
     MH_PARTS = ("entries", "shingles", "sizes")
 

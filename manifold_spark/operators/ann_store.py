@@ -69,7 +69,9 @@ class AnnIndexStore:
       quantizer (+ ``quantizer/meta.json``: dim, pq knobs, codebooks).
     - ``v{n}/vecs/pc=*/``   (id, vec, centroid_id) per cell.
     - ``v{n}/codes/pc=*/``  (id, codes, centroid_id) per cell (PQ only).
-    - ``s{n}/…``            compacted snapshots, same parts.
+    - ``v{n}/tombs/``       (id) — merge-on-read deletes (`delete`);
+      searches anti-join them, compaction drops the rows physically.
+    - ``s{n}/…``            compacted snapshots, same parts (never tombs).
 
     Concurrency contract (same stand-in status as `CurationState`'s
     local-FS layout): ONE writer, and search DataFrames must be consumed
@@ -330,13 +332,77 @@ class AnnIndexStore:
         self._maybe_compact(batch_id)
         return batch_id
 
+    def delete(self, ids, batch_id: int | None = None) -> int:
+        """Tombstone the given vector ids (takedown semantics) — the
+        merge-on-read form of a keyed DELETE, the plain-parquet twin of
+        Iceberg position deletes / Delta deletion vectors: the delete
+        commits as its own ``v{batch_id}`` holding only a ``tombs``
+        part (the id list), searches anti-join the live tombstone set,
+        and the next compaction REMOVES tombstoned rows physically and
+        absorbs the tombstones (they never outlive the fold — every row
+        they could shadow is inside it). Same retry idempotence as
+        `append` (dir overwrite + commit marker).
+
+        A tombstone shadows its id across the WHOLE live horizon, so
+        re-adding a previously deleted id requires a compaction between
+        the delete and the re-append; ``ids`` may be a Python list or a
+        one-column DataFrame. Deleting an absent id is a no-op."""
+        self._gc_superseded()
+        if batch_id is None:
+            snaps, deltas = self._scan()
+            batch_id = max(snaps + deltas, default=-1) + 1
+        if isinstance(ids, DataFrame):
+            tombs = ids.select(F.col(ids.columns[0]).alias(self.id_col))
+        else:
+            id_type = self.centroids_df().schema[self.id_col].dataType
+            tombs = self.spark.createDataFrame(
+                [(v,) for v in ids], schema=f"{self.id_col} {id_type.simpleString()}"
+            )
+        root = os.path.join(self.state_dir, f"v{batch_id}")
+        shutil.rmtree(root, ignore_errors=True)
+        tombs.distinct().coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "tombs")
+        )
+        write_commit_marker(root)
+        self._maybe_compact(batch_id)
+        return batch_id
+
+    def _tombstones(self) -> DataFrame | None:
+        """Distinct tombstoned ids across the live horizon (None when no
+        live version holds any). Tombstone sets are takedown-sized, so
+        searches BROADCAST-anti-join them — the corpus side never
+        shuffles; bulk deletes amortize through compaction instead."""
+        dirs = [
+            os.path.join(self.state_dir, v, "tombs")
+            for v in self._live_names()
+        ]
+        dirs = [d for d in dirs if os.path.isdir(d) and self._has_parquet(d)]
+        if not dirs:
+            return None
+        if self.collect_read_stats:
+            files, size = walk_parquet_stats(dirs)
+            self.read_stats["tombs_files"] = (
+                self.read_stats.get("tombs_files", 0) + files
+            )
+            self.read_stats["tombs_bytes"] = (
+                self.read_stats.get("tombs_bytes", 0) + size
+            )
+        return (
+            self.spark.read.parquet(*dirs).select(self.id_col).distinct()
+        )
+
     def _maybe_compact(self, batch_id: int) -> None:
         """Fold committed state into ``s{batch_id}`` once more than
         ``compact_every`` deltas sit past the last snapshot. Idempotent
         (committed snapshot ⇒ skip); empty parts skipped per-dir
         (`_has_parquet` — the ADVICE-r10 empty-delta crash class);
         ``centroid_id`` comes from the DATA columns, never the inferred
-        partition value."""
+        partition value. Tombstoned rows are dropped during the fold and
+        the tombstones themselves are absorbed (not written into the
+        snapshot): the fold spans the whole live horizon, so every row a
+        live tombstone could shadow is inside it."""
+        from pyspark.sql.functions import broadcast
+
         snaps, deltas = self._scan()
         if batch_id in snaps:
             return
@@ -347,6 +413,19 @@ class AnnIndexStore:
         sources = ([f"s{base}"] if base is not None else []) + [
             f"v{d}" for d in live
         ]
+        tomb_frames = []
+        for src in sources:
+            p = os.path.join(self.state_dir, src, "tombs")
+            if os.path.isdir(p) and self._has_parquet(p):
+                tomb_frames.append(
+                    self.spark.read.parquet(p).select(self.id_col)
+                )
+        tombs_all = None
+        if tomb_frames:
+            tombs_all = tomb_frames[0]
+            for fr in tomb_frames[1:]:
+                tombs_all = tombs_all.unionByName(fr)
+            tombs_all = tombs_all.distinct()
         data_cols = {"vecs": [self.id_col, self.vec_col, "centroid_id"]}
         if self.meta["pq"]:
             data_cols["codes"] = [self.id_col, "codes", "centroid_id"]
@@ -363,6 +442,10 @@ class AnnIndexStore:
             merged = frames[0]
             for fr in frames[1:]:
                 merged = merged.unionByName(fr)
+            if tombs_all is not None:
+                merged = merged.join(
+                    broadcast(tombs_all), self.id_col, "left_anti"
+                )
             proj = merged.withColumn("pc", F.col("centroid_id"))
             proj.repartition(F.col("pc")).write.partitionBy("pc").mode(
                 "overwrite"
@@ -503,6 +586,11 @@ class AnnIndexStore:
         lists = self.read_cells("vecs", cids) if cids else None
         if lists is None:
             return self._empty_result(queries)
+        tombs = self._tombstones()
+        if tombs is not None:
+            from pyspark.sql.functions import broadcast
+
+            lists = lists.join(broadcast(tombs), self.id_col, "left_anti")
         return topk_ivf(
             queries, corpus=None, dim=self.meta["dim"], k=k, nprobe=nprobe,
             id_col=self.id_col, vec_col=self.vec_col,
@@ -533,6 +621,15 @@ class AnnIndexStore:
         vecs = self.read_cells("vecs", cids) if cids else None
         if codes is None or vecs is None:
             return self._empty_result(queries)
+        tombs = self._tombstones()
+        if tombs is not None:
+            from pyspark.sql.functions import broadcast
+
+            # Excluding CODES suffices: every ADC candidate comes from
+            # the codes side, and the re-rank joins vecs BY candidate id
+            # — a tombstoned id can never reach it. The vecs rows stay
+            # until compaction physically drops them.
+            codes = codes.join(broadcast(tombs), self.id_col, "left_anti")
         return topk_ivf_pq(
             queries, corpus=vecs.select(self.id_col, self.vec_col),
             dim=meta["dim"], k=k, nprobe=nprobe, n_candidates=n_candidates,

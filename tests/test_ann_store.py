@@ -276,3 +276,61 @@ def test_empty_query_batch_returns_empty_frame(spark, emb, tmp_path):
     virgin = AnnIndexStore(spark, str(tmp_path / "virgin"))
     with pytest.raises(ValueError, match="empty index"):
         virgin.topk(none, k=K, nprobe=NPROBE)
+
+
+def test_delete_tombstones_and_compaction(spark, emb, queries, tmp_path):
+    """Merge-on-read deletes: a tombstoned id disappears from search
+    results immediately (both IVF and PQ paths ≡ the in-memory operator
+    over the corpus MINUS the deleted ids), the next compaction drops
+    the rows PHYSICALLY and absorbs the tombstones, a retried delete is
+    idempotent, and re-deleting an absent id is a no-op."""
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+    store = AnnIndexStore(spark, str(tmp_path / "del"), compact_every=2)
+    store.initialize(
+        emb, centroids=cents, use_pq=True, residual=True
+    )
+
+    # delete the ids that WOULD be top-1 neighbors for two queries
+    base = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    victims = sorted({nb for (q, nb, r, c) in base if r == 1})[:3]
+    del_id = store.delete(victims)
+
+    survivors = emb.join(
+        spark.createDataFrame([(v,) for v in victims], "vec_id long"),
+        "vec_id",
+        "left_anti",
+    )
+    got = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    want = _rows(
+        topk_ivf(queries, survivors, DIM, k=K, nprobe=NPROBE, centroids=cents)
+    )
+    assert got == want
+    for v in victims:
+        assert all(nb != v for (_q, nb, _r, _c) in got)
+
+    # PQ path excludes them too
+    got_pq = _rows(store.topk_pq(queries, k=K, nprobe=NPROBE))
+    assert all(nb not in set(victims) for (_q, nb, _r, _c) in got_pq)
+
+    # retried delete (redelivery) converges
+    store.delete(victims, batch_id=del_id)
+    assert _rows(store.topk(queries, k=K, nprobe=NPROBE)) == got
+
+    # drive a compaction past the tombstone version; rows must be gone
+    # PHYSICALLY and the tombstones absorbed (no tombs dir in the live
+    # horizon once the fold lands).
+    store.append(emb.limit(0), batch_id=del_id + 1)
+    store.append(emb.limit(0), batch_id=del_id + 2)
+    snaps, _ = store._scan()
+    assert snaps and snaps[-1] >= del_id, "compaction never crossed the delete"
+    state_ids = {
+        r["vec_id"] for r in store.read_cells("vecs").select("vec_id").collect()
+    }
+    assert not (state_ids & set(victims)), "tombstoned rows survived the fold"
+    assert store._tombstones() is None, "tombstones outlived the fold"
+    # search unchanged after physical removal
+    assert _rows(store.topk(queries, k=K, nprobe=NPROBE)) == got
+
+    # deleting an id that no longer exists is a harmless no-op
+    store.delete([victims[0]])
+    assert _rows(store.topk(queries, k=K, nprobe=NPROBE)) == got
