@@ -192,6 +192,12 @@ class AnnIndexStore:
         root = os.path.join(self.state_dir, name)
         shutil.rmtree(root, ignore_errors=True)
         for part, frame in parts.items():
+            if part == "tombs":
+                # id list, takedown-sized — one flat file, no cells.
+                frame.distinct().coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(root, part)
+                )
+                continue
             # partition column = derived COPY of the data column; one
             # file per cell (repartition by pc — see CurationState
             # write_delta's small-file lesson).
@@ -358,12 +364,38 @@ class AnnIndexStore:
             tombs = self.spark.createDataFrame(
                 [(v,) for v in ids], schema=f"{self.id_col} {id_type.simpleString()}"
             )
-        root = os.path.join(self.state_dir, f"v{batch_id}")
-        shutil.rmtree(root, ignore_errors=True)
-        tombs.distinct().coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(root, "tombs")
-        )
-        write_commit_marker(root)
+        self._write_version(f"v{batch_id}", {"tombs": tombs})
+        self._maybe_compact(batch_id)
+        return batch_id
+
+    def apply_cdc(
+        self, batch: DataFrame, batch_id: int | None = None, op_col: str = "op"
+    ) -> int:
+        """One version carrying a CDC micro-batch: rows with
+        ``op_col == 'delete'`` tombstone their id, every other row
+        encodes as an add — committed atomically (one `_COMMIT`), same
+        retry idempotence as `append`. Contract: ids are distinct within
+        the batch, and an add must not target an id tombstoned anywhere
+        in the live horizon — including this batch's own deletes — since
+        a tombstone shadows the whole horizon until compaction absorbs
+        it (document-level upsert therefore = delete, wait for a
+        compaction, re-add; true in-place upsert is what a Delta MERGE
+        backend would add)."""
+        self._gc_superseded()
+        if batch_id is None:
+            snaps, deltas = self._scan()
+            batch_id = max(snaps + deltas, default=-1) + 1
+        adds = batch.filter(F.col(op_col) != F.lit("delete")).drop(op_col)
+        dels = batch.filter(F.col(op_col) == F.lit("delete")).select(self.id_col)
+        self._encoded_cache = None
+        try:
+            parts = self._encode_parts(adds)
+            parts["tombs"] = dels
+            self._write_version(f"v{batch_id}", parts)
+        finally:
+            if self._encoded_cache is not None:
+                self._encoded_cache.unpersist()
+                self._encoded_cache = None
         self._maybe_compact(batch_id)
         return batch_id
 
@@ -645,6 +677,7 @@ def ann_index_sink(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_every: int = 4,
+    op_col: str | None = None,
 ):
     """foreachBatch sink appending an embedding stream into an
     `AnnIndexStore` that was ALREADY `initialize`d on a seed corpus (the
@@ -656,13 +689,21 @@ def ann_index_sink(
     before the engine's checkpoint commit) must overwrite ITS OWN dir,
     and any scan-derived offset would shift under exactly that replay.
     Set ``base_version`` above the highest pre-stream version (the
-    default 1 clears `initialize`'s v0)."""
+    default 1 clears `initialize`'s v0).
+
+    ``op_col`` switches the sink to CDC shape (`apply_cdc`): rows whose
+    ``op_col`` is ``'delete'`` tombstone their id, the rest are adds —
+    one atomic version per trigger, so a takedown and the trigger's new
+    vectors commit together."""
     def sink(batch: DataFrame, batch_id: int) -> None:
         store = AnnIndexStore(
             batch.sparkSession, state_dir,
             id_col=id_col, vec_col=vec_col, compact_every=compact_every,
         )
-        store.append(batch, batch_id=batch_id + base_version)
+        if op_col is not None:
+            store.apply_cdc(batch, batch_id=batch_id + base_version, op_col=op_col)
+        else:
+            store.append(batch, batch_id=batch_id + base_version)
 
     return sink
 

@@ -334,3 +334,64 @@ def test_delete_tombstones_and_compaction(spark, emb, queries, tmp_path):
     # deleting an id that no longer exists is a harmless no-op
     store.delete([victims[0]])
     assert _rows(store.topk(queries, k=K, nprobe=NPROBE)) == got
+
+
+def test_cdc_sink_adds_and_deletes_atomically(spark, emb, queries, tmp_path):
+    """`ann_index_sink(op_col=...)` → `apply_cdc`: a trigger's adds and
+    takedowns commit as ONE version. Streamed through the real
+    availableNow harness: trigger 1 adds + deletes two earlier ids in
+    the same batch; the final index equals the in-memory operator over
+    exactly (seed ∪ adds) − deletes, and a retried apply_cdc converges."""
+    from manifold_spark.operators.ann_store import start_ann_index_stream
+
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+    state_dir = str(tmp_path / "cdc-state")
+    src = str(tmp_path / "cdc-src")
+
+    seed = emb.filter(F.col("vec_id") < 200)
+    AnnIndexStore(spark, state_dir).initialize(seed, centroids=cents)
+
+    victims = [100, 150]
+    with_op = lambda df, op: df.withColumn("op", F.lit(op))  # noqa: E731
+    b0 = with_op(
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), "add"
+    )
+    b1 = with_op(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), "add"
+    ).unionByName(
+        with_op(emb.filter(F.col("vec_id").isin(victims)), "delete").select(
+            "vec_id", "embedding", "op"
+        )
+    )
+    for i, b in enumerate([b0, b1]):
+        part = f"{src}/b{i}"
+        b.coalesce(1).write.parquet(part)
+        for name in os.listdir(part):
+            os.utime(os.path.join(part, name), (4_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = start_ann_index_stream(
+        stream, state_dir, str(tmp_path / "cdc-ckpt"),
+        available_now=True, op_col="op",
+    )
+    q.awaitTermination(600)
+
+    store = AnnIndexStore(spark, state_dir)
+    expected_corpus = emb.filter(
+        (F.col("vec_id") < 400) & (~F.col("vec_id").isin(victims))
+    )
+    got = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    want = _rows(
+        topk_ivf(
+            queries, expected_corpus, DIM, k=K, nprobe=NPROBE, centroids=cents
+        )
+    )
+    assert got == want
+
+    # retried CDC trigger (redelivery of v2 = stream batch 1) converges
+    store.apply_cdc(b1, batch_id=2)
+    assert _rows(store.topk(queries, k=K, nprobe=NPROBE)) == got
