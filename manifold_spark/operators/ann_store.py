@@ -279,7 +279,14 @@ class AnnIndexStore:
                 f"literal partition dir names; offending ids: {unsafe[:5]}"
             )
 
-        meta: dict = {"dim": dim, "pq": bool(use_pq), "residual": bool(residual)}
+        meta: dict = {
+            "dim": dim,
+            "pq": bool(use_pq),
+            "residual": bool(residual),
+            # persisted so list-form delete() can build a typed tombstone
+            # frame without re-opening the centroids parquet
+            "id_type": cents.schema[self.id_col].dataType.simpleString(),
+        }
         if use_pq:
             m = m if m is not None else PQ_M
             ksub = ksub if ksub is not None else PQ_KSUB
@@ -352,7 +359,15 @@ class AnnIndexStore:
         A tombstone shadows its id across the WHOLE live horizon, so
         re-adding a previously deleted id requires a compaction between
         the delete and the re-append; ``ids`` may be a Python list or a
-        one-column DataFrame. Deleting an absent id is a no-op."""
+        one-column DataFrame. Deleting an absent id is a no-op.
+
+        Writer-contract corollary: when a STREAMING sink owns the store
+        (`ann_index_sink`'s version mapping is batch_id + base_version,
+        deterministic by design), an out-of-band `delete()` with an
+        auto-assigned id would land on the next trigger's slot and be
+        silently OVERWRITTEN by it — route takedowns through the stream
+        itself (`op_col` CDC shape) or pass an explicit ``batch_id``
+        from a range the sink will never use."""
         self._gc_superseded()
         if batch_id is None:
             snaps, deltas = self._scan()
@@ -360,9 +375,14 @@ class AnnIndexStore:
         if isinstance(ids, DataFrame):
             tombs = ids.select(F.col(ids.columns[0]).alias(self.id_col))
         else:
-            id_type = self.centroids_df().schema[self.id_col].dataType
+            # id type persisted in meta at initialize — a takedown of a
+            # handful of ids must not pay a centroids parquet open.
+            # (.get fallback: stores initialized before id_type existed)
+            id_type = self.meta.get("id_type") or (
+                self.centroids_df().schema[self.id_col].dataType.simpleString()
+            )
             tombs = self.spark.createDataFrame(
-                [(v,) for v in ids], schema=f"{self.id_col} {id_type.simpleString()}"
+                [(v,) for v in ids], schema=f"{self.id_col} {id_type}"
             )
         self._write_version(f"v{batch_id}", {"tombs": tombs})
         self._maybe_compact(batch_id)
@@ -385,12 +405,22 @@ class AnnIndexStore:
         if batch_id is None:
             snaps, deltas = self._scan()
             batch_id = max(snaps + deltas, default=-1) + 1
-        adds = batch.filter(F.col(op_col) != F.lit("delete")).drop(op_col)
-        dels = batch.filter(F.col(op_col) == F.lit("delete")).select(self.id_col)
+        # eqNullSafe: op is often NULL for plain inserts (outer-join /
+        # optional-column CDC feeds) — a bare `!= 'delete'` is NULL for
+        # those rows and would silently drop every one of them.
+        adds = batch.filter(~F.col(op_col).eqNullSafe(F.lit("delete"))).drop(op_col)
+        dels = batch.filter(F.col(op_col).eqNullSafe(F.lit("delete"))).select(
+            self.id_col
+        )
         self._encoded_cache = None
         try:
             parts = self._encode_parts(adds)
-            parts["tombs"] = dels
+            # Only write a tombs part when the trigger actually deletes:
+            # an empty coalesce(1) parquet write still emits a part file,
+            # which would defeat `_tombstones()`'s None fast path and tax
+            # every later search with empty-set anti-joins.
+            if dels.take(1):
+                parts["tombs"] = dels
             self._write_version(f"v{batch_id}", parts)
         finally:
             if self._encoded_cache is not None:
@@ -399,11 +429,14 @@ class AnnIndexStore:
         self._maybe_compact(batch_id)
         return batch_id
 
-    def _tombstones(self) -> DataFrame | None:
+    def _tombstones(self, count_stats: bool = True) -> DataFrame | None:
         """Distinct tombstoned ids across the live horizon (None when no
         live version holds any). Tombstone sets are takedown-sized, so
         searches BROADCAST-anti-join them — the corpus side never
-        shuffles; bulk deletes amortize through compaction instead."""
+        shuffles; bulk deletes amortize through compaction instead.
+        This is THE definition of the tombstone horizon — compaction
+        reuses it (``count_stats=False``) so the set searches hide and
+        the set the fold drops can never drift apart."""
         dirs = [
             os.path.join(self.state_dir, v, "tombs")
             for v in self._live_names()
@@ -411,7 +444,7 @@ class AnnIndexStore:
         dirs = [d for d in dirs if os.path.isdir(d) and self._has_parquet(d)]
         if not dirs:
             return None
-        if self.collect_read_stats:
+        if count_stats and self.collect_read_stats:
             files, size = walk_parquet_stats(dirs)
             self.read_stats["tombs_files"] = (
                 self.read_stats.get("tombs_files", 0) + files
@@ -445,19 +478,11 @@ class AnnIndexStore:
         sources = ([f"s{base}"] if base is not None else []) + [
             f"v{d}" for d in live
         ]
-        tomb_frames = []
-        for src in sources:
-            p = os.path.join(self.state_dir, src, "tombs")
-            if os.path.isdir(p) and self._has_parquet(p):
-                tomb_frames.append(
-                    self.spark.read.parquet(p).select(self.id_col)
-                )
-        tombs_all = None
-        if tomb_frames:
-            tombs_all = tomb_frames[0]
-            for fr in tomb_frames[1:]:
-                tombs_all = tombs_all.unionByName(fr)
-            tombs_all = tombs_all.distinct()
+        # `sources` IS the live horizon here (_live_names() = base
+        # snapshot + deltas past it, including this batch's own version),
+        # so the shared helper defines BOTH the set searches hide and
+        # the set this fold drops — they cannot drift apart.
+        tombs_all = self._tombstones(count_stats=False)
         data_cols = {"vecs": [self.id_col, self.vec_col, "centroid_id"]}
         if self.meta["pq"]:
             data_cols["codes"] = [self.id_col, "codes", "centroid_id"]
@@ -692,9 +717,12 @@ def ann_index_sink(
     default 1 clears `initialize`'s v0).
 
     ``op_col`` switches the sink to CDC shape (`apply_cdc`): rows whose
-    ``op_col`` is ``'delete'`` tombstone their id, the rest are adds —
-    one atomic version per trigger, so a takedown and the trigger's new
-    vectors commit together."""
+    ``op_col`` is ``'delete'`` tombstone their id, the rest are adds
+    (NULL op = add — null-safe comparison) — one atomic version per
+    trigger, so a takedown and the trigger's new vectors commit
+    together. While a stream owns the store, out-of-band `delete()`
+    calls with auto-assigned ids race this sink's version slots (see
+    `AnnIndexStore.delete`) — send takedowns through the stream."""
     def sink(batch: DataFrame, batch_id: int) -> None:
         store = AnnIndexStore(
             batch.sparkSession, state_dir,

@@ -353,9 +353,12 @@ def test_cdc_sink_adds_and_deletes_atomically(spark, emb, queries, tmp_path):
 
     victims = [100, 150]
     with_op = lambda df, op: df.withColumn("op", F.lit(op))  # noqa: E731
+    # trigger 0's adds carry op=NULL — the optional-column CDC shape
+    # (only takedowns populate op); NULL must read as add, not vanish.
     b0 = with_op(
-        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), "add"
-    )
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)),
+        None,
+    ).withColumn("op", F.col("op").cast("string"))
     b1 = with_op(
         emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), "add"
     ).unionByName(
