@@ -227,35 +227,38 @@ def dsir_keep_rates(
     integers ONCE, so Σw is an exact integer sum; the one
     non-IEEE-pinned op is the exp(), absorbed by the floor. Adds
     (`rate_bps`,) to `scored`; pinned against a pure-Python reference in
-    tests/test_textquality.py::test_dsir_mixture_matches_python."""
-    from pyspark.sql.functions import broadcast
+    tests/test_textquality.py::test_dsir_mixture_matches_python.
 
-    stats = scored.agg(
+    The two normalizing aggregates (max-shift + count, then Σ weights)
+    are COLLECTED as driver scalars and embedded as literals — the
+    kmeans-style bounded collect — instead of crossJoined 1-row frames:
+    each crossJoin(broadcast(agg)) re-embedded the whole upstream plan
+    of `scored` into the result (4 nested copies by the final frame),
+    which pushed the curation-composed dsir path into DRIVER-heap OOM
+    during plan analysis. Values are identical — the same aggregate
+    jobs run either way; only the plan shape changes."""
+    row = scored.agg(
         F.max(logratio_col).alias("_m"), F.count(F.lit(1)).alias("_n")
-    )
-    w = scored.crossJoin(broadcast(stats)).withColumn(
-        "_wq",
-        F.floor(
-            F.exp(F.col(logratio_col) - F.col("_m"))
-            * F.lit(float(DSIR_W_SCALE))
-        ).cast("long"),
-    )
-    tot = w.agg(F.sum("_wq").alias("_sw"))
+    ).collect()[0]
+    m, n = row["_m"], row["_n"]
+    if not n:
+        return scored.withColumn("rate_bps", F.lit(0).cast("long"))
+    wq = F.floor(
+        F.exp(F.col(logratio_col) - F.lit(float(m)))
+        * F.lit(float(DSIR_W_SCALE))
+    ).cast("long")
+    sw = scored.agg(F.sum(wq).alias("_sw")).collect()[0]["_sw"]
     rate = (
         F.lit(float(target_fraction))
-        * (F.col("_n") * F.col("_wq")).cast("double")
-        / F.col("_sw").cast("double")
+        * (F.lit(int(n)) * wq).cast("double")
+        / F.lit(float(sw))
     )
-    return (
-        w.crossJoin(broadcast(tot))
-        .withColumn(
-            "rate_bps",
-            F.least(
-                F.lit(RATE_DENOM).cast("long"),
-                F.floor(rate * F.lit(float(RATE_DENOM))).cast("long"),
-            ),
-        )
-        .drop("_m", "_n", "_wq", "_sw")
+    return scored.withColumn(
+        "rate_bps",
+        F.least(
+            F.lit(RATE_DENOM).cast("long"),
+            F.floor(rate * F.lit(float(RATE_DENOM))).cast("long"),
+        ),
     )
 
 
@@ -287,6 +290,17 @@ def dsir_sample(
     lr = dsir_logratio(
         target, raw, score_docs=df, text_col=text_col, id_col=key_col
     ).select(key_col, "logratio")
+    # Materialize & TRUNCATE the score table: the logratio plan embeds
+    # the NB featurize/scoring subtree plus several references to the
+    # caller's upstream DAG (deep when `df` is a curation stage), and
+    # every downstream aggregate here would re-embed and re-analyze
+    # those copies — observed as DRIVER-heap OOM during plan analysis
+    # on a 4g driver late in a long session. (id, logratio) is O(docs)
+    # narrow rows — the standard materialize-the-scores step; at
+    # cluster scale write it to parquet instead (localCheckpoint is the
+    # local stand-in; blocks stay pinned until released — NOTES r9
+    # pitfall).
+    lr = lr.localCheckpoint(eager=True)
     scored = dsir_keep_rates(
         df.join(lr, key_col), "logratio", target_fraction
     )
