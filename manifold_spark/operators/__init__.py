@@ -690,6 +690,120 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: `ann_store_cdc` CDC script (VERDICT r11 #1): the final LIVE corpus
+#: after init/append/CDC-delete/re-add/compaction/takedown/upsert. The
+#: dead set is (D1 − R1) ∪ D2 ∪ (D3 − R3) with every set a pure residue
+#: condition, so the DuckDB oracle states it as one WHERE clause:
+#:   D1 = {id%4 ∈ {0,1} ∧ id%5 = 0}   deleted at v2
+#:   R1 = {id%4 ∈ {0,1} ∧ id%10 = 0}  re-added at v3 (⊂ D1)
+#:   D2 = {id%4 = 2 ∧ id%5 = 0}       deleted at v3
+#:   D3 = {id%4 = 3 ∧ id%7 = 0}       deleted at v4 (post-compaction)
+#:   R3 = {id%4 = 3 ∧ id%21 = 0}      re-added at v5 (⊂ D3, pre-compaction)
+_ANN_DEAD_SQL = """(
+       (vec_id % 4 IN (0, 1) AND vec_id % 5 = 0 AND vec_id % 10 <> 0)
+    OR (vec_id % 4 = 2 AND vec_id % 5 = 0)
+    OR (vec_id % 4 = 3 AND vec_id % 7 = 0 AND vec_id % 21 <> 0)
+)"""
+
+_ANN_STORE_CDC_ORACLE = f"""
+    WITH live AS (
+        SELECT vec_id, embedding FROM embeddings WHERE NOT {_ANN_DEAD_SQL}
+    ),
+    cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cent_vec
+        FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+    ),
+    lists AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ({dot_sql('embedding', 'cent_vec', DIM)}) DESC,
+                                               c.centroid_id) AS crank
+            FROM live e, cent c
+        ) WHERE crank <= 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS q_vec, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ({dot_sql('embedding', 'cent_vec', DIM)}) DESC,
+                                               c.centroid_id) AS crank
+            FROM embeddings e, cent c
+            WHERE e.vec_id < {N_QUERIES}
+        ) WHERE crank <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, l.vec_id AS neighbor_id,
+               {cosine_sql('q_vec', 'embedding', DIM)} AS cosine
+        FROM probes p JOIN lists l USING (centroid_id)
+        WHERE l.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= {TOP_K}
+"""
+
+
+@register("ann_store_cdc", _ANN_STORE_CDC_ORACLE)
+def q_ann_store_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent `AnnIndexStore` INSIDE the hard correctness gate
+    (VERDICT r11 #1): a full CDC lifecycle — initialize on a quarter
+    corpus, plain append, CDC triggers mixing adds with deletes, a
+    snapshot compaction mid-stream, a post-compaction takedown, and a
+    sequence-numbered UPSERT (delete at v4, re-add at v5, NO compaction
+    in between — the r11 `weak` shape) — then a pruned-cell probe whose
+    results the DuckDB oracle recomputes as exact IVF over the final
+    live corpus (corpus minus never-re-added deletes). The store state
+    lives in a temp dir; the tiny result frame is localCheckpointed so
+    the state can be removed before the driver collects."""
+    import shutil
+    import tempfile
+
+    from manifold_spark.operators.ann_store import AnnIndexStore
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vid = F.col("vec_id")
+    b = [emb.filter(vid % 4 == i) for i in range(4)]
+    cents = emb.orderBy("vec_id").limit(IVF_CENTROIDS)
+    tmp = tempfile.mkdtemp(prefix="ann-store-gate-")
+    try:
+        store = AnnIndexStore(spark, f"{tmp}/state", compact_every=3)
+        store.initialize(b[0], centroids=cents)                      # v0
+        store.append(b[1])                                           # v1
+        with_op = lambda df, op: df.withColumn(                      # noqa: E731
+            "op", F.lit(op).cast("string")
+        )
+        # v2: b2 adds + delete D1 (ids live since v0/v1)
+        del1 = emb.filter(vid % 4 < 2).filter(vid % 5 == 0)
+        store.apply_cdc(with_op(b[2], None).unionByName(with_op(del1, "delete")))
+        # v3: b3 adds + RE-ADD R1 ⊂ D1 + delete D2 → compaction s3
+        r1 = emb.filter(vid % 4 < 2).filter(vid % 10 == 0)
+        del2 = emb.filter(vid % 4 == 2).filter(vid % 5 == 0)
+        store.apply_cdc(
+            with_op(b[3], None)
+            .unionByName(with_op(r1, "add"))
+            .unionByName(with_op(del2, "delete"))
+        )
+        assert store._scan()[0], "gate assumes the s3 compaction fired"
+        # v4: post-compaction takedown D3; v5: re-add R3 ⊂ D3 with NO
+        # compaction in between — the sequence-numbered-tombstone pin.
+        store.delete(emb.filter(vid % 4 == 3).filter(vid % 7 == 0))  # v4
+        store.apply_cdc(
+            with_op(emb.filter(vid % 4 == 3).filter(vid % 21 == 0), "add")
+        )                                                            # v5
+        assert store._scan()[0] == [3], "no compaction may absorb D3"
+        res = store.topk(
+            emb.filter(vid < N_QUERIES), k=TOP_K, nprobe=IVF_NPROBE
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
 _NEAR_DUP_ORACLE = f"""
     WITH cent AS (
         SELECT vec_id AS centroid_id, embedding AS cent_vec
@@ -897,9 +1011,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "multimodal_meta",
-    """
+_MM_META_SQL = """
     SELECT 'meta' AS section,
            doc_id,
            CAST(n AS INT) AS byte_len,
@@ -945,14 +1057,37 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            's3://media/' || CAST(doc_id AS VARCHAR) || '.bin' AS uri
     FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents) b,
          UNNEST(range(0, greatest(1, (n + 99) // 100))) u(i)
-    """,
-)
+    """
+
+
+def _multimodal_oracle() -> str:
+    """meta + chunk sections (each padded with '' features_q) UNION the
+    decode section (r12 fold of the former `multimodal_decode` key —
+    same relation again, one gate now covers the ENTIRE multimodal
+    surface; sentinel pattern unchanged)."""
+    meta_chunk = _MM_META_SQL
+    decode = _decode_oracle()
+    return f"""
+    SELECT *, '' AS features_q FROM ({meta_chunk})
+    UNION ALL
+    SELECT 'decode' AS section, doc_id, byte_len, '' AS content_sha,
+           '' AS kind, CAST(-1 AS INT) AS sample_rate,
+           CAST(-1 AS INT) AS channels, width, height,
+           CAST(-1 AS INT) AS fps, CAST(-1 AS INT) AS n_frames,
+           CAST(-1 AS BIGINT) AS duration_ms, CAST(-1 AS INT) AS chunk_idx,
+           CAST(-1 AS BIGINT) AS "offset", CAST(-1 AS BIGINT) AS length,
+           '' AS uri, features_q
+    FROM ({decode})
+    """
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary metadata, typed media probe, and byte-range chunk manifest
-    union-tagged by `section` (r6 fold of `multimodal_probe_meta`; r9 fold
-    of the former `multimodal_chunks` key — both sections project the same
-    `attach_binary` relation, so one gate covers the whole non-decode
-    multimodal surface):
+    """Binary metadata, typed media probe, byte-range chunk manifest,
+    and the Arrow `mapInPandas` decode pass union-tagged by `section`
+    (r6 fold of `multimodal_probe_meta`; r9 fold of the former
+    `multimodal_chunks` key; r12 fold of the former `multimodal_decode`
+    key — every section projects the same `attach_binary` relation, so
+    one gate covers the whole multimodal surface):
 
     - 'meta': scan-side byte_len/content_sha joined to the Arrow
       `mapInPandas` ffprobe-shaped stub prober whose integer arithmetic
@@ -962,6 +1097,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     - 'chunk': the >2 GB media path — payloads never enter a Spark
       column; workers range-GET (uri, offset, length). Pure
       sequence+posexplode, scan-side, no shuffle.
+    - 'decode': the Arrow `mapInPandas` decode pass as stable scalars —
+      the `array<float>` features column quantized to `floor(f * 1e6)`
+      and comma-joined (the driver canonicalizer cannot sort list
+      columns).
     """
     with_binary = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
     probed = multimodal.probe_media_meta(with_binary).drop("byte_len")
@@ -1007,7 +1146,39 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "length",
         "uri",
     )
-    return meta.unionByName(chunks)
+    feats = multimodal.extract_media_features(with_binary)
+    decode = feats.select(
+        F.lit("decode").alias("section"),
+        "doc_id",
+        "byte_len",
+        F.lit("").alias("content_sha"),
+        F.lit("").alias("kind"),
+        neg_i.alias("sample_rate"),
+        neg_i.alias("channels"),
+        "width",
+        "height",
+        neg_i.alias("fps"),
+        neg_i.alias("n_frames"),
+        F.lit(-1).cast("bigint").alias("duration_ms"),
+        neg_i.alias("chunk_idx"),
+        F.lit(-1).cast("bigint").alias("offset"),
+        F.lit(-1).cast("bigint").alias("length"),
+        F.lit("").alias("uri"),
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.floor(x.cast("double") * F.lit(1000000.0))
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("features_q"),
+    )
+    return (
+        meta.withColumn("features_q", F.lit(""))
+        .unionByName(chunks.withColumn("features_q", F.lit("")))
+        .unionByName(decode)
+    )
 
 
 def _decode_oracle() -> str:
@@ -1045,27 +1216,10 @@ def _decode_oracle() -> str:
     """
 
 
-@register("multimodal_decode", _decode_oracle())
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow `mapInPandas` decode pass, surfaced through the gate as stable
-    scalars: the `array<float>` features column is quantized to
-    `floor(f * 1e6)` and comma-joined so the driver's canonicalizer (which
-    cannot sort list columns) sees one string per row."""
-    with_binary = multimodal.attach_binary(_t(spark, sf_dir, "documents"))
-    feats = multimodal.extract_media_features(with_binary)
-    return feats.select(
-        "doc_id",
-        "byte_len",
-        "width",
-        "height",
-        F.array_join(
-            F.transform(
-                F.col("features"),
-                lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long").cast("string"),
-            ),
-            ",",
-        ).alias("features_q"),
-    )
+# r12: the former standalone `multimodal_decode` key is the 'decode'
+# section of `multimodal_meta` (registered here, after its oracle
+# pieces exist).
+register("multimodal_meta", _multimodal_oracle())(q_multimodal_meta)
 
 
 # ---------------------------------------------------------------------------
@@ -1745,32 +1899,8 @@ def _mix_oracle() -> str:
     """
 
 
-@register("sample_mix_sources", _mix_oracle())
-def q_sample_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three deterministic sampling modes in one gate (r8):
-    expected-rate per-source gates (`mix_sources` — one scan, no shuffle)
-    UNION exact per-source quotas (`stratified_sample` — hash-ordered
-    rank window, "exactly N docs per source") UNION temperature
-    resampling over the skewed lang mixture (`temperature_sample` —
-    XLM-R α-flattening, data-derived integer-quantized rates), tagged
-    by `method`."""
-    from manifold_spark.operators.sampling import (
-        mix_sources,
-        stratified_sample,
-        temperature_sample,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    rate = mix_sources(
-        docs, "source", "doc_id", _MIX_RATES, default_rate=_MIX_DEFAULT
-    ).select(F.lit("rate").alias("method"), "doc_id", "source")
-    quota = stratified_sample(
-        docs, "source", _QUOTA_PER_SOURCE, "doc_id"
-    ).select(F.lit("quota").alias("method"), "doc_id", "source")
-    temp = temperature_sample(
-        docs, "lang", "doc_id", _TEMP_ALPHA, _TEMP_TARGET
-    ).select(F.lit("temp").alias("method"), "doc_id", "source")
-    return rate.unionByName(quota).unionByName(temp)
+# (sample_mix_sources folded into `sampling_surface` below — r12 key
+# consolidation freeing driver slots for the state-store gates.)
 
 
 # ---------------------------------------------------------------------------
@@ -1806,17 +1936,77 @@ def _pack_oracle() -> str:
     """
 
 
-@register("pack_context_windows", _pack_oracle())
-def q_pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from manifold_spark.operators.sampling import pack_documents
+def _sampling_surface_oracle() -> str:
+    mix = _mix_oracle()
+    pack = _pack_oracle()
+    return f"""
+    SELECT method, doc_id, source,
+           CAST(-1 AS BIGINT) AS shard, CAST(-1 AS BIGINT) AS n_tokens,
+           CAST(-1 AS BIGINT) AS bin_id
+    FROM ({mix})
+    UNION ALL
+    SELECT 'pack' AS method, doc_id, '' AS source,
+           CAST(shard AS BIGINT) AS shard, n_tokens, bin_id
+    FROM ({pack})
+    """
+
+
+@register("sampling_surface", _sampling_surface_oracle())
+def q_sampling_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole deterministic sampling/packing surface in one gate
+    (r12 fold of the former `sample_mix_sources` + `pack_context_windows`
+    keys, freeing driver slots for the state-store gates — the round-5
+    consolidation precedent), four `method`-tagged sections:
+
+    - 'rate': expected-rate per-source gates (`mix_sources` — one scan,
+      no shuffle);
+    - 'quota': exact per-source quotas (`stratified_sample` —
+      hash-ordered rank window, "exactly N docs per source");
+    - 'temp': temperature resampling over the skewed lang mixture
+      (`temperature_sample` — XLM-R α-flattening, data-derived
+      integer-quantized rates);
+    - 'pack': token-budget sequence packing (`pack_documents` — greedy
+      in-order binning per hash shard; bin columns carried, sampling
+      sections filled with -1 sentinels)."""
+    from manifold_spark.operators.sampling import (
+        mix_sources,
+        pack_documents,
+        stratified_sample,
+        temperature_sample,
+    )
 
     docs = _t(spark, sf_dir, "documents")
+    neg = F.lit(-1).cast("long")
+
+    def _mix_shape(df, method):
+        return df.select(
+            F.lit(method).alias("method"), "doc_id", "source",
+            neg.alias("shard"), neg.alias("n_tokens"), neg.alias("bin_id"),
+        )
+
+    rate = _mix_shape(
+        mix_sources(docs, "source", "doc_id", _MIX_RATES, default_rate=_MIX_DEFAULT),
+        "rate",
+    )
+    quota = _mix_shape(
+        stratified_sample(docs, "source", _QUOTA_PER_SOURCE, "doc_id"), "quota"
+    )
+    temp = _mix_shape(
+        temperature_sample(docs, "lang", "doc_id", _TEMP_ALPHA, _TEMP_TARGET),
+        "temp",
+    )
     with_tokens = docs.select(
         "doc_id", textstats.token_count_ws(F.col("text")).alias("n_tok")
     )
-    return pack_documents(
+    pack = pack_documents(
         with_tokens, "doc_id", "n_tok", _PACK_BUDGET, n_shards=_PACK_SHARDS
-    ).select("doc_id", "shard", "n_tokens", "bin_id")
+    ).select(
+        F.lit("pack").alias("method"), "doc_id", F.lit("").alias("source"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+    )
+    return rate.unionByName(quota).unionByName(temp).unionByName(pack)
 
 
 # ---------------------------------------------------------------------------

@@ -22,8 +22,17 @@ disk, with the `CurationState` versioning discipline:
    column and the partition column is a derived copy (the ADVICE-r10
    partition-type-inference lesson, applied from day one here).
 3. **Snapshot compaction** — after ``compact_every`` deltas, fold into
-   ``s{batch_id}``; superseded dirs GC at the NEXT append. The probe
-   glob is never more than ``compact_every`` deltas + one snapshot.
+   ``s{batch_id}``; superseded dirs GC with a one-append GRACE period
+   (see `_gc_superseded`). The probe glob is never more than
+   ``compact_every`` deltas + one snapshot.
+4. **Sequence-numbered tombstones** (the Iceberg sequence-number
+   position-delete recipe): every data row carries the ``ver`` it
+   committed in, every tombstone the ``tomb_ver`` of its deleting
+   version, and a tombstone shadows ONLY rows with ``ver < tomb_ver``.
+   A CDC upsert — delete id X in trigger N, re-add it in N+1 (or in
+   the SAME `apply_cdc` batch) — is therefore correct with no
+   compaction dependency: the re-added row's ver is ≥ the tombstone's,
+   so it is searchable immediately.
 
 The quantizer is FROZEN at `initialize` (the FAISS production recipe:
 train once, encode forever — retraining would silently invalidate every
@@ -67,11 +76,21 @@ class AnnIndexStore:
 
     - ``quantizer/centroids/``  (id_col, vec_col) — the frozen coarse
       quantizer (+ ``quantizer/meta.json``: dim, pq knobs, codebooks).
-    - ``v{n}/vecs/pc=*/``   (id, vec, centroid_id) per cell.
-    - ``v{n}/codes/pc=*/``  (id, codes, centroid_id) per cell (PQ only).
-    - ``v{n}/tombs/``       (id) — merge-on-read deletes (`delete`);
-      searches anti-join them, compaction drops the rows physically.
-    - ``s{n}/…``            compacted snapshots, same parts (never tombs).
+    - ``v{n}/vecs/pc=*/``   (id, vec, centroid_id, ver) per cell.
+    - ``v{n}/codes/pc=*/``  (id, codes, centroid_id, ver) per cell (PQ).
+    - ``v{n}/tombs/``       (id, tomb_ver) — merge-on-read deletes
+      (`delete`/`apply_cdc`); a tombstone shadows only rows with
+      ``ver < tomb_ver`` (sequence-numbered, so delete→re-add works
+      with no compaction in between); compaction drops shadowed rows
+      physically and absorbs the tombstones.
+    - ``s{n}/…``            compacted snapshots, same parts (never
+      tombs; surviving rows KEEP their original ``ver``).
+
+    Crash window note: `initialize` writes the quantizer, then appends
+    v0 — no marker spans both, so a crash in between leaves a quantizer
+    with no committed version. Harmless: `_scan` shows nothing
+    committed, searches raise "empty index", and re-`initialize`
+    overwrites the quantizer (no live cells can reference it).
 
     Concurrency contract (same stand-in status as `CurationState`'s
     local-FS layout): ONE writer, and search DataFrames must be consumed
@@ -138,12 +157,39 @@ class AnnIndexStore:
 
     def _gc_superseded(self) -> None:
         """Remove dirs a committed snapshot supersedes — called at the
-        START of the next append (deferred one step so a retry of the
-        compacting append can still read its inputs)."""
+        START of every append, with a one-append GRACE period (VERDICT
+        r11 #6): dirs superseded by snapshot ``s{B}`` are removed only
+        once some version AFTER ``B`` has committed. A search DataFrame
+        resolves leaf paths at call time, so the grace guarantees any
+        search issued before the compacting append can still be consumed
+        through the whole NEXT append interval without FileNotFound;
+        disk holds at most one superseded compaction cycle extra.
+
+        Also sweeps CRASHED partial version dirs (ADVICE r11): an
+        uncommitted ``v*``/``s*`` dir whose id is at or below the
+        committed horizon can never be meaningfully retried (a retry
+        would have landed at a higher id), so it would otherwise leak
+        disk forever — invisible to readers but unbounded."""
         snaps, deltas = self._scan()
+        top = max(snaps + deltas, default=None)
+        if top is not None:
+            for name in os.listdir(self.state_dir):
+                m = re.fullmatch(r"[vs](\d+)", name)
+                if (
+                    m
+                    and int(m.group(1)) <= top
+                    and not os.path.exists(
+                        os.path.join(self.state_dir, name, "_COMMIT")
+                    )
+                ):
+                    shutil.rmtree(
+                        os.path.join(self.state_dir, name), ignore_errors=True
+                    )
         if not snaps:
             return
         base = snaps[-1]
+        if top <= base:
+            return  # grace: nothing committed after the snapshot yet
         for name in [f"v{d}" for d in deltas if d <= base] + [
             f"s{s}" for s in snaps if s < base
         ]:
@@ -189,15 +235,26 @@ class AnnIndexStore:
         }
 
     def _write_version(self, name: str, parts: dict[str, DataFrame]) -> None:
+        """Write one version dir. Data rows are stamped with the
+        committing version as a ``ver`` DATA column (frames that already
+        carry one — the compaction fold's surviving rows — keep it);
+        tombstones are stamped ``tomb_ver``. These are the sequence
+        numbers the shadow rule (`_shadow`) compares."""
+        ver = int(name[1:])
         root = os.path.join(self.state_dir, name)
         shutil.rmtree(root, ignore_errors=True)
         for part, frame in parts.items():
             if part == "tombs":
                 # id list, takedown-sized — one flat file, no cells.
-                frame.distinct().coalesce(1).write.mode("overwrite").parquet(
+                tombs = frame.select(self.id_col).distinct().withColumn(
+                    "tomb_ver", F.lit(ver).cast("long")
+                )
+                tombs.coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(root, part)
                 )
                 continue
+            if "ver" not in frame.columns:
+                frame = frame.withColumn("ver", F.lit(ver).cast("long"))
             # partition column = derived COPY of the data column; one
             # file per cell (repartition by pc — see CurationState
             # write_delta's small-file lesson).
@@ -206,6 +263,35 @@ class AnnIndexStore:
                 "overwrite"
             ).parquet(os.path.join(root, part))
         write_commit_marker(root)
+
+    def _next_batch_id(self) -> int:
+        """Auto-assign the next free version id — REFUSED while a
+        streaming sink owns the store (ADVICE r11): `ann_index_sink`
+        maps trigger ids to version slots deterministically, so an
+        auto-assigned out-of-band write would land on the next
+        trigger's slot and be silently overwritten by it. Pass an
+        explicit ``batch_id`` from a range the sink never uses, route
+        the op through the stream (CDC shape), or `release_sink()`
+        after the stream is stopped."""
+        if os.path.exists(os.path.join(self.state_dir, "_SINK")):
+            raise ValueError(
+                "a streaming sink owns this store's version slots "
+                "(ann_index_sink wrote _SINK): an auto-assigned batch_id "
+                "would collide with the next trigger and be silently "
+                "overwritten — pass an explicit batch_id, send the op "
+                "through the stream, or release_sink() once the stream "
+                "is stopped"
+            )
+        snaps, deltas = self._scan()
+        return max(snaps + deltas, default=-1) + 1
+
+    def release_sink(self) -> None:
+        """Release streaming-sink ownership (remove the ``_SINK``
+        marker) — call only after the owning query is stopped."""
+        try:
+            os.remove(os.path.join(self.state_dir, "_SINK"))
+        except FileNotFoundError:
+            pass
 
     def initialize(
         self,
@@ -333,8 +419,7 @@ class AnnIndexStore:
         upstream's job, e.g. the curation store's first-seen gate)."""
         self._gc_superseded()
         if batch_id is None:
-            snaps, deltas = self._scan()
-            batch_id = max(snaps + deltas, default=-1) + 1
+            batch_id = self._next_batch_id()
         self._encoded_cache = None
         try:
             self._write_version(f"v{batch_id}", self._encode_parts(batch))
@@ -348,30 +433,25 @@ class AnnIndexStore:
     def delete(self, ids, batch_id: int | None = None) -> int:
         """Tombstone the given vector ids (takedown semantics) — the
         merge-on-read form of a keyed DELETE, the plain-parquet twin of
-        Iceberg position deletes / Delta deletion vectors: the delete
-        commits as its own ``v{batch_id}`` holding only a ``tombs``
-        part (the id list), searches anti-join the live tombstone set,
-        and the next compaction REMOVES tombstoned rows physically and
-        absorbs the tombstones (they never outlive the fold — every row
-        they could shadow is inside it). Same retry idempotence as
-        `append` (dir overwrite + commit marker).
+        Iceberg sequence-numbered position deletes: the delete commits
+        as its own ``v{batch_id}`` holding only a ``tombs`` part (the
+        id list stamped with this version as ``tomb_ver``), searches
+        anti-join rows with ``ver < tomb_ver``, and the next compaction
+        REMOVES shadowed rows physically and absorbs the tombstones
+        (they never outlive the fold — every row they could shadow is
+        inside it, and rows committed later carry a ver the tombstone
+        can never shadow). Same retry idempotence as `append` (dir
+        overwrite + commit marker).
 
-        A tombstone shadows its id across the WHOLE live horizon, so
-        re-adding a previously deleted id requires a compaction between
-        the delete and the re-append; ``ids`` may be a Python list or a
-        one-column DataFrame. Deleting an absent id is a no-op.
-
-        Writer-contract corollary: when a STREAMING sink owns the store
-        (`ann_index_sink`'s version mapping is batch_id + base_version,
-        deterministic by design), an out-of-band `delete()` with an
-        auto-assigned id would land on the next trigger's slot and be
-        silently OVERWRITTEN by it — route takedowns through the stream
-        itself (`op_col` CDC shape) or pass an explicit ``batch_id``
-        from a range the sink will never use."""
+        Because the shadow rule is version-ordered, a later `append`
+        (or `apply_cdc`) may re-add a deleted id and it is searchable
+        IMMEDIATELY — no compaction dependency. ``ids`` may be a Python
+        list or a one-column DataFrame. Deleting an absent id is a
+        no-op. While a streaming sink owns the store, auto-assigned
+        batch ids are refused (see `_next_batch_id`)."""
         self._gc_superseded()
         if batch_id is None:
-            snaps, deltas = self._scan()
-            batch_id = max(snaps + deltas, default=-1) + 1
+            batch_id = self._next_batch_id()
         if isinstance(ids, DataFrame):
             tombs = ids.select(F.col(ids.columns[0]).alias(self.id_col))
         else:
@@ -394,17 +474,21 @@ class AnnIndexStore:
         """One version carrying a CDC micro-batch: rows with
         ``op_col == 'delete'`` tombstone their id, every other row
         encodes as an add — committed atomically (one `_COMMIT`), same
-        retry idempotence as `append`. Contract: ids are distinct within
-        the batch, and an add must not target an id tombstoned anywhere
-        in the live horizon — including this batch's own deletes — since
-        a tombstone shadows the whole horizon until compaction absorbs
-        it (document-level upsert therefore = delete, wait for a
-        compaction, re-add; true in-place upsert is what a Delta MERGE
-        backend would add)."""
+        retry idempotence as `append`. Tombstones are sequence-numbered
+        (shadow only ``ver < tomb_ver``), so the standard CDC shapes
+        all work with no compaction dependency:
+
+        - delete X in trigger N, re-add X in trigger N+1 — the new row
+          (ver N+1) is searchable immediately;
+        - in-place UPSERT inside one batch: a delete row AND an add row
+          for the same id — the add commits at the same version as the
+          tombstone, which only shadows strictly-earlier rows.
+
+        Contract: at most one ADD row per id within a batch (two adds
+        of one id duplicate its index rows until a later delete)."""
         self._gc_superseded()
         if batch_id is None:
-            snaps, deltas = self._scan()
-            batch_id = max(snaps + deltas, default=-1) + 1
+            batch_id = self._next_batch_id()
         # eqNullSafe: op is often NULL for plain inserts (outer-join /
         # optional-column CDC feeds) — a bare `!= 'delete'` is NULL for
         # those rows and would silently drop every one of them.
@@ -418,7 +502,9 @@ class AnnIndexStore:
             # Only write a tombs part when the trigger actually deletes:
             # an empty coalesce(1) parquet write still emits a part file,
             # which would defeat `_tombstones()`'s None fast path and tax
-            # every later search with empty-set anti-joins.
+            # every later search with empty-set anti-joins. take(1)
+            # short-circuits on the first delete row — cheaper than a
+            # full count aggregate on the per-trigger critical path.
             if dels.take(1):
                 parts["tombs"] = dels
             self._write_version(f"v{batch_id}", parts)
@@ -430,13 +516,16 @@ class AnnIndexStore:
         return batch_id
 
     def _tombstones(self, count_stats: bool = True) -> DataFrame | None:
-        """Distinct tombstoned ids across the live horizon (None when no
-        live version holds any). Tombstone sets are takedown-sized, so
-        searches BROADCAST-anti-join them — the corpus side never
-        shuffles; bulk deletes amortize through compaction instead.
-        This is THE definition of the tombstone horizon — compaction
-        reuses it (``count_stats=False``) so the set searches hide and
-        the set the fold drops can never drift apart."""
+        """Live tombstones as ``(id, tomb_ver)`` — one row per id, at
+        its HIGHEST deleting version (max suffices for the shadow rule:
+        a row is shadowed iff any tombstone's version exceeds its own
+        iff the max does). None when no live version holds any.
+        Tombstone sets are takedown-sized, so searches BROADCAST-anti-
+        join them — the corpus side never shuffles; bulk deletes
+        amortize through compaction instead. This is THE definition of
+        the tombstone horizon — compaction reuses it
+        (``count_stats=False``) so the set searches hide and the set
+        the fold drops can never drift apart."""
         dirs = [
             os.path.join(self.state_dir, v, "tombs")
             for v in self._live_names()
@@ -453,7 +542,27 @@ class AnnIndexStore:
                 self.read_stats.get("tombs_bytes", 0) + size
             )
         return (
-            self.spark.read.parquet(*dirs).select(self.id_col).distinct()
+            self.spark.read.parquet(*dirs)
+            .groupBy(self.id_col)
+            .agg(F.max("tomb_ver").alias("tomb_ver"))
+        )
+
+    def _shadow(self, frame: DataFrame, tombs: DataFrame) -> DataFrame:
+        """Drop `frame` rows a tombstone shadows: same id AND the row's
+        ``ver`` strictly below the tombstone's ``tomb_ver`` (the Iceberg
+        sequence-number rule). Broadcast anti-join on the id with the
+        version comparison riding as an extra condition — the big side
+        never shuffles."""
+        from pyspark.sql.functions import broadcast
+
+        t = tombs.select(
+            F.col(self.id_col).alias("_t_id"), "tomb_ver"
+        )
+        return frame.join(
+            broadcast(t),
+            (F.col(self.id_col) == F.col("_t_id"))
+            & (F.col("ver") < F.col("tomb_ver")),
+            "left_anti",
         )
 
     def _maybe_compact(self, batch_id: int) -> None:
@@ -462,12 +571,12 @@ class AnnIndexStore:
         (committed snapshot ⇒ skip); empty parts skipped per-dir
         (`_has_parquet` — the ADVICE-r10 empty-delta crash class);
         ``centroid_id`` comes from the DATA columns, never the inferred
-        partition value. Tombstoned rows are dropped during the fold and
-        the tombstones themselves are absorbed (not written into the
-        snapshot): the fold spans the whole live horizon, so every row a
-        live tombstone could shadow is inside it."""
-        from pyspark.sql.functions import broadcast
-
+        partition value. Shadowed rows (``ver < tomb_ver``) are dropped
+        during the fold and the tombstones themselves are absorbed (not
+        written into the snapshot): the fold spans the whole live
+        horizon, so every row a live tombstone could shadow is inside
+        it, and any LATER row carries a ver above every absorbed
+        tombstone. Surviving rows keep their original ``ver``."""
         snaps, deltas = self._scan()
         if batch_id in snaps:
             return
@@ -483,9 +592,9 @@ class AnnIndexStore:
         # so the shared helper defines BOTH the set searches hide and
         # the set this fold drops — they cannot drift apart.
         tombs_all = self._tombstones(count_stats=False)
-        data_cols = {"vecs": [self.id_col, self.vec_col, "centroid_id"]}
+        data_cols = {"vecs": [self.id_col, self.vec_col, "centroid_id", "ver"]}
         if self.meta["pq"]:
-            data_cols["codes"] = [self.id_col, "codes", "centroid_id"]
+            data_cols["codes"] = [self.id_col, "codes", "centroid_id", "ver"]
         root = os.path.join(self.state_dir, f"s{batch_id}")
         shutil.rmtree(root, ignore_errors=True)
         for part, cols in data_cols.items():
@@ -500,9 +609,7 @@ class AnnIndexStore:
             for fr in frames[1:]:
                 merged = merged.unionByName(fr)
             if tombs_all is not None:
-                merged = merged.join(
-                    broadcast(tombs_all), self.id_col, "left_anti"
-                )
+                merged = self._shadow(merged, tombs_all)
             proj = merged.withColumn("pc", F.col("centroid_id"))
             proj.repartition(F.col("pc")).write.partitionBy("pc").mode(
                 "overwrite"
@@ -550,8 +657,8 @@ class AnnIndexStore:
         if not dirs:
             return None
         cols = {
-            "vecs": [self.id_col, self.vec_col, "centroid_id"],
-            "codes": [self.id_col, "codes", "centroid_id"],
+            "vecs": [self.id_col, self.vec_col, "centroid_id", "ver"],
+            "codes": [self.id_col, "codes", "centroid_id", "ver"],
         }[part]
         return self.spark.read.parquet(*dirs).select(*cols)
 
@@ -562,6 +669,10 @@ class AnnIndexStore:
         return {"state_total_files": files, "state_total_bytes": size}
 
     # -- search ------------------------------------------------------------------
+
+    #: Above this many query rows, `topk(distributed=None)` routes to
+    #: the distributed probe (the driver path collects the batch).
+    DRIVER_PROBE_MAX = 4096
 
     def _probe_cids(self, queries: DataFrame, nprobe: int) -> list:
         """The union of every query's nprobe nearest cells, computed
@@ -575,16 +686,19 @@ class AnnIndexStore:
         store's equality pins exercise), so the pruned read can never
         disagree with scoring's probe set — without paying a Spark job
         per search just to rank nprobe centroids."""
+        q_vecs = [
+            [float(v) for v in r["qv"]]
+            for r in queries.select(F.col(self.vec_col).alias("qv")).collect()
+        ]
+        return self._cids_for_vecs(q_vecs, nprobe)
+
+    def _cids_for_vecs(self, q_vecs: list, nprobe: int) -> list:
         import functools
         import operator
 
         from manifold_spark.operators.pq import _sorted_cents
 
         cents = _sorted_cents(self.centroids_df(), self.id_col, self.vec_col)
-        q_vecs = [
-            [float(v) for v in r["qv"]]
-            for r in queries.select(F.col(self.vec_col).alias("qv")).collect()
-        ]
         cids: set = set()
         for vec in q_vecs:
             dots = sorted(
@@ -598,6 +712,19 @@ class AnnIndexStore:
             )[:nprobe]
             cids.update(cid for _negdot, cid in dots)
         return sorted(cids)
+
+    def _pin_queries(self, queries: DataFrame) -> tuple[DataFrame, list]:
+        """Collect the (driver-sized) query batch ONCE and rebuild a
+        local frame from the rows, so the probe-cell set and the scoring
+        pass evaluate the SAME values even when the caller's frame is
+        nondeterministic (upstream sample/limit — ADVICE r11: a second
+        evaluation could need cells the first probe never read,
+        silently dropping candidates). Returns (pinned frame, vectors
+        as Python lists)."""
+        proj = queries.select(self.id_col, self.vec_col)
+        rows = proj.collect()
+        pinned = self.spark.createDataFrame(rows, schema=proj.schema)
+        return pinned, [[float(v) for v in r[self.vec_col]] for r in rows]
 
     def _empty_result(self, queries: DataFrame) -> DataFrame:
         """Zero-row frame in the `topk_bruteforce` result contract — what
@@ -628,30 +755,77 @@ class AnnIndexStore:
         if not snaps and not deltas:
             raise ValueError("empty index — initialize()/append() first")
 
-    def topk(self, queries: DataFrame, k: int = 5, nprobe: int = 4) -> DataFrame:
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        distributed: bool | None = None,
+    ) -> DataFrame:
         """IVF top-k against the stored index ≡
         `similarity.topk_ivf(queries, corpus, …)` over the appended
         corpus (pinned) — but the scan reads ONLY the probed cells. An
         empty PROBE (no queries, or every probed cell empty) returns an
         empty frame, matching the in-memory operator; an index with no
-        committed versions at all is a usage error and raises."""
-        from manifold_spark.operators.similarity import topk_ivf
+        committed versions at all is a usage error and raises.
+
+        ``distributed`` picks the probe path (VERDICT r11 #3):
+
+        - False — serving shape: the query batch is collected ONCE
+          driver-side (pinned, so probe and scoring see the same values
+          even for a nondeterministic frame), probe cells rank locally
+          with zero extra Spark jobs, and `topk_ivf` broadcasts the
+          query side.
+        - True — corpus-scale query frames: the batch is NEVER
+          collected. It is localCheckpointed (pinning nondeterminism),
+          each query's nprobe cells derive as a COLUMN
+          (`assign_centroids` — the same expression the scoring pass
+          uses, so the pruned read cannot disagree), the distinct cell
+          set (bounded by n_cells) drives the pruned read, and scoring
+          shuffle-joins both sides on the cell id instead of
+          broadcasting the query side.
+        - None — auto: distributed iff the batch exceeds
+          ``DRIVER_PROBE_MAX`` rows (one cheap limit-bounded count).
+        """
+        from manifold_spark.operators.similarity import (
+            assign_centroids,
+            topk_ivf,
+        )
 
         self._require_nonempty()
         self.read_stats = {}
-        cids = self._probe_cids(queries, nprobe)
+        if distributed is None:
+            distributed = (
+                queries.limit(self.DRIVER_PROBE_MAX + 1).count()
+                > self.DRIVER_PROBE_MAX
+            )
+        if distributed:
+            q = queries.select(self.id_col, self.vec_col).localCheckpoint(
+                eager=True
+            )
+            probe_cells = assign_centroids(
+                q.select(self.id_col, self.vec_col), self.centroids_df(),
+                self.meta["dim"], self.id_col, self.vec_col,
+                rank_limit=nprobe,
+            )
+            cids = sorted(
+                r["centroid_id"]
+                for r in probe_cells.select("centroid_id").distinct().collect()
+            )
+        else:
+            q, q_vecs = self._pin_queries(queries)
+            cids = self._cids_for_vecs(q_vecs, nprobe)
         lists = self.read_cells("vecs", cids) if cids else None
         if lists is None:
             return self._empty_result(queries)
         tombs = self._tombstones()
         if tombs is not None:
-            from pyspark.sql.functions import broadcast
-
-            lists = lists.join(broadcast(tombs), self.id_col, "left_anti")
+            lists = self._shadow(lists, tombs)
         return topk_ivf(
-            queries, corpus=None, dim=self.meta["dim"], k=k, nprobe=nprobe,
+            q, corpus=None, dim=self.meta["dim"], k=k, nprobe=nprobe,
             id_col=self.id_col, vec_col=self.vec_col,
             centroids=self.centroids_df(), lists=lists,
+            broadcast_queries=not distributed,
         )
 
     def topk_pq(
@@ -665,7 +839,10 @@ class AnnIndexStore:
         `pq.topk_ivf_pq(…, encoded=one-shot index)` (pinned). The ADC
         scan reads only the probed cells' CODES; the exact re-rank reads
         only the probed cells' vectors (every candidate lives in a
-        probed cell, so the pruned re-rank side is sufficient)."""
+        probed cell, so the pruned re-rank side is sufficient). The
+        query batch is collected ONCE and pinned (serving shape — the
+        distributed probe path is `topk`'s; `topk_ivf_pq` itself ranks
+        probes on the collected batch)."""
         from manifold_spark.operators.pq import topk_ivf_pq
 
         meta = self.meta
@@ -673,22 +850,23 @@ class AnnIndexStore:
             raise ValueError("store was initialized without use_pq=True")
         self._require_nonempty()
         self.read_stats = {}
-        cids = self._probe_cids(queries, nprobe)
+        q, q_vecs = self._pin_queries(queries)
+        cids = self._cids_for_vecs(q_vecs, nprobe)
         codes = self.read_cells("codes", cids) if cids else None
         vecs = self.read_cells("vecs", cids) if cids else None
         if codes is None or vecs is None:
             return self._empty_result(queries)
         tombs = self._tombstones()
         if tombs is not None:
-            from pyspark.sql.functions import broadcast
-
-            # Excluding CODES suffices: every ADC candidate comes from
-            # the codes side, and the re-rank joins vecs BY candidate id
-            # — a tombstoned id can never reach it. The vecs rows stay
-            # until compaction physically drops them.
-            codes = codes.join(broadcast(tombs), self.id_col, "left_anti")
+            # Both sides: the ADC candidates come from codes, and with
+            # sequence-numbered upserts a re-added id has BOTH a live
+            # and a shadowed vecs row — the re-rank joins vecs by
+            # candidate id, so the shadowed row must be dropped there
+            # too or the candidate scores twice.
+            codes = self._shadow(codes, tombs)
+            vecs = self._shadow(vecs, tombs)
         return topk_ivf_pq(
-            queries, corpus=vecs.select(self.id_col, self.vec_col),
+            q, corpus=vecs.select(self.id_col, self.vec_col),
             dim=meta["dim"], k=k, nprobe=nprobe, n_candidates=n_candidates,
             codebooks=meta["codebooks"], centroids=self.centroids_df(),
             encoded=codes, id_col=self.id_col, vec_col=self.vec_col,
@@ -720,9 +898,20 @@ def ann_index_sink(
     ``op_col`` is ``'delete'`` tombstone their id, the rest are adds
     (NULL op = add — null-safe comparison) — one atomic version per
     trigger, so a takedown and the trigger's new vectors commit
-    together. While a stream owns the store, out-of-band `delete()`
-    calls with auto-assigned ids race this sink's version slots (see
-    `AnnIndexStore.delete`) — send takedowns through the stream."""
+    together. Tombstones are sequence-numbered, so delete→re-add across
+    (or within) triggers is a working upsert.
+
+    Creating the sink writes a ``_SINK`` marker into ``state_dir``:
+    while it exists, out-of-band `append`/`delete`/`apply_cdc` calls
+    with AUTO-assigned batch ids are refused (they would land on the
+    next trigger's deterministic slot and be silently overwritten —
+    ADVICE r11). Route takedowns through the stream (CDC shape), pass
+    an explicit out-of-range ``batch_id``, or
+    `AnnIndexStore.release_sink()` once the stream is stopped."""
+    os.makedirs(state_dir, exist_ok=True)
+    with open(os.path.join(state_dir, "_SINK"), "w") as f:
+        json.dump({"base_version": base_version}, f)
+
     def sink(batch: DataFrame, batch_id: int) -> None:
         store = AnnIndexStore(
             batch.sparkSession, state_dir,

@@ -241,7 +241,11 @@ def dsir_keep_rates(
         F.max(logratio_col).alias("_m"), F.count(F.lit(1)).alias("_n")
     ).collect()[0]
     m, n = row["_m"], row["_n"]
-    if not n:
+    # m is None ⇔ every logratio is NULL (F.max skips NULLs): no document
+    # has an importance weight, so nothing can be kept — same zero-rate
+    # shape as the empty frame. Unreachable via dsir_sample's inner score
+    # join, but this function is public (ADVICE r11).
+    if not n or m is None:
         return scored.withColumn("rate_bps", F.lit(0).cast("long"))
     wq = F.floor(
         F.exp(F.col(logratio_col) - F.lit(float(m)))

@@ -139,6 +139,7 @@ def topk_ivf(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     lists: DataFrame | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF ANN: default centroids are the first `n_centroids` corpus
     vectors by id (deterministic, oracle-reproducible); pass `centroids`
@@ -167,13 +168,18 @@ def topk_ivf(
         queries, centroids, dim, id_col, vec_col, rank_limit=nprobe
     )
 
-    q = broadcast(
-        probes.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            "centroid_id",
-        )
+    # broadcast_queries=False is the corpus-scale-query shape (e.g. a
+    # store-backed near-dup sweep where the query frame is itself a
+    # corpus): both sides shuffle-join on the probed cell id instead of
+    # replicating the whole query batch to every task. Serving-scale
+    # batches keep the broadcast — the cells side never shuffles at all.
+    q = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "centroid_id",
     )
+    if broadcast_queries:
+        q = broadcast(q)
     c = lists.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
     )

@@ -162,10 +162,18 @@ def test_compaction_gc_retry_and_empty_batch(spark, emb, queries, tmp_path):
     assert after == before
 
     # v5 folds {s2, v3(empty), v4, v5} into s5 (empty part SKIPPED, not
-    # crashed); the append AFTER that GCs every superseded dir.
+    # crashed). GC has a one-append GRACE (VERDICT r11 #6): at v6's
+    # append nothing is committed past s5 yet, so the superseded dirs
+    # survive one more interval; v7's append (v6 now committed > 5)
+    # removes them — disk holds at most one superseded cycle extra.
     store.append(slices[4])  # v5 → s5
     assert store._scan()[0][-1] == 5
-    store.append(slices[5])  # v6 — GC of s2/v3/v4/v5 runs here
+    store.append(slices[5])  # v6 — grace: superseded dirs retained
+    assert os.path.isdir(os.path.join(store.state_dir, "s2")), (
+        "grace period skipped — a pre-compaction search consumed now "
+        "would hit FileNotFound"
+    )
+    store.append(emb.limit(0), batch_id=7)  # v7 — GC of s2/v3/v4/v5
     base = 5
     for name in os.listdir(store.state_dir):
         if name.startswith("v") and name[1:].isdigit():
@@ -398,3 +406,192 @@ def test_cdc_sink_adds_and_deletes_atomically(spark, emb, queries, tmp_path):
     # retried CDC trigger (redelivery of v2 = stream batch 1) converges
     store.apply_cdc(b1, batch_id=2)
     assert _rows(store.topk(queries, k=K, nprobe=NPROBE)) == got
+
+
+def test_cdc_upsert_readd_before_compaction(spark, emb, queries, tmp_path):
+    """Sequence-numbered tombstones (VERDICT r11 #2): delete id X in
+    trigger N, re-add X with a NEW vector in trigger N+1 — X must be
+    searchable with the new vector IMMEDIATELY (no compaction between
+    the delete and the probe), on BOTH the IVF and the PQ path. Under
+    the old whole-horizon tombstones this exact CDC upsert shape
+    silently hid the re-added vector until the next compaction."""
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+    store = AnnIndexStore(spark, str(tmp_path / "ups"), compact_every=100)
+    store.initialize(
+        emb.filter(F.col("vec_id") < 300), centroids=cents,
+        use_pq=True, residual=True,
+    )
+
+    x = 42
+    new_vec = emb.filter(F.col("vec_id") == 450).select(
+        F.lit(x).cast("long").alias("vec_id"), "embedding"
+    )
+    store.apply_cdc(
+        emb.filter(F.col("vec_id") == x).withColumn("op", F.lit("delete"))
+    )  # v1: tombstone X
+    store.apply_cdc(
+        new_vec.withColumn("op", F.lit("add").cast("string"))
+    )  # v2: re-add X, new vector
+
+    assert store._scan()[0] == [], "compaction ran — pin would be vacuous"
+    assert store._tombstones() is not None, "tombstone gone before compaction"
+
+    expected = emb.filter(
+        (F.col("vec_id") < 300) & (F.col("vec_id") != x)
+    ).unionByName(new_vec)
+    got = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    want = _rows(
+        topk_ivf(queries, expected, DIM, k=K, nprobe=NPROBE, centroids=cents)
+    )
+    assert got == want
+    got_pq = _rows(store.topk_pq(queries, k=K, nprobe=NPROBE))
+    want_pq = _rows(
+        topk_ivf_pq(
+            queries, expected, DIM, k=K, nprobe=NPROBE,
+            codebooks=store.meta["codebooks"], centroids=cents, residual=True,
+        )
+    )
+    assert got_pq == want_pq
+
+    # in-place upsert INSIDE one batch: delete + add of the same id
+    # commit at the same version; the tombstone shadows only strictly
+    # earlier rows, so the add wins.
+    newer = emb.filter(F.col("vec_id") == 451).select(
+        F.lit(x).cast("long").alias("vec_id"), "embedding"
+    )
+    store.apply_cdc(
+        newer.withColumn("op", F.lit("add").cast("string")).unionByName(
+            newer.withColumn("op", F.lit("delete"))
+        )
+    )  # v3
+    expected2 = emb.filter(
+        (F.col("vec_id") < 300) & (F.col("vec_id") != x)
+    ).unionByName(newer)
+    got2 = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    want2 = _rows(
+        topk_ivf(queries, expected2, DIM, k=K, nprobe=NPROBE, centroids=cents)
+    )
+    assert got2 == want2
+
+    # and a compaction AFTER the upserts folds to the same results
+    store.compact_every = 2
+    store.append(emb.limit(0))  # v4 → snapshot
+    assert store._scan()[0], "compaction never engaged"
+    assert _rows(store.topk(queries, k=K, nprobe=NPROBE)) == got2
+
+
+def test_search_survives_next_append_gc_grace(spark, emb, queries, tmp_path):
+    """GC grace (VERDICT r11 #6): a search DataFrame issued BEFORE a
+    compacting append can still be consumed after the NEXT append —
+    previously that append's GC deleted the superseded leaf dirs the
+    lazy plan held, giving FileNotFound mid-scan. Disk stays bounded:
+    one more append later the superseded cycle is gone."""
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+    store = AnnIndexStore(spark, str(tmp_path / "gr"), compact_every=2)
+    store.initialize(emb.filter(F.col("vec_id") < 160), centroids=cents)
+    store.append(emb.filter((F.col("vec_id") >= 160) & (F.col("vec_id") < 320)))
+
+    pending = store.topk(queries, k=K, nprobe=NPROBE)  # reads v0, v1
+
+    store.append(
+        emb.filter((F.col("vec_id") >= 320) & (F.col("vec_id") < 480))
+    )  # v2 → s2 compaction
+    store.append(emb.limit(0), batch_id=3)  # v3 — grace keeps v0/v1/v2
+
+    got = _rows(pending)  # consume AFTER append+compaction+next append
+    want = _rows(
+        topk_ivf(
+            queries, emb.filter(F.col("vec_id") < 320), DIM,
+            k=K, nprobe=NPROBE, centroids=cents,
+        )
+    )
+    assert got == want
+
+    store.append(emb.limit(0), batch_id=4)  # v4 — GC fires (v3 > s2)
+    assert not os.path.isdir(os.path.join(store.state_dir, "v0"))
+    assert not os.path.isdir(os.path.join(store.state_dir, "v1"))
+    fresh = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    want_all = _rows(
+        topk_ivf(
+            queries, emb.filter(F.col("vec_id") < 480), DIM,
+            k=K, nprobe=NPROBE, centroids=cents,
+        )
+    )
+    assert fresh == want_all
+
+
+def test_crashed_partial_dirs_swept(spark, emb, tmp_path):
+    """A crashed append leaves an uncommitted partial dir. Below the
+    committed horizon it can never be retried — GC sweeps it (ADVICE
+    r11: previously it leaked disk forever). Above the horizon it is
+    left for the caller's retry."""
+    store = AnnIndexStore(spark, str(tmp_path / "cr"))
+    store.initialize(emb.filter(F.col("vec_id") < 100), n_centroids=N_CENTROIDS)
+    store.append(
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+    )  # v1
+
+    # fake crash leftovers: s1 (≤ horizon) and v9 (> horizon), no _COMMIT
+    for name in ("s1", "v9"):
+        os.makedirs(os.path.join(store.state_dir, name, "vecs"))
+        with open(
+            os.path.join(store.state_dir, name, "vecs", "junk.parquet"), "w"
+        ) as f:
+            f.write("not parquet")
+
+    store.append(
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    )  # v2 — sweep runs at append start
+    assert not os.path.isdir(os.path.join(store.state_dir, "s1")), (
+        "crashed dir below the horizon leaked"
+    )
+    assert os.path.isdir(os.path.join(store.state_dir, "v9")), (
+        "pending-retry dir above the horizon must survive"
+    )
+
+
+def test_sink_ownership_blocks_auto_batch_ids(spark, emb, tmp_path):
+    """While a streaming sink owns the store (_SINK marker), out-of-band
+    writes with AUTO-assigned batch ids are refused — they would land on
+    the next trigger's deterministic slot and be silently overwritten
+    (ADVICE r11). Explicit ids and release_sink() both unblock."""
+    from manifold_spark.operators.ann_store import ann_index_sink
+
+    state_dir = str(tmp_path / "own")
+    store = AnnIndexStore(spark, state_dir)
+    store.initialize(emb.filter(F.col("vec_id") < 100), n_centroids=N_CENTROIDS)
+
+    ann_index_sink(state_dir)  # creating the sink marks ownership
+    with pytest.raises(ValueError, match="sink owns"):
+        store.delete([3])
+    with pytest.raises(ValueError, match="sink owns"):
+        store.append(emb.filter(F.col("vec_id") == 100))
+    # explicit out-of-range id still works (the documented escape hatch)
+    store.delete([3], batch_id=1_000)
+    store.release_sink()
+    store.delete([4])  # auto id fine again
+
+
+def test_distributed_probe_matches_driver_and_in_memory(spark, emb, tmp_path):
+    """The distributed probe path (VERDICT r11 #3): a corpus-scale query
+    frame searched store-backed WITHOUT collecting the queries — probe
+    cells derive as a column, the distinct cell set drives the pruned
+    read, scoring shuffle-joins on the cell id. Results are identical to
+    (a) the in-memory operator over the same corpus and (b) the driver
+    probe path on a small batch."""
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+    store = AnnIndexStore(spark, str(tmp_path / "dist")).initialize(
+        emb, centroids=cents
+    )
+
+    got = _rows(store.topk(emb, k=K, nprobe=NPROBE, distributed=True))
+    want = _rows(
+        topk_ivf(emb, emb, DIM, k=K, nprobe=NPROBE, centroids=cents)
+    )
+    assert got == want
+
+    small = emb.filter(F.col("vec_id") < N_QUERIES)
+    drv = _rows(store.topk(small, k=K, nprobe=NPROBE, distributed=False))
+    dst = _rows(store.topk(small, k=K, nprobe=NPROBE, distributed=True))
+    auto = _rows(store.topk(small, k=K, nprobe=NPROBE))
+    assert drv == dst == auto
