@@ -55,8 +55,13 @@ def oracle_sql() -> dict[str, str]:
     pipeline (the per-stage oracle builders chained through MATERIALIZED
     stage CTEs, emitting packed survivors + per-stage audit counts) plus
     DSIR importance weights and BPE document encoding riding their
-    parent gates — so the driver's strongest (rows+schema+hash) check
-    applies to 100% of the registry."""
+    parent gates, and (r12) the two persistent STATE STORES —
+    `curation_store_pipeline` (4 triggers through curation_sink +
+    CurationState, oracle = a pure-SQL mirror of the incremental
+    semantics over the batch union) and `ann_store_cdc` (AnnIndexStore
+    CDC lifecycle incl. a pre-compaction delete→re-add upsert, oracle =
+    exact IVF over the final live corpus) — so the driver's strongest
+    (rows+schema+hash) check applies to 100% of the registry."""
     from manifold_spark.queries import all_oracles
 
     return all_oracles()

@@ -3298,3 +3298,312 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rows(packed, report, "doc", "stage").unionByName(
         _rows(alt_packed, alt_report, "alt", "alt_stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_store_pipeline: the INCREMENTAL curation path — 4 triggers
+# through `curation_sink` + the bucketed, snapshot-compacted
+# `CurationState` store — inside the hard correctness gate (VERDICT r11
+# #1). The oracle recomputes the incremental semantics over the batch
+# union in pure SQL: under id-ordered batches the cross-batch first-seen
+# layering reduces to global min-id exact dedup, and the probe/upsert
+# fuzzy victims reduce to "every id_b of the one-shot pair set" (the
+# split-invariance the pytest pins claim, adjudicated externally here).
+# The seed models are SQL-exact by construction: the char-trigram LM is
+# the `_lm_oracle` chain, mixture rates are the chain's integer-quantized
+# temperature CTE over the full corpus, and the per-lang perplexity
+# cutpoints use an exact RANK recipe (score of the ceil(n/3)-th /
+# ceil(2n/3)-th best doc) instead of `curation_models`' t-digest
+# approx_percentile, which no external engine can reproduce bit-exactly —
+# the store adjudication is unchanged, the production approx-cut path
+# stays pinned in pytest.
+# ---------------------------------------------------------------------------
+
+#: Gate trigger count — ntile(4) over doc_id gives the id-ordered split
+#: the incremental ≡ one-shot identity requires.
+CSP_BATCHES = 4
+#: Non-binding LSH bucket cap: an ENGAGING cap is probe-order-dependent
+#: (the documented cap caveat) and has no SQL mirror.
+CSP_MAX_BUCKET = 10**9
+
+
+def _curation_store_oracle() -> str:
+    from manifold_spark.operators import lm
+    from manifold_spark.operators.sampling import RATE_DENOM, TEMP_SCALE
+
+    k, scale = lm.SMOOTH_K, lm.TERM_SCALE
+    chunk = (
+        f"regexp_replace(coalesce(text, ''), '{_LINE_CHUNK_PATTERN}', "
+        "'\\1.' || chr(10), 'g')"
+    )
+    c4 = _c4_rules_sql(
+        "csp_src",
+        min_words_per_line=CUR_MIN_WORDS,
+        min_kept_lines=CUR_MIN_KEPT,
+        line_drop_terms=C4_LINE_DROP_TERMS,
+        blocklist=C4_BLOCKLIST,
+        require_terminal_punct=True,
+    )
+    pairs = _minhash_oracle(
+        threshold=CUR_LSH_THRESHOLD, max_bucket=CSP_MAX_BUCKET,
+        table="csp_exact",
+    )
+    rep = _repetition_oracle(table="csp_fuzzy")
+    h = _stable_hash_sql("CAST(doc_id AS VARCHAR)")
+    toks = _ws_tokens_sql("text")
+    avg = f"CAST(s.sum_q AS DOUBLE) / CAST(s.n_tri * {scale} AS DOUBLE)"
+    return f"""
+    WITH csp_src AS MATERIALIZED (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, {chunk} AS text,
+               ntile({CSP_BATCHES}) OVER (ORDER BY CAST(doc_id AS BIGINT))
+                   AS batch_no
+        FROM documents
+    ),
+    csp_c4 AS MATERIALIZED (
+        SELECT s.doc_id, s.lang, s.batch_no, f.text_clean AS text
+        FROM ({c4}) f JOIN csp_src s USING (doc_id)
+        WHERE f.keep = 1
+    ),
+    csp_exact_ids AS (
+        SELECT min(doc_id) AS doc_id FROM csp_c4 GROUP BY sha256(text)
+    ),
+    csp_exact AS MATERIALIZED (
+        SELECT c.doc_id, c.lang, c.batch_no, c.text
+        FROM csp_c4 c JOIN csp_exact_ids USING (doc_id)
+    ),
+    csp_pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs}) mp),
+    csp_fuzzy AS MATERIALIZED (
+        SELECT e.doc_id, e.lang, e.batch_no, e.text FROM csp_exact e
+        WHERE e.doc_id NOT IN (SELECT id_b FROM csp_pairs)
+    ),
+    csp_rep AS MATERIALIZED (
+        SELECT f.doc_id, f.lang, f.batch_no, f.text
+        FROM csp_fuzzy f
+        JOIN (SELECT doc_id, repetition_pass FROM ({rep}) rr) rp USING (doc_id)
+        WHERE rp.repetition_pass
+    ),
+    csp_nd AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM csp_src
+    ),
+    csp_tri AS (
+        SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS tri
+        FROM csp_nd, UNNEST(range(1, length(norm) - 1)) AS t(i)
+    ),
+    csp_c3 AS (SELECT tri, count(*) AS c3 FROM csp_tri GROUP BY tri),
+    csp_c2 AS (
+        SELECT substr(tri, 1, 2) AS prefix, sum(c3) AS c2 FROM csp_c3 GROUP BY 1
+    ),
+    csp_v AS (
+        SELECT count(DISTINCT substr(norm, CAST(i AS INT), 1)) AS v
+        FROM csp_nd, UNNEST(range(1, length(norm) + 1)) AS t(i)
+    ),
+    csp_model AS (
+        SELECT c3.tri,
+               CAST(floor(ln(CAST(c3.c3 + {k} AS DOUBLE)
+                             / CAST(c2.c2 + {k} * v.v AS DOUBLE))
+                          * {scale}.0) AS BIGINT) AS term_q
+        FROM csp_c3 c3 JOIN csp_c2 c2 ON substr(c3.tri, 1, 2) = c2.prefix
+        CROSS JOIN csp_v v
+    ),
+    csp_seed_scored AS (
+        SELECT s.doc_id, d.lang, {avg} AS score
+        FROM (
+            SELECT t.doc_id, sum(m.term_q) AS sum_q, count(*) AS n_tri
+            FROM csp_tri t JOIN csp_model m USING (tri) GROUP BY t.doc_id
+        ) s JOIN csp_src d USING (doc_id)
+        WHERE s.n_tri > 0
+    ),
+    csp_cuts AS (
+        SELECT lang,
+               max(CASE WHEN rk = CAST(ceil(n / 3.0) AS BIGINT)
+                        THEN score END) AS c1,
+               max(CASE WHEN rk = CAST(ceil((2 * n) / 3.0) AS BIGINT)
+                        THEN score END) AS c2
+        FROM (
+            SELECT lang, score, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY score DESC, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM csp_seed_scored
+        ) GROUP BY lang
+    ),
+    csp_rates AS (
+        SELECT lang,
+               CAST(floor(least(1.0, ({CUR_TARGET} *
+                        (CAST(e AS DOUBLE) / CAST(se AS DOUBLE))) / p)
+                    * {RATE_DENOM}.0) AS BIGINT) AS rate_bps
+        FROM (
+            SELECT lang, p,
+                   CAST(floor(pow(p, {CUR_ALPHA}) * {TEMP_SCALE}.0) AS BIGINT) AS e,
+                   sum(CAST(floor(pow(p, {CUR_ALPHA}) * {TEMP_SCALE}.0) AS BIGINT))
+                       OVER () AS se
+            FROM (
+                SELECT lang,
+                       CAST(count(*) AS DOUBLE)
+                       / CAST(sum(count(*)) OVER () AS DOUBLE) AS p
+                FROM csp_src GROUP BY lang
+            )
+        )
+    ),
+    csp_ftri AS (
+        SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS tri
+        FROM (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+            FROM csp_rep
+        ), UNNEST(range(1, length(norm) - 1)) AS t(i)
+    ),
+    csp_fs AS (
+        SELECT t.doc_id, count(*) AS n_tri,
+               sum(coalesce(m.term_q,
+                   CAST(floor(ln(CAST({k} AS DOUBLE)
+                                 / CAST(coalesce(p2.c2, 0) + {k} * v.v AS DOUBLE))
+                              * {scale}.0) AS BIGINT))) AS sum_q
+        FROM csp_ftri t
+        LEFT JOIN csp_model m USING (tri)
+        LEFT JOIN csp_c2 p2 ON substr(t.tri, 1, 2) = p2.prefix
+        CROSS JOIN csp_v v
+        GROUP BY t.doc_id
+    ),
+    csp_quality AS MATERIALIZED (
+        SELECT r.doc_id, r.lang, r.batch_no, r.text
+        FROM csp_rep r
+        JOIN csp_fs s ON s.doc_id = r.doc_id AND s.n_tri > 0
+        LEFT JOIN csp_cuts c ON c.lang = r.lang
+        WHERE c.c1 IS NULL
+           OR (CASE WHEN c.c1 > {avg} THEN 1 ELSE 0 END
+             + CASE WHEN c.c2 > {avg} THEN 1 ELSE 0 END) <= 1
+    ),
+    csp_mixed AS MATERIALIZED (
+        SELECT q.doc_id, q.lang, q.batch_no, q.text
+        FROM csp_quality q LEFT JOIN csp_rates r ON r.lang = q.lang
+        WHERE ({h}) % {RATE_DENOM} < coalesce(r.rate_bps, {RATE_DENOM})
+    ),
+    csp_packed AS (
+        SELECT doc_id, lang, batch_no, shard, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY batch_no, shard
+                                               ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / {CUR_BUDGET}.0) AS BIGINT) AS bin_id
+        FROM (
+            SELECT doc_id, lang, batch_no,
+                   ({h}) % {CUR_SHARDS} AS shard,
+                   least(CAST(len({toks}) AS BIGINT), {CUR_BUDGET}) AS n_tokens
+            FROM csp_mixed
+        )
+    )
+    SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, bin_id, n_tokens,
+           CAST(batch_no - 1 AS BIGINT) AS batch_id
+    FROM csp_packed
+    """
+
+
+@register("curation_store_pipeline", _curation_store_oracle())
+def q_curation_store_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four id-ordered triggers through `curation_sink` + `CurationState`
+    (hash/LSH/doc-shingle state as bucketed parquet versions,
+    compact_every=2 so TWO snapshot compactions land inside the run),
+    returning every kept document's (lang, shard, bin_id, n_tokens)
+    AND the trigger that kept it — so the DuckDB oracle adjudicates the
+    cross-trigger state layering (first-seen exact dedup, probe-based
+    fuzzy victims), the seed-model gating, and the per-trigger packing,
+    externally and hash-exact. State lives in a temp dir; the kept rows
+    are localCheckpointed so it can be removed before collection."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from manifold_spark.curation import curation_sink
+    from manifold_spark.operators.dedup import (
+        _persist_tracked,
+        operator_cache_scope,
+    )
+    from manifold_spark.operators.lm import score_docs, train_char_lm
+    from manifold_spark.operators.sampling import temperature_rates
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), _LINE_CHUNK_PATTERN, "$1.\n"
+        ).alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cur-store-gate-")
+    try:
+        with operator_cache_scope():
+            # ntile over doc_id = the id-ordered trigger split (global
+            # window: gate-scale only; production triggers arrive
+            # pre-split from the stream source).
+            docs_b = _persist_tracked(
+                docs.withColumn(
+                    "batch_no", F.ntile(CSP_BATCHES).over(Window.orderBy("doc_id"))
+                )
+            )
+            lm_model = _persist_tracked(train_char_lm(docs_b))
+            scored = (
+                score_docs(docs_b, model=lm_model)
+                .filter(F.col("n_trigrams") > 0)
+                .join(docs_b.select("doc_id", "lang"), "doc_id")
+            )
+            # exact RANK cutpoints (see module comment): the score of the
+            # ceil(n/3)-th / ceil(2n/3)-th best doc per lang, always a
+            # 2-element array (elements may coincide for tiny langs).
+            wr = Window.partitionBy("lang").orderBy(
+                F.col("avg_logprob").desc(), "doc_id"
+            )
+            ranked = scored.withColumn("rk", F.row_number().over(wr)).withColumn(
+                "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+            )
+            r1 = F.ceil(F.col("n") / F.lit(3.0)).cast("long")
+            r2 = F.ceil((F.lit(2) * F.col("n")) / F.lit(3.0)).cast("long")
+            cuts = _persist_tracked(
+                ranked.groupBy("lang").agg(
+                    F.array(
+                        F.max(F.when(F.col("rk") == r1, F.col("avg_logprob"))),
+                        F.max(F.when(F.col("rk") == r2, F.col("avg_logprob"))),
+                    ).alias("cuts")
+                )
+            )
+            rates = _persist_tracked(
+                temperature_rates(
+                    docs_b, "lang", alpha=CUR_ALPHA, target_fraction=CUR_TARGET
+                ).withColumnRenamed("source", "lang")
+            )
+            models = {"lm_model": lm_model, "cuts": cuts, "rates": rates}
+            sink = curation_sink(
+                models, f"{tmp}/state", f"{tmp}/out",
+                hash_prefix_len=1, key_prefix_len=1, doc_buckets=16,
+                compact_every=2,
+                min_words_per_line=CUR_MIN_WORDS,
+                min_kept_lines=CUR_MIN_KEPT,
+                require_terminal_punct=True,
+                line_drop_terms=C4_LINE_DROP_TERMS,
+                blocklist=C4_BLOCKLIST,
+                lsh_threshold=CUR_LSH_THRESHOLD,
+                lsh_max_bucket=CSP_MAX_BUCKET,
+                max_ppl_bucket=2,
+                pack_budget=CUR_BUDGET,
+                audit=False,
+            )
+            for i in range(CSP_BATCHES):
+                sink(
+                    docs_b.filter(F.col("batch_no") == i + 1).drop("batch_no"),
+                    i,
+                )
+            res = (
+                spark.read.parquet(f"{tmp}/out")
+                .select(
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    "lang",
+                    F.col("shard").cast("long").alias("shard"),
+                    F.col("bin_id").cast("long").alias("bin_id"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("batch_id").cast("long").alias("batch_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return res

@@ -605,7 +605,16 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gets a fresh driver row each round. The head still front-loads keys
 #: never (or least recently) driver-checked, in case the cap ever drops.
 _DRIVER_ORDER_HEAD = [
-    # new in round 10 — never driver-checked (end-to-end curation
+    # new in round 12 — never driver-checked (the two state stores
+    # inside the hard gate, VERDICT r11 #1; slots freed by the
+    # sampling_surface and multimodal decode folds)
+    "curation_store_pipeline",
+    "ann_store_cdc",
+    # reshaped in round 12 (sample_mix_sources + pack_context_windows
+    # fold; multimodal_decode folded into multimodal_meta) — re-check
+    "sampling_surface",
+    "multimodal_meta",
+    # new in round 10 — driver-checked since (end-to-end curation
     # pipeline; slot freed by the profile_orders → audit_counts fold)
     "curation_pipeline",
     # reshaped in round 10 (DSIR section riding the NB gate, BPE doc
@@ -621,7 +630,6 @@ _DRIVER_ORDER_HEAD = [
     # reshaped in round 9 (hourly-rollup grain union, chunk-manifest
     # section union, retention folded into the funnel) — re-check first
     "events_type_stats",
-    "multimodal_meta",
     "events_funnel",
     # new in round 8 (late tranche)
     "text_line_dedup",
