@@ -240,10 +240,14 @@ class AnnIndexStore:
         carry one — the compaction fold's surviving rows — keep it);
         tombstones are stamped ``tomb_ver``. These are the sequence
         numbers the shadow rule (`_shadow`) compares."""
+        from concurrent.futures import ThreadPoolExecutor
+
         ver = int(name[1:])
         root = os.path.join(self.state_dir, name)
         shutil.rmtree(root, ignore_errors=True)
-        for part, frame in parts.items():
+
+        def _write(item) -> None:
+            part, frame = item
             if part == "tombs":
                 # id list, takedown-sized — one flat file, no cells.
                 tombs = frame.select(self.id_col).distinct().withColumn(
@@ -252,7 +256,7 @@ class AnnIndexStore:
                 tombs.coalesce(1).write.mode("overwrite").parquet(
                     os.path.join(root, part)
                 )
-                continue
+                return
             if "ver" not in frame.columns:
                 frame = frame.withColumn("ver", F.lit(ver).cast("long"))
             # partition column = derived COPY of the data column; one
@@ -262,6 +266,15 @@ class AnnIndexStore:
             proj.repartition(F.col("pc")).write.partitionBy("pc").mode(
                 "overwrite"
             ).parquet(os.path.join(root, part))
+
+        # Independent jobs submitted concurrently (driver threads, the
+        # write_delta recipe — VERDICT r11 #7): a PQ version's vecs +
+        # codes (+ tombs) writes cost the largest part, not the sum.
+        # Note for PQ versions both data parts project the SAME persisted
+        # `_encoded_cache` frame, so the concurrent jobs share the
+        # encode work through the cache instead of racing to recompute.
+        with ThreadPoolExecutor(max_workers=max(len(parts), 1)) as pool:
+            list(pool.map(_write, parts.items()))
         write_commit_marker(root)
 
     def _next_batch_id(self) -> int:

@@ -1308,3 +1308,23 @@ def test_bpe_state_roundtrip_refresh(spark, tmp_path):
         ).collect()
     }
     assert enc_loaded == enc_fresh
+
+
+def test_dsir_keep_rates_all_null_logratios(spark):
+    """ADVICE r11: `dsir_keep_rates` is public — a non-empty frame whose
+    logratio column is entirely NULL (F.max skips NULLs → m is None)
+    must return zero rates, not crash building F.lit(None). Unreachable
+    via dsir_sample's inner score join, pinned at the public surface."""
+    from manifold_spark.operators.sampling import dsir_keep_rates
+
+    scored = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, logratio double"
+    )
+    out = dsir_keep_rates(scored, "logratio", 0.5)
+    rows = {r["doc_id"]: r["rate_bps"] for r in out.collect()}
+    assert rows == {1: 0, 2: 0}
+
+    empty = dsir_keep_rates(
+        scored.limit(0), "logratio", 0.5
+    )
+    assert empty.count() == 0
