@@ -649,10 +649,18 @@ class CurationState:
         """Pin the trigger's read horizon (< batch_id), GC dirs that a
         committed snapshot strictly BEFORE this batch supersedes (safe:
         batch N starting means batch N−1's epoch committed, so no retry
-        can need them), and reset the read-stat counters."""
+        can need them), sweep CRASHED partial dirs below this trigger
+        (same reasoning: only THIS trigger can replay, so an uncommitted
+        dir with a lower id can never be retried and would otherwise
+        leak disk forever — the r12 `AnnIndexStore` parity fix, shared
+        via `versioned_store.sweep_uncommitted`), and reset the
+        read-stat counters."""
         import os
         import shutil
 
+        from manifold_spark.versioned_store import sweep_uncommitted
+
+        sweep_uncommitted(self.state_dir, batch_id)
         snaps, deltas = self._scan()
         self._batch_id = batch_id
         older_snaps = [s for s in snaps if s < batch_id]

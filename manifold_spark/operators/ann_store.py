@@ -66,6 +66,7 @@ from pyspark.sql import functions as F
 from manifold_spark.versioned_store import (
     has_parquet,
     scan_committed,
+    sweep_uncommitted,
     walk_parquet_stats,
     write_commit_marker,
 )
@@ -173,18 +174,7 @@ class AnnIndexStore:
         snaps, deltas = self._scan()
         top = max(snaps + deltas, default=None)
         if top is not None:
-            for name in os.listdir(self.state_dir):
-                m = re.fullmatch(r"[vs](\d+)", name)
-                if (
-                    m
-                    and int(m.group(1)) <= top
-                    and not os.path.exists(
-                        os.path.join(self.state_dir, name, "_COMMIT")
-                    )
-                ):
-                    shutil.rmtree(
-                        os.path.join(self.state_dir, name), ignore_errors=True
-                    )
+            sweep_uncommitted(self.state_dir, top + 1)
         if not snaps:
             return
         base = snaps[-1]

@@ -74,3 +74,27 @@ def walk_parquet_stats(dirs: list[str]) -> tuple[int, int]:
                     files += 1
                     size += os.path.getsize(os.path.join(dirpath, fn))
     return files, size
+
+
+def sweep_uncommitted(state_dir: str, below_id: int) -> None:
+    """Remove CRASHED partial version dirs: ``v*``/``s*`` names lacking
+    a ``_COMMIT`` marker whose id is strictly below ``below_id``. Such a
+    dir can never be meaningfully retried (the caller passes the first
+    id a retry could still target: the trigger id for CurationState —
+    foreachBatch replays only the current trigger — or one past the
+    committed horizon for AnnIndexStore), so without the sweep it leaks
+    disk forever: invisible to readers, unbounded growth (ADVICE r11).
+    Dirs at or above ``below_id`` are left for the owner's retry, which
+    overwrites them."""
+    import shutil
+
+    if not os.path.isdir(state_dir):
+        return
+    for name in os.listdir(state_dir):
+        m = re.fullmatch(r"[vs](\d+)", name)
+        if (
+            m
+            and int(m.group(1)) < below_id
+            and not os.path.exists(os.path.join(state_dir, name, "_COMMIT"))
+        ):
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)

@@ -506,3 +506,26 @@ def test_cap_engaged_split_invariance(spark):
     assert one_big == split_big
     assert 0 in one_big
     assert not ({1, 2, 3, 4, 5, 6, 7} & one_big)
+
+
+def test_crashed_partial_dirs_swept_below_trigger(spark, tmp_path):
+    """r12 `AnnIndexStore` parity (shared `sweep_uncommitted`): an
+    uncommitted partial version dir BELOW the current trigger can never
+    be retried (only the current trigger replays) and must be swept at
+    begin_batch instead of leaking disk forever; one at/above the
+    trigger id is the current retry's own dir and must survive."""
+    state_dir = str(tmp_path / "crash")
+    for name in ("v1", "s2", "v5"):
+        os.makedirs(os.path.join(state_dir, name, "hashes"))
+        with open(
+            os.path.join(state_dir, name, "hashes", "junk.parquet"), "w"
+        ) as f:
+            f.write("not parquet")
+
+    store = CurationState(spark, state_dir)
+    store.begin_batch(5)
+    assert not os.path.isdir(os.path.join(state_dir, "v1"))
+    assert not os.path.isdir(os.path.join(state_dir, "s2"))
+    assert os.path.isdir(os.path.join(state_dir, "v5")), (
+        "the current trigger's own crashed dir must be left for its retry"
+    )
