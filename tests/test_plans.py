@@ -207,3 +207,36 @@ def test_span_dedup_plan_is_pair_free(spark, sf_dir):
     # duplicated-hash detection is partial-aggregated before its shuffle
     assert "partial_count" in plan
     release_shingle_caches()
+
+
+def test_topk_ivf_broadcast_queries_knob(spark, sf_dir):
+    """`topk_ivf(broadcast_queries=False)` (the store's distributed
+    probe, r12) must drop the query-side broadcast HINT: with the
+    size-based auto-broadcast disabled, the default plan broadcasts the
+    probes subtree and the distributed plan joins without ANY broadcast
+    of it — both sides meet in a shuffle keyed by the probed cell id
+    (at production scale the hinted broadcast of a corpus-sized query
+    frame would be the scale-killer; size-based selection may still
+    broadcast a genuinely small side, which is why the pin pins the
+    HINT, not Catalyst's size choice)."""
+    from manifold_spark.operators.similarity import topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = _plan(topk_ivf(emb, emb, 64, k=3, nprobe=2))
+        unhinted = _plan(
+            topk_ivf(emb, emb, 64, k=3, nprobe=2, broadcast_queries=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the hinted form broadcasts the scored-probes subtree for the cell
+    # join; the centroid assignment's crossJoin keeps its own broadcast
+    # in BOTH plans, so compare counts rather than absence.
+    assert hinted.count("BroadcastExchange") > unhinted.count(
+        "BroadcastExchange"
+    )
+    assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted
