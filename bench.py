@@ -184,8 +184,11 @@ def main() -> None:
         }
         prior = {}
         if os.path.exists(detail_path):
-            with open(detail_path) as f:
-                prior = json.load(f)
+            try:
+                with open(detail_path) as f:
+                    prior = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                pass  # corrupt prior artifact must not lose this run
         prior["exclusive"] = exclusive
         with open(detail_path, "w") as f:
             json.dump(prior, f, indent=1)

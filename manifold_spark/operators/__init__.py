@@ -1912,28 +1912,39 @@ _PACK_BUDGET = 2048
 _PACK_SHARDS = 16
 
 
-def _pack_oracle() -> str:
-    from manifold_spark.operators.sampling import RATE_DENOM  # noqa: F401
-
+def _pack_sql(
+    table: str,
+    budget: int,
+    shards: int,
+    payload_cols: tuple[str, ...] = (),
+    partition_cols: tuple[str, ...] = ("shard",),
+) -> str:
+    """The `pack_documents` window mirror — ONE definition (review r12:
+    three hand-copied instances could silently desynchronize) shared by
+    `_pack_oracle`, the curation chain oracle, and the store-gate
+    oracle: shard = hash % shards, n_tokens = least(ws tokens, budget),
+    bin_id = floor((running − n)/budget) per ``partition_cols`` in
+    doc_id order. ``payload_cols`` ride through unchanged."""
     h = _stable_hash_sql("CAST(doc_id AS VARCHAR)")
     toks = _ws_tokens_sql("text")
+    pay = "".join(f"{c}, " for c in payload_cols)
+    part = ", ".join(partition_cols)
     return f"""
-    WITH base AS (
-        SELECT doc_id,
-               ({h}) % {_PACK_SHARDS} AS shard,
-               least(CAST(len({toks}) AS BIGINT), {_PACK_BUDGET}) AS n_tokens
-        FROM documents
-    ),
-    cum AS (
-        SELECT doc_id, shard, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS running
-        FROM base
-    )
-    SELECT doc_id, shard, n_tokens,
-           CAST(floor((running - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
-    FROM cum
+        SELECT doc_id, {pay}shard, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY {part}
+                                               ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / {budget}.0) AS BIGINT) AS bin_id
+        FROM (
+            SELECT doc_id, {pay}({h}) % {shards} AS shard,
+                   least(CAST(len({toks}) AS BIGINT), {budget}) AS n_tokens
+            FROM {table}
+        )
     """
+
+
+def _pack_oracle() -> str:
+    return _pack_sql("documents", _PACK_BUDGET, _PACK_SHARDS)
 
 
 def _sampling_surface_oracle() -> str:
@@ -3082,7 +3093,6 @@ def _curation_chain_sql(
     rep = _repetition_oracle(table=f"{p}fuzzy")
     lmq = _lm_oracle(table=f"{p}rep", min_trigrams=1)
     h = _stable_hash_sql("CAST(doc_id AS VARCHAR)")
-    toks = _ws_tokens_sql("text")
     buckets = ", ".join(f"'{b}'" for b in keep_buckets)
     return f"""{p}src AS MATERIALIZED (
         SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, {chunk} AS text
@@ -3155,16 +3165,7 @@ def _curation_chain_sql(
         WHERE ({h}) % {RATE_DENOM} < r.rate_bps
     ),
     {p}packed AS MATERIALIZED (
-        SELECT doc_id, lang, shard, n_tokens,
-               CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                               ROWS UNBOUNDED PRECEDING)
-                           - n_tokens) / {CUR_BUDGET}.0) AS BIGINT) AS bin_id
-        FROM (
-            SELECT doc_id, lang,
-                   ({h}) % {CUR_SHARDS} AS shard,
-                   least(CAST(len({toks}) AS BIGINT), {CUR_BUDGET}) AS n_tokens
-            FROM {p}mixed
-        )
+        {_pack_sql(f"{p}mixed", CUR_BUDGET, CUR_SHARDS, payload_cols=("lang",))}
     )"""
 
 
@@ -3350,7 +3351,6 @@ def _curation_store_oracle() -> str:
     )
     rep = _repetition_oracle(table="csp_fuzzy")
     h = _stable_hash_sql("CAST(doc_id AS VARCHAR)")
-    toks = _ws_tokens_sql("text")
     avg = f"CAST(s.sum_q AS DOUBLE) / CAST(s.n_tri * {scale} AS DOUBLE)"
     return f"""
     WITH csp_src AS MATERIALIZED (
@@ -3481,17 +3481,11 @@ def _curation_store_oracle() -> str:
         WHERE ({h}) % {RATE_DENOM} < coalesce(r.rate_bps, {RATE_DENOM})
     ),
     csp_packed AS (
-        SELECT doc_id, lang, batch_no, shard, n_tokens,
-               CAST(floor((SUM(n_tokens) OVER (PARTITION BY batch_no, shard
-                                               ORDER BY doc_id
-                                               ROWS UNBOUNDED PRECEDING)
-                           - n_tokens) / {CUR_BUDGET}.0) AS BIGINT) AS bin_id
-        FROM (
-            SELECT doc_id, lang, batch_no,
-                   ({h}) % {CUR_SHARDS} AS shard,
-                   least(CAST(len({toks}) AS BIGINT), {CUR_BUDGET}) AS n_tokens
-            FROM csp_mixed
-        )
+        {_pack_sql(
+            "csp_mixed", CUR_BUDGET, CUR_SHARDS,
+            payload_cols=("lang", "batch_no"),
+            partition_cols=("batch_no", "shard"),
+        )}
     )
     SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, bin_id, n_tokens,
            CAST(batch_no - 1 AS BIGINT) AS batch_id

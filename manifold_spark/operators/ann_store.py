@@ -87,6 +87,14 @@ class AnnIndexStore:
     - ``s{n}/…``            compacted snapshots, same parts (never
       tombs; surviving rows KEEP their original ``ver``).
 
+    On-disk format note: the ``ver``/``tomb_ver`` columns are the r12
+    format; a state dir written by an earlier revision fails loudly on
+    first read (unresolved column) and must be rebuilt via
+    ``initialize(overwrite=True)`` + re-append. Deliberately NO silent
+    fallback: a guessed sequence number for unversioned rows could
+    resurrect deleted rows or hide re-added ones — the two failure
+    modes the sequence numbers exist to prevent.
+
     Crash window note: `initialize` writes the quantizer, then appends
     v0 — no marker spans both, so a crash in between leaves a quantizer
     with no committed version. Harmless: `_scan` shows nothing
@@ -272,18 +280,20 @@ class AnnIndexStore:
         streaming sink owns the store (ADVICE r11): `ann_index_sink`
         maps trigger ids to version slots deterministically, so an
         auto-assigned out-of-band write would land on the next
-        trigger's slot and be silently overwritten by it. Pass an
-        explicit ``batch_id`` from a range the sink never uses, route
-        the op through the stream (CDC shape), or `release_sink()`
-        after the stream is stopped."""
+        trigger's slot and be silently overwritten by it. Route the op
+        through the stream (CDC shape), or stop the stream and
+        `release_sink()`. Deliberately NOT offered: writing to an id
+        range "above" the sink — version ids are the tombstone sequence
+        numbers and the compaction/horizon order, so a far-future id
+        would shadow every later legitimate re-add and pin an
+        unfoldable delta in the horizon (review r12)."""
         if os.path.exists(os.path.join(self.state_dir, "_SINK")):
             raise ValueError(
                 "a streaming sink owns this store's version slots "
                 "(ann_index_sink wrote _SINK): an auto-assigned batch_id "
                 "would collide with the next trigger and be silently "
-                "overwritten — pass an explicit batch_id, send the op "
-                "through the stream, or release_sink() once the stream "
-                "is stopped"
+                "overwritten — send the op through the stream (op_col "
+                "CDC shape), or stop the stream and release_sink()"
             )
         snaps, deltas = self._scan()
         return max(snaps + deltas, default=-1) + 1
@@ -585,15 +595,28 @@ class AnnIndexStore:
             return
         base = snaps[-1] if snaps else None
         live = [d for d in deltas if base is None or d > base]
-        if len(live) <= self.compact_every:
+        # Fold ONLY versions at or below the compacting batch: a delta
+        # with a HIGHER id (an out-of-band write above the current
+        # sequence) must stay a live delta — folding it into
+        # ``s{batch_id}`` would leave it in the read horizon too
+        # (id > snapshot id) and double every one of its rows in every
+        # search (review r12). It folds when a compaction at or past its
+        # own id runs.
+        fold = [d for d in live if d <= batch_id]
+        if len(fold) <= self.compact_every:
             return
         sources = ([f"s{base}"] if base is not None else []) + [
-            f"v{d}" for d in live
+            f"v{d}" for d in fold
         ]
-        # `sources` IS the live horizon here (_live_names() = base
-        # snapshot + deltas past it, including this batch's own version),
-        # so the shared helper defines BOTH the set searches hide and
-        # the set this fold drops — they cannot drift apart.
+        # The shared helper defines BOTH the set searches hide and the
+        # set this fold drops — they cannot drift apart. It spans the
+        # whole live horizon, which may exceed `sources` when an
+        # out-of-band delta sits above batch_id: dropping rows such a
+        # still-live tombstone shadows is safe (it keeps shadowing them
+        # after the fold either way), and a tombstone INSIDE the fold
+        # can never shadow a higher-id live delta (its rows' ver exceeds
+        # the tomb_ver), so absorbing fold-internal tombstones stays
+        # sound.
         tombs_all = self._tombstones(count_stats=False)
         data_cols = {"vecs": [self.id_col, self.vec_col, "centroid_id", "ver"]}
         if self.meta["pq"]:
@@ -677,25 +700,19 @@ class AnnIndexStore:
     #: the distributed probe (the driver path collects the batch).
     DRIVER_PROBE_MAX = 4096
 
-    def _probe_cids(self, queries: DataFrame, nprobe: int) -> list:
-        """The union of every query's nprobe nearest cells, computed
-        DRIVER-SIDE (two bounded collects — the centroid table is
-        cell-count-sized, the query batch is driver-sized by contract)
-        with the exact `topk_ivf_pq` probe recipe: left-associated
-        double dots, (dot desc, cid asc) tie-break. That is bit-
-        identical to the `assign_centroids` column expression (same
-        IEEE-double op order over the same float32→double values — the
-        repo-wide determinism contract `linalg.py` documents and the
-        store's equality pins exercise), so the pruned read can never
-        disagree with scoring's probe set — without paying a Spark job
-        per search just to rank nprobe centroids."""
-        q_vecs = [
-            [float(v) for v in r["qv"]]
-            for r in queries.select(F.col(self.vec_col).alias("qv")).collect()
-        ]
-        return self._cids_for_vecs(q_vecs, nprobe)
-
     def _cids_for_vecs(self, q_vecs: list, nprobe: int) -> list:
+        """The union of every query's nprobe nearest cells, computed
+        DRIVER-SIDE (one bounded collect — the centroid table is
+        cell-count-sized; the vectors were already collected by the
+        pinning step) with the exact `topk_ivf_pq` probe recipe:
+        left-associated double dots, (dot desc, cid asc) tie-break.
+        That is bit-identical to the `assign_centroids` column
+        expression (same IEEE-double op order over the same
+        float32→double values — the repo-wide determinism contract
+        `linalg.py` documents and the store's equality pins exercise),
+        so the pruned read can never disagree with scoring's probe set
+        — without paying a Spark job per search just to rank nprobe
+        centroids."""
         import functools
         import operator
 
@@ -716,16 +733,21 @@ class AnnIndexStore:
             cids.update(cid for _negdot, cid in dots)
         return sorted(cids)
 
-    def _pin_queries(self, queries: DataFrame) -> tuple[DataFrame, list]:
+    def _pin_queries(
+        self, queries: DataFrame, rows: list | None = None
+    ) -> tuple[DataFrame, list]:
         """Collect the (driver-sized) query batch ONCE and rebuild a
         local frame from the rows, so the probe-cell set and the scoring
         pass evaluate the SAME values even when the caller's frame is
         nondeterministic (upstream sample/limit — ADVICE r11: a second
         evaluation could need cells the first probe never read,
-        silently dropping candidates). Returns (pinned frame, vectors
-        as Python lists)."""
+        silently dropping candidates). ``rows`` accepts an
+        already-collected batch (the auto-routing take) so routing and
+        pinning share one evaluation. Returns (pinned frame, vectors as
+        Python lists)."""
         proj = queries.select(self.id_col, self.vec_col)
-        rows = proj.collect()
+        if rows is None:
+            rows = proj.collect()
         pinned = self.spark.createDataFrame(rows, schema=proj.schema)
         return pinned, [[float(v) for v in r[self.vec_col]] for r in rows]
 
@@ -797,11 +819,15 @@ class AnnIndexStore:
 
         self._require_nonempty()
         self.read_stats = {}
+        rows = None
         if distributed is None:
-            distributed = (
-                queries.limit(self.DRIVER_PROBE_MAX + 1).count()
-                > self.DRIVER_PROBE_MAX
-            )
+            # ONE take(MAX+1) both routes and (when small) IS the pinned
+            # batch — a separate routing count would evaluate a
+            # nondeterministic frame a second time and could route a
+            # small count into an unbounded collect (review r12).
+            proj = queries.select(self.id_col, self.vec_col)
+            rows = proj.take(self.DRIVER_PROBE_MAX + 1)
+            distributed = len(rows) > self.DRIVER_PROBE_MAX
         if distributed:
             q = queries.select(self.id_col, self.vec_col).localCheckpoint(
                 eager=True
@@ -816,7 +842,7 @@ class AnnIndexStore:
                 for r in probe_cells.select("centroid_id").distinct().collect()
             )
         else:
-            q, q_vecs = self._pin_queries(queries)
+            q, q_vecs = self._pin_queries(queries, rows=rows)
             cids = self._cids_for_vecs(q_vecs, nprobe)
         lists = self.read_cells("vecs", cids) if cids else None
         if lists is None:
@@ -908,9 +934,10 @@ def ann_index_sink(
     while it exists, out-of-band `append`/`delete`/`apply_cdc` calls
     with AUTO-assigned batch ids are refused (they would land on the
     next trigger's deterministic slot and be silently overwritten —
-    ADVICE r11). Route takedowns through the stream (CDC shape), pass
-    an explicit out-of-range ``batch_id``, or
-    `AnnIndexStore.release_sink()` once the stream is stopped."""
+    ADVICE r11). Route takedowns through the stream (CDC shape), or
+    stop the stream and `AnnIndexStore.release_sink()` — do NOT write
+    to a "spare" high id range: version ids are the tombstone sequence
+    numbers and the horizon order (see `_next_batch_id`)."""
     os.makedirs(state_dir, exist_ok=True)
     with open(os.path.join(state_dir, "_SINK"), "w") as f:
         json.dump({"base_version": base_version}, f)

@@ -121,7 +121,9 @@ def test_probe_reads_only_probed_cells(spark, emb, queries, tmp_path):
     # nprobe=1 with 8 queries bounds the probe set at 8 of 16 cells, so
     # the "strictly less than the whole state" assertions cannot flake.
     store.topk(queries, k=K, nprobe=1)
-    cids = store._probe_cids(queries, 1)
+    cids = store._cids_for_vecs(
+        [[float(v) for v in r["embedding"]] for r in queries.collect()], 1
+    )
     # one file per cell per live version (one version here)
     assert 0 < store.read_stats["vecs_files"] <= len(cids)
     assert len(cids) <= N_QUERIES < N_CENTROIDS  # the probe really pruned
@@ -554,7 +556,10 @@ def test_sink_ownership_blocks_auto_batch_ids(spark, emb, tmp_path):
     """While a streaming sink owns the store (_SINK marker), out-of-band
     writes with AUTO-assigned batch ids are refused — they would land on
     the next trigger's deterministic slot and be silently overwritten
-    (ADVICE r11). Explicit ids and release_sink() both unblock."""
+    (ADVICE r11). release_sink() unblocks once the stream is stopped.
+    (There is deliberately no "spare high id range" escape hatch:
+    version ids are the tombstone sequence numbers and the horizon
+    order — see `_next_batch_id`.)"""
     from manifold_spark.operators.ann_store import ann_index_sink
 
     state_dir = str(tmp_path / "own")
@@ -566,8 +571,6 @@ def test_sink_ownership_blocks_auto_batch_ids(spark, emb, tmp_path):
         store.delete([3])
     with pytest.raises(ValueError, match="sink owns"):
         store.append(emb.filter(F.col("vec_id") == 100))
-    # explicit out-of-range id still works (the documented escape hatch)
-    store.delete([3], batch_id=1_000)
     store.release_sink()
     store.delete([4])  # auto id fine again
 
@@ -595,3 +598,42 @@ def test_distributed_probe_matches_driver_and_in_memory(spark, emb, tmp_path):
     dst = _rows(store.topk(small, k=K, nprobe=NPROBE, distributed=True))
     auto = _rows(store.topk(small, k=K, nprobe=NPROBE))
     assert drv == dst == auto
+
+
+def test_compaction_skips_deltas_above_the_compacting_batch(spark, emb, queries, tmp_path):
+    """Fold guard (review r12): a delta with an id ABOVE the compacting
+    batch (an out-of-band write from a stale high-id discipline) must
+    NOT fold into the snapshot — it would stay in the read horizon too
+    (id > snapshot id) and every one of its rows would score twice. It
+    stays a live delta until a compaction at or past its own id."""
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+    store = AnnIndexStore(spark, str(tmp_path / "hi"), compact_every=3)
+    store.initialize(emb.filter(F.col("vec_id") < 120), centroids=cents)
+    store.append(
+        emb.filter((F.col("vec_id") >= 120) & (F.col("vec_id") < 240))
+    )  # v1
+    store.append(
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 480)),
+        batch_id=50,
+    )  # out-of-band high id (3 live ≤ compact_every: no compaction yet)
+    store.append(
+        emb.filter((F.col("vec_id") >= 240) & (F.col("vec_id") < 300)),
+        batch_id=2,
+    )  # v2 — fold candidates [0,1,2] ≤ compact_every: guard defers
+    store.append(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 360)),
+        batch_id=3,
+    )  # v3 → folds {v0..v3} into s3; v50 must survive as a delta
+
+    snaps, deltas = store._scan()
+    assert snaps == [3] and 50 in deltas, (snaps, deltas)
+
+    corpus = emb.filter(
+        (F.col("vec_id") < 360)
+        | ((F.col("vec_id") >= 400) & (F.col("vec_id") < 480))
+    )
+    got = _rows(store.topk(queries, k=K, nprobe=NPROBE))
+    want = _rows(
+        topk_ivf(queries, corpus, DIM, k=K, nprobe=NPROBE, centroids=cents)
+    )
+    assert got == want, "high-id delta rows duplicated or lost through the fold"
