@@ -1015,6 +1015,7 @@ def main() -> None:
     import tempfile
 
     from manifold_spark.catalog import TableStore
+    from manifold_spark.pipeline import run_week
     from manifold_spark.sources.fixtures import make_listing, write_week
 
     bf_root = tempfile.mkdtemp(prefix="bench-backfill-")
