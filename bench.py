@@ -753,6 +753,20 @@ def main() -> None:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        # The 7th trigger is TINY (~1% of a batch): the bucket-
+        # granularity lever only engages when the batch is SMALL against
+        # the bucket count — a corpus-uniform batch comparable to the
+        # bucket count touches every bucket regardless (measured above),
+        # so this row is where 256-way prefixes must show the smaller
+        # touched fraction the SCALING.md claim predicts.
+        small = cur_docs.filter(F.col("doc_id") % 97 == 13).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "lang",
+            F.concat(F.col("text"), F.lit(" smalltrigger tail.")).alias("text"),
+        )
+        t0 = time.perf_counter()
+        sink(small, n_store_batches)
+        small_sec = round(time.perf_counter() - t0, 3)
         reads = [
             {k: int(v) for k, v in m.items() if k != "batch_id"}
             for m in sorted(state_metrics, key=lambda m: m["batch_id"])
@@ -760,20 +774,27 @@ def main() -> None:
         # touched fraction: bytes this trigger READ from state over the
         # state's total bytes (totals are post-trigger — the pruning
         # signal, not an exact pre-image ratio; trigger 0 reads nothing).
-        frac = []
-        for m in reads:
+        def _frac(m):
             read_b = sum(
                 v for k, v in m.items()
                 if k.endswith("_bytes") and not k.startswith("state_total")
             )
             tot = m.get("state_total_bytes", 0)
-            frac.append(round(read_b / tot, 4) if tot else 0.0)
+            return round(read_b / tot, 4) if tot else 0.0
+
+        small_reads = reads[-1]
+        reads = reads[:-1]
         incremental[f"{label}_per_batch_sec"] = store_batch_secs
         incremental[f"{label}_kept_per_batch"] = [
             store_kept.get(i, 0) for i in range(n_store_batches)
         ]
         incremental[f"{label}_state_reads"] = reads
-        incremental[f"{label}_touched_fraction"] = frac
+        incremental[f"{label}_touched_fraction"] = [_frac(m) for m in reads]
+        incremental[f"{label}_small_trigger"] = {
+            "sec": small_sec,
+            "touched_fraction": _frac(small_reads),
+            **small_reads,
+        }
         _sh.rmtree(store_root, ignore_errors=True)
     _sh.rmtree(cur_root, ignore_errors=True)
 
