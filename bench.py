@@ -46,6 +46,10 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Sampled before Spark starts: external contention evidence for the
+    # exclusive section (loadavg at END is dominated by this bench's
+    # own 32 threads and says nothing about neighbors).
+    loadavg_at_start = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -172,6 +176,7 @@ def main() -> None:
         total = round(sum(timings.values()), 3)
         exclusive = {
             "stamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "loadavg_at_start": loadavg_at_start,
             "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
             "value": total,
             "queries_min_of_3": timings,
