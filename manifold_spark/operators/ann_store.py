@@ -174,6 +174,20 @@ class AnnIndexStore:
         through the whole NEXT append interval without FileNotFound;
         disk holds at most one superseded compaction cycle extra.
 
+        "After" is judged against the snapshot's ``_FENCE`` — the max
+        committed id AT compaction time, recorded inside the snapshot
+        dir (ADVICE r12): inferring it from ``top > base`` alone would
+        fire the GC immediately when an out-of-band delta with an id
+        ABOVE the snapshot was committed BEFORE the compaction (top >
+        base holds from the start), deleting superseded dirs at the
+        very next append and re-exposing the FileNotFound window the
+        grace exists to close. The fence makes the signal explicit:
+        only a version committed strictly AFTER the snapshot (id >
+        everything the compaction could see) releases the GC. Pre-r13
+        snapshots without a fence fall back to the snapshot id —
+        exactly the old inference, correct whenever no out-of-band
+        high-id delta predates the compaction.
+
         Also sweeps CRASHED partial version dirs (ADVICE r11): an
         uncommitted ``v*``/``s*`` dir whose id is at or below the
         committed horizon can never be meaningfully retried (a retry
@@ -186,7 +200,15 @@ class AnnIndexStore:
         if not snaps:
             return
         base = snaps[-1]
-        if top <= base:
+        fence = base
+        try:
+            with open(
+                os.path.join(self.state_dir, f"s{base}", "_FENCE")
+            ) as f:
+                fence = max(fence, int(json.load(f)["fence"]))
+        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+            pass
+        if top <= fence:
             return  # grace: nothing committed after the snapshot yet
         for name in [f"v{d}" for d in deltas if d <= base] + [
             f"s{s}" for s in snaps if s < base
@@ -287,13 +309,22 @@ class AnnIndexStore:
         numbers and the compaction/horizon order, so a far-future id
         would shadow every later legitimate re-add and pin an
         unfoldable delta in the horizon (review r12)."""
-        if os.path.exists(os.path.join(self.state_dir, "_SINK")):
+        marker = os.path.join(self.state_dir, "_SINK")
+        if os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    info = json.load(f)
+            except (ValueError, OSError):
+                info = {}
             raise ValueError(
                 "a streaming sink owns this store's version slots "
-                "(ann_index_sink wrote _SINK): an auto-assigned batch_id "
-                "would collide with the next trigger and be silently "
-                "overwritten — send the op through the stream (op_col "
-                "CDC shape), or stop the stream and release_sink()"
+                f"(ann_index_sink wrote _SINK: {info}): an auto-assigned "
+                "batch_id would collide with the next trigger and be "
+                "silently overwritten — send the op through the stream "
+                "(op_col CDC shape), or stop the stream and "
+                "release_sink(). If the owning driver is dead (compare "
+                "the marker's pid/host/created_at), the marker is stale: "
+                "release_sink() is the manual unblock."
             )
         snaps, deltas = self._scan()
         return max(snaps + deltas, default=-1) + 1
@@ -640,6 +671,13 @@ class AnnIndexStore:
             proj.repartition(F.col("pc")).write.partitionBy("pc").mode(
                 "overwrite"
             ).parquet(os.path.join(root, part))
+        # GC fence (ADVICE r12): the max id committed as of this
+        # compaction — `_gc_superseded` releases only once something
+        # LATER commits, even when an out-of-band delta above batch_id
+        # already existed (part of the snapshot dir, so it commits
+        # atomically with it and a retried compaction rewrites it).
+        with open(os.path.join(root, "_FENCE"), "w") as f:
+            json.dump({"fence": max(snaps + deltas + [batch_id])}, f)
         write_commit_marker(root)
 
     # -- pruned reads ----------------------------------------------------------
@@ -743,11 +781,21 @@ class AnnIndexStore:
         evaluation could need cells the first probe never read,
         silently dropping candidates). ``rows`` accepts an
         already-collected batch (the auto-routing take) so routing and
-        pinning share one evaluation. Returns (pinned frame, vectors as
-        Python lists)."""
+        pinning share one evaluation. Guarded (ADVICE r12): an
+        explicitly-routed driver path refuses a batch past
+        ``DRIVER_PROBE_MAX`` with a pointer at ``distributed=True``
+        instead of attempting an unbounded collect. Returns
+        (pinned frame, vectors as Python lists)."""
         proj = queries.select(self.id_col, self.vec_col)
         if rows is None:
-            rows = proj.collect()
+            rows = proj.take(self.DRIVER_PROBE_MAX + 1)
+        if len(rows) > self.DRIVER_PROBE_MAX:
+            raise ValueError(
+                f"query batch exceeds DRIVER_PROBE_MAX={self.DRIVER_PROBE_MAX} "
+                "rows — the driver probe path collects the batch; pass "
+                "distributed=True (or leave distributed=None to auto-route) "
+                "for corpus-scale query frames"
+            )
         pinned = self.spark.createDataFrame(rows, schema=proj.schema)
         return pinned, [[float(v) for v in r[self.vec_col]] for r in rows]
 
@@ -863,24 +911,62 @@ class AnnIndexStore:
         k: int = 5,
         nprobe: int = 4,
         n_candidates: int | None = None,
+        distributed: bool | None = None,
     ) -> DataFrame:
         """IVF-PQ top-k against the stored codes ≡
         `pq.topk_ivf_pq(…, encoded=one-shot index)` (pinned). The ADC
         scan reads only the probed cells' CODES; the exact re-rank reads
         only the probed cells' vectors (every candidate lives in a
-        probed cell, so the pruned re-rank side is sufficient). The
-        query batch is collected ONCE and pinned (serving shape — the
-        distributed probe path is `topk`'s; `topk_ivf_pq` itself ranks
-        probes on the collected batch)."""
+        probed cell, so the pruned re-rank side is sufficient).
+
+        ``distributed`` picks the probe path — same contract as `topk`
+        (r13 closes the last named scale boundary: a store-backed bulk
+        near-dup sweep now keeps the 64× ADC byte advantage instead of
+        falling back to `topk`'s full-vector scan):
+
+        - False — serving shape: the query batch is collected ONCE and
+          pinned; `topk_ivf_pq` ranks probes and builds the ADC lookup
+          tables driver-side; refuses batches past ``DRIVER_PROBE_MAX``.
+        - True — corpus-scale query frames: the batch is NEVER
+          collected. It is localCheckpointed (pinning nondeterminism),
+          probe cells derive as a column (`assign_centroids` — the same
+          expression `adc_probe_tables` probes with, so the pruned read
+          cannot disagree with scoring), the distinct cell set (bounded
+          by n_cells) drives the pruned read of codes + re-rank
+          vectors, and the per-(query, probed cell) ADC tables compute
+          as COLUMNS (`pq.adc_probe_tables` — bit-identical IEEE
+          doubles to the driver build, pinned) with no query-side
+          broadcast hint anywhere in the plan.
+        - None — auto: distributed iff the batch exceeds
+          ``DRIVER_PROBE_MAX`` rows (one take both routes and pins)."""
         from manifold_spark.operators.pq import topk_ivf_pq
+        from manifold_spark.operators.similarity import assign_centroids
 
         meta = self.meta
         if not meta["pq"]:
             raise ValueError("store was initialized without use_pq=True")
         self._require_nonempty()
         self.read_stats = {}
-        q, q_vecs = self._pin_queries(queries)
-        cids = self._cids_for_vecs(q_vecs, nprobe)
+        rows = None
+        if distributed is None:
+            proj = queries.select(self.id_col, self.vec_col)
+            rows = proj.take(self.DRIVER_PROBE_MAX + 1)
+            distributed = len(rows) > self.DRIVER_PROBE_MAX
+        if distributed:
+            q = queries.select(self.id_col, self.vec_col).localCheckpoint(
+                eager=True
+            )
+            probe_cells = assign_centroids(
+                q, self.centroids_df(), meta["dim"],
+                self.id_col, self.vec_col, rank_limit=nprobe,
+            )
+            cids = sorted(
+                r["centroid_id"]
+                for r in probe_cells.select("centroid_id").distinct().collect()
+            )
+        else:
+            q, q_vecs = self._pin_queries(queries, rows=rows)
+            cids = self._cids_for_vecs(q_vecs, nprobe)
         codes = self.read_cells("codes", cids) if cids else None
         vecs = self.read_cells("vecs", cids) if cids else None
         if codes is None or vecs is None:
@@ -900,6 +986,7 @@ class AnnIndexStore:
             codebooks=meta["codebooks"], centroids=self.centroids_df(),
             encoded=codes, id_col=self.id_col, vec_col=self.vec_col,
             residual=meta["residual"],
+            broadcast_queries=not distributed,
         )
 
 
@@ -937,10 +1024,34 @@ def ann_index_sink(
     ADVICE r11). Route takedowns through the stream (CDC shape), or
     stop the stream and `AnnIndexStore.release_sink()` — do NOT write
     to a "spare" high id range: version ids are the tombstone sequence
-    numbers and the horizon order (see `_next_batch_id`)."""
+    numbers and the horizon order (see `_next_batch_id`).
+
+    **The marker is NEVER removed automatically** (ADVICE r12): a sink
+    whose stream never starts, or whose driver dies, leaves the store
+    refusing auto-assigned batch ids until someone calls
+    `release_sink()`. Deliberate — fail-safe beats a liveness heuristic
+    that could let two writers race a version slot — but it makes the
+    manual release part of the operating contract: stopping the stream
+    for good means calling `release_sink()`. To adjudicate a suspected
+    stale marker, the payload records the owning driver's ``pid``,
+    ``host`` and ``created_at`` (UTC ISO), and the refusal message
+    prints them."""
+    import datetime
+    import socket
+
     os.makedirs(state_dir, exist_ok=True)
     with open(os.path.join(state_dir, "_SINK"), "w") as f:
-        json.dump({"base_version": base_version}, f)
+        json.dump(
+            {
+                "base_version": base_version,
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "created_at": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(timespec="seconds"),
+            },
+            f,
+        )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         store = AnnIndexStore(

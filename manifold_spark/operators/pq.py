@@ -74,6 +74,25 @@ def _sq_l2(a_terms: list, b_terms: list):
     )
 
 
+def _fold_dot(a, b):
+    """Left-associated Σ aᵢ·bᵢ over two ARRAY columns, folded WITHOUT a
+    zero initializer — the seed is the first product, exactly like the
+    driver-side `functools.reduce(operator.add, (x*y for …))` chains in
+    `_query_rows`/`_cids_for_vecs` (a 0.0 seed would differ only in the
+    sign of an all-(−0.0) chain, but the LUT equality pin demands
+    bit-identity, not just numeric equality). Elements cast float→double
+    (exact) inside the fold, so mixed float/double array pairs are fine.
+    Higher-order-function evaluation — never an expanded per-term
+    expression tree, so janino's method limit (the r2 rejection) is
+    never in play."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(
+        F.slice(prods, 2, F.greatest(F.size(prods) - 1, F.lit(0))),
+        F.element_at(prods, 1),
+        operator.add,
+    )
+
+
 def _subvec_elements(vec_col: str, j: int, dsub: int) -> list:
     """Element Columns (cast double) of subspace j of a vector column."""
     return [element(vec_col, j * dsub + i) for i in range(1, dsub + 1)]
@@ -389,6 +408,138 @@ def _query_rows(
     return out
 
 
+def _cent_aux_tables(
+    cents: list[tuple], codebooks: list[list[list[float]]], dim: int
+) -> dict:
+    """cid → (ct, cnorm): the per-coarse-centroid residual-reconstruction
+    tables — ct[j][c] = ⟨c_subvec_j, cb[j][c]⟩ (left-associated) and
+    ‖c‖². Driver-scale like the codebook (n_centroids·m·ksub doubles).
+    ONE definition shared by the driver-side probe build (`topk_ivf_pq`)
+    and the column-side build (`adc_probe_tables`) so the two paths can
+    never drift."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    dsub = dim // m
+    aux = {}
+    for cid, cvec in cents:
+        ct = [
+            [
+                functools.reduce(
+                    operator.add,
+                    (cvec[j * dsub + i] * codebooks[j][c][i] for i in range(dsub)),
+                )
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+        cnorm = functools.reduce(operator.add, (v * v for v in cvec))
+        aux[cid] = (ct, cnorm)
+    return aux
+
+
+def adc_probe_tables(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: DataFrame,
+    dim: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> DataFrame:
+    """The query-side ADC relation computed as COLUMNS — the corpus-scale
+    twin of the driver-side `_query_rows` build: the query frame is
+    NEVER collected or broadcast. One row per (query, probed list):
+    ``(query_id, centroid_id, dt, qnorm[, qc, cnorm, ct])``, exactly the
+    schema `_adc_search` scores against.
+
+    How it threads the rejected-approaches needle (NOTES r2/r12):
+
+    - the codebook enters the plan as ONE nested literal array
+      (constant-folded by Catalyst into a single Literal value), never
+      the expanded m·ksub·dsub-term expression tree that tripped
+      janino's 64 KB method limit;
+    - every inner product is a higher-order-function fold
+      (`_fold_dot`) whose seed and association order match the driver
+      build term-for-term, so the tables are BIT-IDENTICAL IEEE doubles
+      to `_query_rows`' Python floats (pinned in test_ann_store.py) —
+      no numpy, no tolerance;
+    - probe assignment is `assign_centroids(rank_limit=nprobe)` — the
+      same expression (same (dot desc, cid asc) tie-break) the driver
+      ranking mirrors, so the probed-cell sets agree definitionally;
+    - the residual form's per-centroid tables (ct, cnorm) stay a
+      driver-built BROADCAST relation keyed by centroid_id — they are
+      codebook-scale, not query-scale — with the per-(query, cell)
+      ⟨q, c⟩ term folded column-side."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    from manifold_spark.operators.similarity import assign_centroids
+
+    m, ksub = len(codebooks), len(codebooks[0])
+    dsub = dim // m
+    probes = assign_centroids(
+        queries.select(id_col, vec_col), centroids, dim, id_col, vec_col,
+        rank_limit=nprobe,
+    )
+    cb_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(v)) for v in cent])
+                    for cent in codebooks[j]
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dt = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at(cb_lit, j + 1),
+            lambda cent: _fold_dot(F.slice(vec_d, j * dsub + 1, dsub), cent),
+        ),
+    )
+    qnorm = F.sqrt(_fold_dot(vec_d, vec_d))
+    out = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id"),
+        dt.alias("dt"),
+        qnorm.alias("qnorm"),
+        *([F.col(vec_col).alias("_q_vec")] if residual else []),
+    )
+    if residual:
+        cents = _sorted_cents(centroids, id_col, vec_col)
+        aux = _cent_aux_tables(cents, codebooks, dim)
+        aux_schema = StructType(
+            [
+                StructField("centroid_id", centroids.schema[id_col].dataType),
+                StructField("_c_vec", ArrayType(DoubleType())),
+                StructField("ct", ArrayType(ArrayType(DoubleType()))),
+                StructField("cnorm", DoubleType()),
+            ]
+        )
+        aux_df = broadcast(
+            queries.sparkSession.createDataFrame(
+                [
+                    (cid, cvec, aux[cid][0], aux[cid][1])
+                    for cid, cvec in cents
+                ],
+                aux_schema,
+            )
+        )
+        out = (
+            out.join(aux_df, "centroid_id")
+            .withColumn("qc", _fold_dot(F.col("_q_vec"), F.col("_c_vec")))
+            .drop("_q_vec", "_c_vec")
+        )
+    return out
+
+
 def _adc_search(
     q: DataFrame,
     enc: DataFrame,
@@ -402,6 +553,7 @@ def _adc_search(
     vec_col: str,
     join_on: str | None = None,
     residual: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Shared ADC tail: score codes against the broadcast query table
     (crossJoin for flat PQ, equi-join on ``join_on`` for IVF-PQ lists),
@@ -478,17 +630,26 @@ def _adc_search(
         )
     )
 
-    # Exact re-rank: candidates (|Q|·R rows) broadcast onto the corpus —
-    # the only stage that touches full-precision vectors, and the corpus
-    # is never shuffled for it.
+    # Exact re-rank: the only stage that touches full-precision vectors.
+    # Serving shape (broadcast_queries=True): candidates (|Q|·R rows)
+    # and the query vectors broadcast onto the corpus — it is never
+    # shuffled for the re-rank. Corpus-scale query frames
+    # (broadcast_queries=False) drop both hints: the joins shuffle on
+    # neighbor_id / query_id instead of replicating a corpus-sized
+    # candidate set to every task (size-based selection may still
+    # broadcast a genuinely small side — the knob removes the HINT,
+    # the same contract as `similarity.topk_ivf`).
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    qv = broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
+    if broadcast_queries:
+        cands = broadcast(cands)
+        qv = broadcast(qv)
     rr = (
-        broadcast(cands)
+        cands
         .join(vecs, "neighbor_id")
         .join(qv, "query_id")
         .withColumn("cosine", cosine_expr("q_vec", "c_vec", dim))
@@ -674,6 +835,7 @@ def topk_ivf_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-PQ: the composed 100 TB ANN architecture (FAISS IVFPQ shape) —
     a coarse quantizer prunes which inverted lists a query scans, PQ
@@ -710,7 +872,16 @@ def topk_ivf_pq(
     reconstruction is x̂ = c + r̂, handled by three extra driver-side
     tables per probed list (⟨q,c⟩, ‖c‖², ⟨c_subvec, codeword⟩). A passed
     ``encoded`` index must have been built with ``residual=True`` and
-    the same codebooks/centroids."""
+    the same codebooks/centroids.
+
+    ``broadcast_queries=False`` is the corpus-scale-query shape (r13 —
+    the store's last named scale boundary): the query batch is NEVER
+    collected — the per-(query, probed list) ADC tables compute as
+    columns (`adc_probe_tables`, bit-identical to the driver build),
+    the ADC scan shuffle-joins codes and probes on the list id, and the
+    exact re-rank joins without query-side broadcast hints. The caller
+    must pass a DETERMINISTIC query frame (pin with localCheckpoint if
+    the source samples/limits — `AnnIndexStore.topk_pq` does)."""
     if encoded is not None and (codebooks is None or centroids is None):
         raise ValueError(
             "encoded requires the explicit codebooks AND centroids that built "
@@ -762,6 +933,19 @@ def topk_ivf_pq(
             )
         ).select(F.col(id_col).alias("neighbor_id"), "codes", "centroid_id")
 
+    if not broadcast_queries:
+        # Corpus-scale query frame: tables as columns, no collect, no
+        # query-side hints anywhere downstream.
+        q = adc_probe_tables(
+            queries, codebooks, centroids, dim, nprobe, id_col, vec_col,
+            residual=residual,
+        )
+        return _adc_search(
+            q, enc, nt, k, R, queries, corpus, dim, id_col, vec_col,
+            join_on="centroid_id", residual=residual,
+            broadcast_queries=False,
+        )
+
     # Driver-side probe assignment on the collected query batch: top
     # nprobe lists by (dot desc, cid asc) — the assign_centroids rule.
     q_rows = _query_rows(queries, codebooks, id_col, vec_col)
@@ -775,22 +959,9 @@ def topk_ivf_pq(
     if residual:
         # Per-list auxiliary tables (driver-scale, like the codebook):
         # ct[l][j][c] = ⟨c_l subvec j, cb[j][c]⟩ and ‖c_l‖² — the cross
-        # and norm terms of the x̂ = c + r̂ reconstruction.
-        dsub = dim // m
-        cent_aux = {}
-        for cid, cvec in cents:
-            ct = [
-                [
-                    functools.reduce(
-                        operator.add,
-                        (cvec[j * dsub + i] * codebooks[j][c][i] for i in range(dsub)),
-                    )
-                    for c in range(ksub)
-                ]
-                for j in range(m)
-            ]
-            cnorm = functools.reduce(operator.add, (v * v for v in cvec))
-            cent_aux[cid] = (ct, cnorm)
+        # and norm terms of the x̂ = c + r̂ reconstruction (shared
+        # definition with the column-side build: `_cent_aux_tables`).
+        cent_aux = _cent_aux_tables(cents, codebooks, dim)
 
     q_data = []
     for qid, tables, norm, vec in q_rows:

@@ -600,6 +600,183 @@ def test_distributed_probe_matches_driver_and_in_memory(spark, emb, tmp_path):
     assert drv == dst == auto
 
 
+def test_gc_grace_holds_with_preexisting_high_id_delta(spark, emb, queries, tmp_path):
+    """GC fence (ADVICE r12): an out-of-band delta with an id ABOVE the
+    snapshot committed BEFORE the compaction must not release the GC
+    early — the old `top > base` inference held immediately (top=50 >
+    s2), so the very next append deleted the superseded dirs and
+    re-exposed the FileNotFound-on-pending-search window the r11 grace
+    closed. The `_FENCE` recorded at compaction time (max committed id
+    = 50) releases GC only once something strictly later commits."""
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+    store = AnnIndexStore(spark, str(tmp_path / "fence"), compact_every=2)
+    store.initialize(emb.filter(F.col("vec_id") < 160), centroids=cents)  # v0
+    store.append(
+        emb.filter((F.col("vec_id") >= 160) & (F.col("vec_id") < 320)),
+        batch_id=50,
+    )  # out-of-band high id, BEFORE any compaction
+    store.append(
+        emb.filter((F.col("vec_id") >= 320) & (F.col("vec_id") < 400)),
+        batch_id=1,
+    )
+
+    pending = store.topk(queries, k=K, nprobe=NPROBE)  # reads v0, v1, v50
+
+    store.append(
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 480)),
+        batch_id=2,
+    )  # folds v0..v2 → s2; fence records 50
+
+    store.append(emb.limit(0), batch_id=51)  # top=50 ≤ fence=50: NO GC yet
+    assert os.path.isdir(os.path.join(store.state_dir, "v0")), (
+        "grace defeated: superseded dir GC'd while a pre-compaction "
+        "search could still hold its paths"
+    )
+    got = _rows(pending)  # consume after append+compaction+next append
+    want = _rows(
+        topk_ivf(
+            queries, emb.filter(F.col("vec_id") < 400), DIM,
+            k=K, nprobe=NPROBE, centroids=cents,
+        )
+    )
+    assert got == want
+
+    store.append(emb.limit(0), batch_id=52)  # top=51 > fence=50 → GC fires
+    for name in ("v0", "v1", "v2"):
+        assert not os.path.isdir(os.path.join(store.state_dir, name))
+
+
+def test_stream_built_store_serves_distributed_probe(spark, emb, tmp_path):
+    """Composition pin (VERDICT r12 #6): the CDC streaming sink and the
+    distributed probe, TOGETHER — a store ingested through
+    `start_ann_index_stream(op_col=...)` with a mid-stream restart must
+    serve a corpus-scale `topk(distributed=True)` identical to a
+    batch-built store over the same live set (and to the in-memory
+    operator)."""
+    from manifold_spark.operators.ann_store import start_ann_index_stream
+
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+    state_dir = str(tmp_path / "sd-state")
+    src = str(tmp_path / "sd-src")
+    victims = [30, 250]
+
+    seed = emb.filter(F.col("vec_id") < 200)
+    AnnIndexStore(spark, state_dir).initialize(seed, centroids=cents)
+
+    with_op = lambda df, op: df.withColumn(  # noqa: E731
+        "op", F.lit(op).cast("string")
+    )
+    b0 = with_op(
+        emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)), None
+    )
+    b1 = with_op(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)), "add"
+    ).unionByName(
+        with_op(emb.filter(F.col("vec_id").isin(victims)), "delete").select(
+            "vec_id", "embedding", "op"
+        )
+    )
+
+    def write_slice(i, b):
+        part = f"{src}/b{i}"
+        b.coalesce(1).write.parquet(part)
+        for name in os.listdir(part):
+            os.utime(os.path.join(part, name), (4_000_000 + i * 100,) * 2)
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = start_ann_index_stream(
+            stream, state_dir, str(tmp_path / "sd-ckpt"),
+            available_now=True, op_col="op",
+        )
+        q.awaitTermination(600)
+
+    write_slice(0, b0)
+    run_available()  # first instance drains b0
+    write_slice(1, b1)
+    run_available()  # restart: new instance resumes the checkpoint
+
+    live = emb.filter(
+        (F.col("vec_id") < 400) & (~F.col("vec_id").isin(victims))
+    )
+    stream_store = AnnIndexStore(spark, state_dir)
+    batch_store = AnnIndexStore(spark, str(tmp_path / "sd-batch")).initialize(
+        live, centroids=cents
+    )
+
+    got = _rows(stream_store.topk(live, k=K, nprobe=NPROBE, distributed=True))
+    assert got == _rows(
+        batch_store.topk(live, k=K, nprobe=NPROBE, distributed=True)
+    )
+    assert got == _rows(
+        topk_ivf(live, live, DIM, k=K, nprobe=NPROBE, centroids=cents)
+    )
+
+
+def test_distributed_topk_pq_matches_driver_and_in_memory(spark, emb, tmp_path):
+    """The corpus-scale ADC probe (VERDICT r12 #1 — the last named scale
+    boundary): `topk_pq(distributed=True)` never collects the query
+    frame — the per-(query, probed cell) lookup tables compute as
+    columns (`pq.adc_probe_tables`) — yet the result is BIT-IDENTICAL
+    to the serving path and the in-memory operator: the column-side
+    folds replay the driver build's IEEE association order exactly
+    (seeded by the first product, not 0.0). Residual store (the
+    strictest form: ct/cnorm relation join + column-side qc fold), plus
+    tombstones in the horizon so the shadowed-row anti-joins are
+    exercised on BOTH the codes and the re-rank vecs side."""
+    cents = emb.orderBy("vec_id").limit(N_CENTROIDS)
+    store = AnnIndexStore(spark, str(tmp_path / "dpq")).initialize(
+        emb.filter(F.col("vec_id") < 400), centroids=cents,
+        use_pq=True, residual=True,
+    )
+    # CDC: delete two ids, re-add one (upsert) + fresh adds — leaves a
+    # live tombstone that must shadow on codes AND vecs in both paths.
+    store.delete([5, 6])
+    store.apply_cdc(
+        emb.filter((F.col("vec_id") == 5) | (F.col("vec_id") >= 400))
+        .withColumn("op", F.lit(None).cast("string")),
+    )
+    live = emb.filter(F.col("vec_id") != 6)
+
+    got = _rows(store.topk_pq(live, k=K, nprobe=NPROBE, distributed=True))
+    want_mem = _rows(
+        topk_ivf_pq(
+            live, live, DIM, k=K, nprobe=NPROBE,
+            codebooks=store.meta["codebooks"], centroids=cents,
+            residual=True,
+        )
+    )
+    assert got == want_mem
+
+    small = live.filter(F.col("vec_id") < N_QUERIES)
+    drv = _rows(store.topk_pq(small, k=K, nprobe=NPROBE, distributed=False))
+    dst = _rows(store.topk_pq(small, k=K, nprobe=NPROBE, distributed=True))
+    auto = _rows(store.topk_pq(small, k=K, nprobe=NPROBE))
+    assert drv == dst == auto
+
+
+def test_driver_probe_refuses_oversize_batch(spark, emb, tmp_path):
+    """ADVICE r12: an explicitly-routed driver path (distributed=False)
+    must refuse a batch past DRIVER_PROBE_MAX with a pointer at
+    distributed=True instead of attempting an unbounded collect — for
+    `topk_pq` AND `topk` (auto-routing still routes the same batch
+    distributed with no error)."""
+    store = AnnIndexStore(spark, str(tmp_path / "guard")).initialize(
+        emb, n_centroids=N_CENTROIDS, use_pq=True
+    )
+    store.DRIVER_PROBE_MAX = 16  # instance override: keep the test cheap
+    big = emb.filter(F.col("vec_id") < 64)
+    with pytest.raises(ValueError, match="distributed=True"):
+        store.topk_pq(big, k=K, nprobe=NPROBE, distributed=False)
+    with pytest.raises(ValueError, match="distributed=True"):
+        store.topk(big, k=K, nprobe=NPROBE, distributed=False)
+    assert store.topk_pq(big, k=K, nprobe=NPROBE).count() > 0  # auto-routes
+
+
 def test_compaction_skips_deltas_above_the_compacting_batch(spark, emb, queries, tmp_path):
     """Fold guard (review r12): a delta with an id ABOVE the compacting
     batch (an out-of-band write from a stale high-id discipline) must

@@ -240,3 +240,41 @@ def test_topk_ivf_broadcast_queries_knob(spark, sf_dir):
         "BroadcastExchange"
     )
     assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted
+
+
+def test_topk_ivf_pq_broadcast_queries_knob(spark, sf_dir):
+    """`topk_ivf_pq(broadcast_queries=False)` (the store's distributed
+    ADC probe, r13) must carry NO query-side broadcast HINT anywhere —
+    not on the probe relation entering the ADC scan, not on the
+    candidate set or the query vectors entering the exact re-rank. With
+    size-based auto-broadcast disabled, only the structural broadcasts
+    survive (the centroid-assignment crossJoin and the residual-aux /
+    tombstone relations — all codebook-scale), and the ADC scan plus
+    re-rank meet in shuffles; the hinted serving plan broadcasts the
+    query side at every one of those three spots, so pin the count
+    gap. Same contract (pin the HINT, not Catalyst's size choice) as
+    `test_topk_ivf_broadcast_queries_knob`."""
+    from manifold_spark.operators.dedup import release_shingle_caches
+    from manifold_spark.operators.pq import pq_codebooks, topk_ivf_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cbs = pq_codebooks(emb, 64, iters=0)  # seed codebooks: plan-shape only
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = _plan(topk_ivf_pq(emb, emb, 64, k=3, nprobe=2, codebooks=cbs))
+        unhinted = _plan(
+            topk_ivf_pq(
+                emb, emb, 64, k=3, nprobe=2, codebooks=cbs,
+                broadcast_queries=False,
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        release_shingle_caches()
+    assert hinted.count("BroadcastExchange") > unhinted.count(
+        "BroadcastExchange"
+    )
+    assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted

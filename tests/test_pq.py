@@ -304,6 +304,65 @@ def test_encode_matches_pure_python(emb, codebooks):
     assert got == expected
 
 
+def test_adc_probe_tables_bit_identical_to_driver_build(emb, codebooks):
+    """The column-side ADC lookup-table build (r13 — the corpus-scale
+    `topk_pq` probe) must produce BIT-IDENTICAL doubles to the driver
+    build it replaces: dt[j][c], qnorm, and the residual form's qc per
+    (query, probed list). The column fold is seeded by the first
+    product (no 0.0 init) to replay `_query_rows`' reduce order exactly
+    — this pin is what makes the end-to-end equality test a contract
+    rather than a coincidence."""
+    import struct
+
+    cents_df = emb.orderBy("vec_id").limit(16)
+    cents = pq._sorted_cents(cents_df, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    # driver build: same loop as topk_ivf_pq's probe assembly
+    q_rows = pq._query_rows(queries, codebooks, "vec_id", "embedding")
+    import functools
+    import operator
+
+    want = {}
+    for qid, tables, norm, vec in q_rows:
+        dots = sorted(
+            (
+                -functools.reduce(
+                    operator.add, (v * c for v, c in zip(vec, cvec))
+                ),
+                cid,
+            )
+            for cid, cvec in cents
+        )[:4]
+        for negdot, cid in dots:
+            want[(qid, cid)] = (tables, norm, -negdot)
+
+    got_df = pq.adc_probe_tables(
+        queries, codebooks, cents_df, DIM, nprobe=4,
+        id_col="vec_id", vec_col="embedding", residual=True,
+    )
+    got = {
+        (r["query_id"], r["centroid_id"]): (
+            [[v for v in row] for row in r["dt"]],
+            r["qnorm"],
+            r["qc"],
+        )
+        for r in got_df.collect()
+    }
+    assert set(got) == set(want)
+
+    def bits(x):
+        return struct.pack("<d", x)
+
+    for key, (dt_w, norm_w, qc_w) in want.items():
+        dt_g, norm_g, qc_g = got[key]
+        assert bits(norm_g) == bits(norm_w), key
+        assert bits(qc_g) == bits(qc_w), key
+        for j in range(len(dt_w)):
+            for c in range(len(dt_w[j])):
+                assert bits(dt_g[j][c]) == bits(dt_w[j][c]), (key, j, c)
+
+
 # --- hypothesis: adversarial corpora (zero vectors, exact duplicates,
 # --- tied cosines) must keep the full-budget equivalence exact ---------
 
