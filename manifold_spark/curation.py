@@ -571,13 +571,18 @@ class CurationState:
        never corrupt the next trigger. A batch's reads consider ONLY
        versions with id < its own batch_id — a retry never sees its
        crashed attempt's output (the foreachBatch idempotence recipe).
-    2. **Bucket-partitioned layout**: content hashes partition by a hex
-       prefix of the hash, LSH entries by a hex prefix of the bucket
-       key, shingles/sizes by a hash bucket of the doc id — so the
-       exact-dedup anti-join reads only touched hash buckets, the LSH
-       probe only touched bucket-key ranges, and the Jaccard verify only
-       the CANDIDATE docs' shingle rows (O(candidates), flat per
-       trigger regardless of stream age).
+    2. **Bucketed layout, fanned out only where it pays** (r13): every
+       row carries a bucket id — a hex prefix of the content hash for
+       hashes, of the LSH bucket key for entries, a doc-id hash bucket
+       for shingles/sizes. DELTAS store it as a SORTED data column in
+       one flat file per relation (footer min/max prunes the small
+       side; writes never pay per-bucket file fanout); SNAPSHOTS fan
+       out into hive bucket dirs at compaction (one amortized O(state)
+       rewrite) so the big side prunes by directory. The exact-dedup
+       anti-join thus reads only touched hash buckets, the LSH probe
+       only touched bucket-key ranges, and the Jaccard verify only the
+       CANDIDATE docs' shingle rows (O(candidates), flat per trigger
+       regardless of stream age).
     3. **Snapshot compaction**: once ``compact_every`` deltas accumulate
        past the last snapshot, they fold into ``s{batch_id}`` and the
        superseded dirs are garbage-collected at the NEXT trigger's start
@@ -587,10 +592,13 @@ class CurationState:
        O(state) rewrite every N triggers — amortized O(state/N), the
        standard LSM trade.
 
-    Local prefix lengths default small (16-way) to keep file counts
-    sane; at cluster scale raise ``hash_prefix_len``/``key_prefix_len``
-    to 2-3 hex chars and ``doc_buckets`` to thousands so a small batch
-    prunes to a sliver of the state.
+    Local prefix lengths default small (16-way); at cluster scale raise
+    ``hash_prefix_len``/``key_prefix_len`` to 2-3 hex chars and
+    ``doc_buckets`` to thousands so a small batch prunes to a sliver of
+    the state — since r13 that prices only snapshot READS (the lever
+    the granularity exists for): delta writes are bucket-count-
+    independent (``delta_files`` flat files per relation), so the r12
+    measurement's 2–3× write penalty at 256-way no longer applies.
 
     ``read_stats`` accumulates the files/bytes each pruned read actually
     touched since the last `begin_batch` — the bench's flatness
@@ -617,6 +625,7 @@ class CurationState:
         key_prefix_len: int = 1,
         doc_buckets: int = 16,
         compact_every: int = 4,
+        delta_files: int = 1,
     ) -> None:
         self.spark = spark
         self.state_dir = state_dir
@@ -624,6 +633,9 @@ class CurationState:
         self.key_prefix_len = key_prefix_len
         self.doc_buckets = doc_buckets
         self.compact_every = compact_every
+        #: files per relation per DELTA (flat layout — see write_delta);
+        #: raise for corpus-sized backfill triggers, not for bucket count.
+        self.delta_files = delta_files
         self._batch_id: int | None = None
         self._base: int | None = None
         self._live: list[int] = []
@@ -683,35 +695,77 @@ class CurationState:
             names.insert(0, f"s{self._base}")
         return names
 
-    def _leaf_dirs(self, part: str, partitions: list[str] | None) -> list[str]:
-        """Concrete partition dirs to scan for `part` across the read
-        horizon, pruned to the given partition values; accumulates
-        files/bytes into read_stats."""
+    def _pruned_sources(
+        self, part: str, pcol: str, buckets: list | None
+    ) -> tuple[list[str], list[str]]:
+        """Concrete read sources for `part` across the read horizon,
+        split by on-disk layout (r13 — reads must serve both):
+
+        - **partitioned** (snapshots, and pre-r13 deltas): hive bucket
+          dirs; pruned to the touched ``{pcol}={bucket}`` leaf dirs.
+        - **flat** (r13 deltas): one file per relation per trigger with
+          the bucket id as a SORTED data column; the whole (O(batch)-
+          small) file is a read source and the bucket `isin` pushes to
+          the parquet footer min/max instead of the directory tree.
+
+        Accumulates files/bytes of both into read_stats (flat delta
+        files count fully — honest: the footer prune saves decode, not
+        scan bytes, and the files are trigger-sized)."""
         import os
 
-        dirs: list[str] = []
+        part_dirs: list[str] = []
+        flat_dirs: list[str] = []
         for v in self._version_names():
             root = os.path.join(self.state_dir, v, part)
             if not os.path.isdir(root):
                 continue
-            if partitions is None:
-                dirs.append(root)
+            if any(
+                "=" in name and os.path.isdir(os.path.join(root, name))
+                for name in os.listdir(root)
+            ):
+                if buckets is None:
+                    part_dirs.append(root)
+                else:
+                    for b in buckets:
+                        d = os.path.join(root, f"{pcol}={b}")
+                        if os.path.isdir(d):
+                            part_dirs.append(d)
             else:
-                for p in partitions:
-                    d = os.path.join(root, p)
-                    if os.path.isdir(d):
-                        dirs.append(d)
+                flat_dirs.append(root)
         if self.collect_read_stats:
             from manifold_spark.versioned_store import walk_parquet_stats
 
-            files, size = walk_parquet_stats(dirs)
+            files, size = walk_parquet_stats(part_dirs + flat_dirs)
             self.read_stats[f"{part}_files"] = (
                 self.read_stats.get(f"{part}_files", 0) + files
             )
             self.read_stats[f"{part}_bytes"] = (
                 self.read_stats.get(f"{part}_bytes", 0) + size
             )
-        return dirs
+        return part_dirs, flat_dirs
+
+    def _read_pruned(
+        self, part: str, pcol: str, buckets: list | None, cols: list[str]
+    ) -> DataFrame | None:
+        """Bucket-pruned union of both layouts of `part` (see
+        `_pruned_sources`); data columns only — the read-back partition
+        value is never trusted (ADVICE r10). None when nothing prunes
+        in."""
+        part_dirs, flat_dirs = self._pruned_sources(part, pcol, buckets)
+        frames: list[DataFrame] = []
+        if part_dirs:
+            frames.append(self.spark.read.parquet(*part_dirs).select(*cols))
+        if flat_dirs:
+            df = self.spark.read.parquet(*flat_dirs)
+            if buckets is not None:
+                df = df.filter(F.col(pcol).isin(buckets))
+            frames.append(df.select(*cols))
+        if not frames:
+            return None
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     # -- pruned reads --------------------------------------------------------
 
@@ -728,10 +782,7 @@ class CurationState:
             .distinct()
             .collect()
         ]
-        dirs = self._leaf_dirs("hashes", [f"pfx={p}" for p in pfxs])
-        if not dirs:
-            return None
-        return self.spark.read.parquet(*dirs).select("_h")
+        return self._read_pruned("hashes", "pfx", pfxs, ["_h"])
 
     def read_entries(self, b_entries: DataFrame) -> DataFrame | None:
         """State LSH entries in the key-prefix buckets the batch's
@@ -749,10 +800,12 @@ class CurationState:
             .distinct()
             .collect()
         ]
-        dirs = self._leaf_dirs("mh_entries", [f"kb={k}" for k in kbs])
-        if not dirs:
+        prev = self._read_pruned(
+            "mh_entries", "kb", kbs, ["doc_id", "band", "key"]
+        )
+        if prev is None:
             return None
-        return self.spark.read.parquet(*dirs).join(
+        return prev.join(
             broadcast(b_entries.select("band", "key").distinct()),
             ["band", "key"],
             "leftsemi",
@@ -772,13 +825,10 @@ class CurationState:
         buckets = sorted({
             _py_stable_long_hash(str(v)) % self.doc_buckets for v in old_ids
         })
-        parts = [f"dpfx={b}" for b in buckets]
-        sh_dirs = self._leaf_dirs("mh_shingles", parts)
-        sz_dirs = self._leaf_dirs("mh_sizes", parts)
-        if not sh_dirs or not sz_dirs:
+        sh = self._read_pruned("mh_shingles", "dpfx", buckets, ["doc_id", "h"])
+        sizes = self._read_pruned("mh_sizes", "dpfx", buckets, ["doc_id", "n"])
+        if sh is None or sizes is None:
             return None, None
-        sh = self.spark.read.parquet(*sh_dirs)
-        sizes = self.spark.read.parquet(*sz_dirs)
         if len(old_ids) <= 10_000:
             sh = sh.filter(F.col("doc_id").isin(old_ids))
             sizes = sizes.filter(F.col("doc_id").isin(old_ids))
@@ -856,7 +906,21 @@ class CurationState:
         the `_COMMIT` marker only after every part landed. The four part
         writes are independent jobs — submitted concurrently (driver
         threads; Spark schedules them FIFO across the same executors) so
-        the per-trigger write cost is the largest part, not the sum."""
+        the per-trigger write cost is the largest part, not the sum.
+
+        Layout (r13 — VERDICT r12 #3, decoupling read pruning from
+        write fanout): a delta is ``delta_files`` FLAT file(s) per
+        relation, sorted by the bucket column (stored as data, not as
+        hive dirs) — parquet footer min/max gives the small-delta read
+        side the same bucket prune the directory tree would, while the
+        write never pays per-bucket fanout (measured r12: 256-way
+        prefixes cost 630–2,528 files and 2–3× wall per corpus-sized
+        trigger for zero read benefit at that batch/bucket ratio). The
+        directory fanout happens ONLY at compaction, where one
+        O(state) rewrite amortizes it and snapshot reads — the reads
+        bucket granularity exists for — get the full dir prune. So
+        raising ``doc_buckets``/prefix lengths into the thousands now
+        prices reads only, which is the terminal 100 TB form."""
         import os
         import shutil
         from concurrent.futures import ThreadPoolExecutor
@@ -874,16 +938,18 @@ class CurationState:
         def _write(item):
             part, frame = item
             proj, pcol = self._project(part, frame)
-            # ONE file per bucket value: without the repartition, every
-            # upstream task writes its own file into every bucket dir
-            # (tasks × buckets files — measured 11.8k files for a 19 MB
-            # state at sf0.1), and the per-trigger read cost becomes
-            # file-open bound. The delta is O(batch)-small, so the extra
-            # shuffle is noise; at cluster scale widen with
-            # repartition(N, col) to a few files per bucket.
-            proj.repartition(F.col(pcol)).write.partitionBy(pcol).mode(
-                "overwrite"
-            ).parquet(os.path.join(root, part))
+            if self.delta_files <= 1:
+                # coalesce, not repartition: the delta is trigger-sized,
+                # a single-task sort is noise and skips a shuffle.
+                proj = proj.coalesce(1)
+            else:
+                # corpus-sized backfill triggers: a few range-bucketed
+                # files, each covering a contiguous bucket span so the
+                # footer prune stays tight.
+                proj = proj.repartitionByRange(self.delta_files, F.col(pcol))
+            proj.sortWithinPartitions(pcol).write.mode("overwrite").parquet(
+                os.path.join(root, part)
+            )
 
         with ThreadPoolExecutor(max_workers=len(parts)) as pool:
             list(pool.map(_write, parts.items()))

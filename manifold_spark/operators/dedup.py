@@ -877,14 +877,18 @@ def dedup_components(
       and blocking action disappears.
     - ``"label"``: min-label propagation — each round every node takes
       the min of its own and its neighbors' labels; O(component diameter)
-      rounds, one Spark action per round. Near-dup components are shallow
-      (duplicates of a common original), so this is 2-3 rounds in
-      practice. Raises :class:`ComponentsNotConverged` if labels are
-      still moving after ``max_iters`` — never returns partial (wrong)
-      clusters.
+      hops, TWO hops fused per round (r13: each round's single action —
+      a full job launch plus a blocking driver round-trip at scale — now
+      advances the frontier twice; labels are monotone non-increasing,
+      so 2N fused hops ≡ 2N synchronous rounds and the fixpoint test is
+      unchanged). Near-dup components are shallow (duplicates of a
+      common original), so this is 1-2 actions in practice. Raises
+      :class:`ComponentsNotConverged` if labels are still moving after
+      ``max_iters`` rounds — never returns partial (wrong) clusters.
     - ``"star"``: alternating large-star/small-star contraction (Kiveris
       et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
-      O(log n) rounds regardless of diameter; the fallback for
+      O(log n) contractions regardless of diameter, two fused per
+      round/action (r13, same barrier-halving move); the fallback for
       adversarially deep graphs (chained near-dups).
 
     All backends converge to the identical fixpoint (min reachable id per
@@ -993,14 +997,38 @@ def _components_label_propagation(sym: DataFrame, max_iters: int) -> DataFrame:
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("node").alias("dst"), F.col("label").alias("dst_label")),
-                "dst",
+        # TWO propagation hops fused into this round's single action
+        # (r13): at scale each round costs a job launch + a blocking
+        # driver round-trip for the convergence count, so advancing the
+        # frontier twice per barrier halves both. Hop 2 consumes hop 1's
+        # labels INSIDE the same plan — labels are monotone
+        # non-increasing under min, so 2 fused hops ≡ 2 synchronous
+        # rounds, and changed==0 still holds iff the fixpoint is
+        # reached (a min-update can never revert).
+        proposed = labels.select("node", "label", F.col("label").alias("new_label"))
+        for _hop in range(2):
+            nbr_min = (
+                sym.join(
+                    proposed.select(
+                        F.col("node").alias("dst"),
+                        F.col("new_label").alias("dst_label"),
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_label").alias("nbr_label"))
             )
-            .groupBy("src")
-            .agg(F.min("dst_label").alias("nbr_label"))
-        )
+            proposed = (
+                proposed.join(nbr_min, proposed["node"] == nbr_min["src"], "left")
+                .select(
+                    "node",
+                    "label",
+                    F.least(
+                        F.col("new_label"),
+                        F.coalesce(F.col("nbr_label"), F.col("new_label")),
+                    ).alias("new_label"),
+                )
+            )
         # Lazy localCheckpoint on `proposed`: the convergence count below
         # materializes it (ONE action per round — the checkpoint caches
         # the round AND truncates lineage). Without truncation each
@@ -1009,16 +1037,7 @@ def _components_label_propagation(sym: DataFrame, max_iters: int) -> DataFrame:
         # truncate lineage, it only caches execution. On a real cluster
         # swap for `checkpoint()` with a reliable dir (localCheckpoint
         # does not survive executor loss).
-        proposed = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                "label",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("new_label"),
-            )
-        ).localCheckpoint(eager=False)
+        proposed = proposed.localCheckpoint(eager=False)
         changed = proposed.filter(F.col("new_label") != F.col("label")).count()
         round_cache.unpersist()
         round_cache = proposed
@@ -1032,8 +1051,9 @@ def _components_label_propagation(sym: DataFrame, max_iters: int) -> DataFrame:
     LAST_COMPONENTS_INFO.update(backend="label", rounds=rounds)
     if not converged:
         raise ComponentsNotConverged(
-            f"label propagation still moving after {max_iters} rounds — "
-            "component diameter exceeds max_iters; raise max_iters or use "
+            f"label propagation still moving after {max_iters} rounds "
+            "(2 hops each) — component diameter exceeds 2·max_iters; raise "
+            "max_iters or use "
             'backend="star" (O(log n) rounds)'
         )
     return labels
@@ -1102,7 +1122,13 @@ def _components_star_contraction(sym: DataFrame, max_iters: int) -> DataFrame:
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
-        nxt = small_star(large_star(cur)).localCheckpoint(eager=False)
+        # Two large+small contractions fused per action (r13 — the same
+        # barrier-halving move as the label backend): a fixpoint is
+        # preserved by re-application, so signature equality between
+        # consecutive ACTIONS still detects it exactly.
+        nxt = small_star(large_star(small_star(large_star(cur)))).localCheckpoint(
+            eager=False
+        )
         sig = signature(nxt)
         cur.unpersist()
         cur = nxt
