@@ -2357,14 +2357,51 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lm_oracle(table: str = "documents", min_trigrams: int = 0) -> str:
+def _lm_oracle(
+    table: str = "documents", min_trigrams: int = 0,
+    with_cut_check: bool = False,
+) -> str:
     """``table`` lets the curation gate train + score the identical LM
     chain over a derived corpus CTE; ``min_trigrams`` excludes degenerate
     docs (NULL score) BEFORE the tertile split, mirroring
-    curate_corpus's quality-stage filter."""
+    curate_corpus's quality-stage filter. ``with_cut_check`` (r13,
+    VERDICT r12 #5) appends the union-tagged 'cut' section that
+    adjudicates `lm.ppl_threshold_cuts`' approx_percentile cutpoints:
+    DuckDB computes each cut's exact rank-neighbor window
+    [(k−1)th, (k+1)th ranked score] (k = ceil(q·n), ascending, NULLs
+    out) and expects ``cut_in_bounds = TRUE`` — the Spark side emits
+    the measured boolean, so a t-digest/GK cut drifting outside its
+    exact neighborhood hash-mismatches."""
     from manifold_spark.operators import lm
 
     k, scale = lm.SMOOTH_K, lm.TERM_SCALE
+    cut_sql = ""
+    if with_cut_check:
+        cut_sql = """
+    , rk AS (
+        SELECT lang, avg_logprob,
+               row_number() OVER (PARTITION BY lang ORDER BY avg_logprob)
+                   AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM scored WHERE avg_logprob IS NOT NULL
+    ),
+    ks AS (
+        SELECT lang, n, i,
+               CAST(ceil((1 - i / 3.0) * n) AS BIGINT) AS kk
+        FROM (SELECT DISTINCT lang, n FROM rk) CROSS JOIN (VALUES (1), (2)) t(i)
+    ),
+    cutsec AS (
+        SELECT 'cut' AS section, CAST(NULL AS BIGINT) AS doc_id, ks.lang,
+               CAST(NULL AS INT) AS n_trigrams,
+               CAST(NULL AS DOUBLE) AS avg_logprob,
+               CAST(i AS INT) AS ppl_bucket, 'cut' AS ppl_bucket_label,
+               lo.avg_logprob AS cut_lo, hi.avg_logprob AS cut_hi,
+               TRUE AS cut_in_bounds
+        FROM ks
+        JOIN rk lo ON lo.lang = ks.lang AND lo.rn = greatest(1, kk - 1)
+        JOIN rk hi ON hi.lang = ks.lang AND hi.rn = least(ks.n, kk + 1)
+    )
+        """
     return f"""
     WITH nd AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
@@ -2398,35 +2435,115 @@ def _lm_oracle(table: str = "documents", min_trigrams: int = 0) -> str:
                CAST(sum_q AS DOUBLE) / CAST(n_tri * {scale} AS DOUBLE)
                    AS avg_logprob
         FROM {table} d LEFT JOIN s ON d.doc_id = s.doc_id
-    )
-    SELECT doc_id, lang, n_trigrams, avg_logprob,
-           CAST(b AS INT) AS ppl_bucket,
-           (['head', 'middle', 'tail'])[b] AS ppl_bucket_label
-    FROM (
-        SELECT *, ntile(3) OVER (PARTITION BY lang
-                                 ORDER BY avg_logprob DESC, doc_id) AS b
-        FROM scored
-        WHERE n_trigrams >= {min_trigrams}
-    )
+    ),
+    docsec AS (
+        SELECT doc_id, lang, n_trigrams, avg_logprob,
+               CAST(b AS INT) AS ppl_bucket,
+               (['head', 'middle', 'tail'])[b] AS ppl_bucket_label
+        FROM (
+            SELECT *, ntile(3) OVER (PARTITION BY lang
+                                     ORDER BY avg_logprob DESC, doc_id) AS b
+            FROM scored
+            WHERE n_trigrams >= {min_trigrams}
+        )
+    ){cut_sql}
+    SELECT {"'doc' AS section, " if with_cut_check else ""}doc_id, lang,
+           n_trigrams, avg_logprob, ppl_bucket, ppl_bucket_label
+           {(", CAST(NULL AS DOUBLE) AS cut_lo, CAST(NULL AS DOUBLE) AS cut_hi,"
+             " CAST(NULL AS BOOLEAN) AS cut_in_bounds") if with_cut_check else ""}
+    FROM docsec
+    {"UNION ALL SELECT * FROM cutsec" if with_cut_check else ""}
     """
 
 
-@register("text_lm_score", _lm_oracle())
+@register("text_lm_score", _lm_oracle(with_cut_check=True))
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-scored corpus (train + score on `documents`) — the standard
     corpus-filtering setup — plus CCNet's per-language head/middle/tail
     perplexity tertiles (r9: `lm.ppl_buckets` rides the same gate; the
     sort-free threshold form for 100 TB is `lm.ppl_threshold_buckets`,
     pinned against this exact split in pytest). Held-out scoring with
-    unseen-trigram pricing is pinned in tests/test_textquality.py."""
-    from manifold_spark.operators.lm import ppl_buckets, score_docs
+    unseen-trigram pricing is pinned in tests/test_textquality.py.
+
+    Section 'cut' (r13, VERDICT r12 #5 — the approx-percentile
+    production path, externally adjudicated): for each (lang,
+    cut_index) the gate emits `lm.ppl_threshold_cuts`' approx cut
+    checked against its exact rank-neighbor window — cut_lo/cut_hi are
+    the (k−1)th/(k+1)th exact-ranked scores (k = ceil(q·n), ascending,
+    NULL scores out; both engines compute them independently and they
+    hash-compare bit-exact) and `cut_in_bounds` is the measured
+    boolean the oracle expects TRUE. The cut VALUE itself is
+    deliberately not emitted: Greenwald-Khanna has no cross-engine
+    mirror — the bounds check is exactly what IS adjudicable."""
+    from pyspark.sql import Window
+
+    from manifold_spark.operators.lm import (
+        ppl_buckets,
+        ppl_threshold_cuts,
+        score_docs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     scored = score_docs(docs).join(docs.select("doc_id", "lang"), "doc_id")
-    return ppl_buckets(scored, group_col="lang").select(
+    doc_rows = ppl_buckets(scored, group_col="lang").select(
+        F.lit("doc").alias("section"),
         "doc_id", "lang", "n_trigrams", "avg_logprob",
         "ppl_bucket", "ppl_bucket_label",
+        F.lit(None).cast("double").alias("cut_lo"),
+        F.lit(None).cast("double").alias("cut_hi"),
+        F.lit(None).cast("boolean").alias("cut_in_bounds"),
     )
+
+    nn = scored.filter(F.col("avg_logprob").isNotNull())
+    w = Window.partitionBy("lang").orderBy("avg_logprob")
+    ranked = nn.select("lang", "avg_logprob").withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    )
+    ks = (
+        nn.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "lang", "n",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("cut_index"),
+        )
+        .withColumn(
+            "kk",
+            F.ceil(
+                (F.lit(1.0) - F.col("cut_index") / F.lit(3.0)) * F.col("n")
+            ).cast("long"),
+        )
+        .withColumn("lo_rank", F.greatest(F.lit(1).cast("long"), F.col("kk") - 1))
+        .withColumn("hi_rank", F.least(F.col("n"), F.col("kk") + 1))
+    )
+    lo = ranked.select(
+        "lang", F.col("rn").alias("lo_rank"), F.col("avg_logprob").alias("cut_lo")
+    )
+    hi = ranked.select(
+        "lang", F.col("rn").alias("hi_rank"), F.col("avg_logprob").alias("cut_hi")
+    )
+    cuts = ppl_threshold_cuts(scored, group_col="lang")
+    cut_rows = (
+        ks.join(cuts, "lang")
+        .join(lo, ["lang", "lo_rank"])
+        .join(hi, ["lang", "hi_rank"])
+        .withColumn("cut", F.element_at("cuts", F.col("cut_index")))
+        .select(
+            F.lit("cut").alias("section"),
+            F.lit(None).cast("long").alias("doc_id"),
+            "lang",
+            F.lit(None).cast("int").alias("n_trigrams"),
+            F.lit(None).cast("double").alias("avg_logprob"),
+            F.col("cut_index").cast("int").alias("ppl_bucket"),
+            F.lit("cut").alias("ppl_bucket_label"),
+            "cut_lo",
+            "cut_hi",
+            (
+                (F.col("cut") >= F.col("cut_lo"))
+                & (F.col("cut") <= F.col("cut_hi"))
+            ).alias("cut_in_bounds"),
+        )
+    )
+    return doc_rows.unionByName(cut_rows)
 
 
 # ---------------------------------------------------------------------------

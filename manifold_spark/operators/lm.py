@@ -234,6 +234,40 @@ def ppl_buckets(
     )
 
 
+def ppl_threshold_cuts(
+    scored: DataFrame,
+    group_col: str | None = "lang",
+    score_col: str = "avg_logprob",
+    n_buckets: int = 3,
+    sample_fraction: float | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The per-group cut vector `ppl_threshold_buckets` assigns by —
+    ``cuts[i-1]`` = ``approx_percentile(score, 1 - i/n_buckets)``
+    (descending-score quantiles), one row per group. Factored out
+    (r13, VERDICT r12 #5) so the correctness gate can adjudicate the
+    PRODUCTION cut values externally — the `text_lm_score` gate emits
+    per-(group, cut) ``cut_in_bounds`` booleans placing each approx cut
+    inside its exact rank-neighbor window, hash-checked against a
+    DuckDB mirror that computes the exact ranks. NULL scores are
+    ignored (approx_percentile semantics)."""
+    src = scored
+    if sample_fraction is not None and sample_fraction < 1.0:
+        from manifold_spark.operators.sampling import hash_sample
+
+        src = hash_sample(scored, id_col, sample_fraction)
+    grouped = src.groupBy(group_col) if group_col else src.groupBy()
+    # cut[i] = score quantile separating bucket i from i+1, descending
+    # score order: cuts are the (1 - i/n) quantiles.
+    return grouped.agg(
+        F.expr(
+            f"approx_percentile({score_col}, array("
+            + ", ".join(str(1 - i / n_buckets) for i in range(1, n_buckets))
+            + "))"
+        ).alias("cuts")
+    )
+
+
 def ppl_threshold_buckets(
     scored: DataFrame,
     group_col: str | None = "lang",
@@ -251,23 +285,8 @@ def ppl_threshold_buckets(
     the cut edges (t-digest error), monotonicity is exact: a better score
     never lands in a worse bucket.
     """
-    src = scored
-    if sample_fraction is not None and sample_fraction < 1.0:
-        from manifold_spark.operators.sampling import hash_sample
-
-        src = hash_sample(scored, id_col, sample_fraction)
-    probs = F.array(
-        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
-    )
-    grouped = src.groupBy(group_col) if group_col else src.groupBy()
-    # cut[i] = score quantile separating bucket i from i+1, descending
-    # score order: cuts are the (1 - i/n) quantiles.
-    cuts = grouped.agg(
-        F.expr(
-            f"approx_percentile({score_col}, array("
-            + ", ".join(str(1 - i / n_buckets) for i in range(1, n_buckets))
-            + "))"
-        ).alias("cuts")
+    cuts = ppl_threshold_cuts(
+        scored, group_col, score_col, n_buckets, sample_fraction, id_col
     )
     joined = (
         scored.join(broadcast(cuts), on=group_col)
