@@ -37,6 +37,7 @@ def run_week(
     infer_schema: bool = False,
     idempotent_fact: bool = True,
     bucketed_dims: int | None = None,
+    stage_timings: dict | None = None,
 ) -> dict[str, int]:
     """Run one weekly timestep end-to-end. Returns row counts per table.
 
@@ -45,7 +46,28 @@ def run_week(
     buckets containing changed/new keys are rewritten instead of the
     whole dimension — the row-level-merge cost model for dims whose size
     makes rebuild-overwrite expensive. Default (None) keeps the
-    rebuild-overwrite path; results are row-identical either way."""
+    rebuild-overwrite path; results are row-identical either way.
+
+    ``stage_timings`` (r13, VERDICT r12 #2): pass a dict and each
+    stage's wall seconds are accumulated into it (el_staging,
+    staging_quality, scd2_<dim> ×3, date_dim, fact_load — keys sum to
+    the call's wall time). Pure observation at the existing stage
+    boundaries; the execution path is identical either way. The bench
+    publishes this as `pipeline_run_week_stages` so a moving headline
+    row names its stage."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _mark(key: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        if stage_timings is not None:
+            stage_timings[key] = round(
+                stage_timings.get(key, 0.0) + (now - _t0), 3
+            )
+        _t0 = now
+
     if isinstance(execution_date, dt.date):
         execution_date = execution_date.isoformat()
 
@@ -61,12 +83,14 @@ def run_week(
             store.overwrite(df, "staging", name)
     finally:
         base.unpersist()
+    _mark("el_staging")
 
     counts: dict[str, int] = {}
     for name in ("dim_broker", "dim_geography", "dim_asset", "fact_stock"):
         counts[f"staging.{name}"] = quality.assert_nonempty(
             store.read(spark, "staging", name), f"staging.{name}"
         )
+    _mark("staging_quality")
 
     # Stage 5 — SCD2 merge per dimension.
     for dim_name, sk_col in _DIMS.items():
@@ -87,10 +111,12 @@ def run_week(
         dim = store.read(spark, "presentation", dim_name)
         quality.assert_unique_active(dim, DIM_KEYS[dim_name], dim_name)
         counts[f"presentation.{dim_name}"] = quality.assert_nonempty(dim, dim_name)
+        _mark(f"scd2_{dim_name}")
 
     # Date dimension (reference: a view; materialized once here).
     if not store.exists("presentation", "dim_date"):
         store.overwrite(date_dimension(spark), "presentation", "dim_date")
+    _mark("date_dim")
 
     # Stage 6 — fact load: write ONLY the week's date_id partition.
     # Idempotent mode (default) uses dynamic partition overwrite, so a
@@ -128,4 +154,5 @@ def run_week(
     counts["presentation.fact_stock"] = quality.assert_nonempty(
         store.read(spark, "presentation", "fact_stock"), "fact_stock"
     )
+    _mark("fact_load")
     return counts
