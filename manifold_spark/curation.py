@@ -939,9 +939,14 @@ class CurationState:
             part, frame = item
             proj, pcol = self._project(part, frame)
             if self.delta_files <= 1:
-                # coalesce, not repartition: the delta is trigger-sized,
-                # a single-task sort is noise and skips a shuffle.
-                proj = proj.coalesce(1)
+                # repartition(1), NOT coalesce(1): the delta is a lazy
+                # plan (the trigger's LSH/hash tail), and coalesce would
+                # collapse everything after its last exchange into the
+                # single write task — measured +5-8 s/trigger at sf0.1.
+                # The round-robin shuffle is O(batch) and keeps the
+                # upstream stage parallel; the single-task sort of a
+                # trigger-sized partition is noise.
+                proj = proj.repartition(1)
             else:
                 # corpus-sized backfill triggers: a few range-bucketed
                 # files, each covering a contiguous bucket span so the
