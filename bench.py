@@ -99,6 +99,19 @@ def main() -> None:
     calib_start, calib_probes_start = _calibrate()
     calib = calib_start
 
+    def _calib_unstable(end_med: float) -> bool:
+        """True when calibrated numbers shouldn't be trusted across
+        rounds (review r13 — covers BOTH failure modes): (a) the host
+        degraded mid-run (end median >1.5x start — end FASTER is normal
+        JVM warmth and must not flag), or (b) the start window ITSELF
+        was unstable — the divisor's own probes (minus the single
+        largest, the expected cold first probe) still swing >1.5x,
+        the r12 steal signature that inflates calib silently."""
+        steady = sorted(calib_probes_start)[:4]
+        return (end_med / calib_start > 1.5) or (
+            steady[-1] / steady[0] > 1.5
+        )
+
     # Warmup at the smallest scale factor: every query runs once on
     # sf0.001 so whole-stage codegen is compiled (and janino-cached by
     # identical source) before timing. The timed pass then measures data
@@ -213,10 +226,7 @@ def main() -> None:
             "calibration_end_sec": calib_end,
             "calibration_probes_start": calib_probes_start,
             "calibration_probes_end": calib_probes_end,
-            # end SLOWER than start by >1.5x = the host degraded
-            # mid-run (steal); end FASTER is normal JVM warmth and must
-            # NOT flag (it happens every run — r7 measured 0.201->0.064)
-            "calib_unstable": calib_end / calib_start > 1.5,
+            "calib_unstable": _calib_unstable(calib_end),
             "sf": sf,
         }
         prior = {}
@@ -1149,8 +1159,7 @@ def main() -> None:
         "calibration_end_sec": calib_end,
         "calibration_probes_start": calib_probes_start,
         "calibration_probes_end": calib_probes_end,
-        # see the exclusive section's note: flags mid-run slowdown only
-        "calib_unstable": calib_end / calib_start > 1.5,
+        "calib_unstable": _calib_unstable(calib_end),
         "pipeline_run_week_stages": run_week_stages,
         "extended": extended,
         "scale10": scale10,

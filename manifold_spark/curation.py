@@ -730,7 +730,14 @@ class CurationState:
                         d = os.path.join(root, f"{pcol}={b}")
                         if os.path.isdir(d):
                             part_dirs.append(d)
-            else:
+            elif self._has_parquet(root):
+                # The parquet guard matters for LEGACY empty deltas
+                # (pre-r13 partitionBy wrote only _SUCCESS for an
+                # all-duplicate trigger — the ADVICE-r10 shape): no '='
+                # subdirs, no parquet — handing the bare dir to
+                # spark.read.parquet would die with
+                # UNABLE_TO_INFER_SCHEMA. r13 flat deltas always hold a
+                # schema-ful (possibly 0-row) file.
                 flat_dirs.append(root)
         if self.collect_read_stats:
             from manifold_spark.versioned_store import walk_parquet_stats

@@ -2377,7 +2377,8 @@ def _lm_oracle(
     k, scale = lm.SMOOTH_K, lm.TERM_SCALE
     cut_sql = ""
     if with_cut_check:
-        cut_sql = """
+        accuracy = lm.PPL_CUT_ACCURACY
+        cut_sql = f"""
     , rk AS (
         SELECT lang, avg_logprob,
                row_number() OVER (PARTITION BY lang ORDER BY avg_logprob)
@@ -2387,7 +2388,9 @@ def _lm_oracle(
     ),
     ks AS (
         SELECT lang, n, i,
-               CAST(ceil((1 - i / 3.0) * n) AS BIGINT) AS kk
+               CAST(ceil((1 - i / 3.0) * n) AS BIGINT) AS kk,
+               greatest(CAST(1 AS BIGINT),
+                        CAST(ceil(n / {accuracy}.0) AS BIGINT)) AS rad
         FROM (SELECT DISTINCT lang, n FROM rk) CROSS JOIN (VALUES (1), (2)) t(i)
     ),
     cutsec AS (
@@ -2398,8 +2401,8 @@ def _lm_oracle(
                lo.avg_logprob AS cut_lo, hi.avg_logprob AS cut_hi,
                TRUE AS cut_in_bounds
         FROM ks
-        JOIN rk lo ON lo.lang = ks.lang AND lo.rn = greatest(1, kk - 1)
-        JOIN rk hi ON hi.lang = ks.lang AND hi.rn = least(ks.n, kk + 1)
+        JOIN rk lo ON lo.lang = ks.lang AND lo.rn = greatest(1, kk - rad)
+        JOIN rk hi ON hi.lang = ks.lang AND hi.rn = least(ks.n, kk + rad)
     )
         """
     return f"""
@@ -2478,6 +2481,7 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from manifold_spark.operators.lm import (
+        PPL_CUT_ACCURACY as _PPL_CUT_ACCURACY,
         ppl_buckets,
         ppl_threshold_cuts,
         score_docs,
@@ -2512,8 +2516,23 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(1.0) - F.col("cut_index") / F.lit(3.0)) * F.col("n")
             ).cast("long"),
         )
-        .withColumn("lo_rank", F.greatest(F.lit(1).cast("long"), F.col("kk") - 1))
-        .withColumn("hi_rank", F.least(F.col("n"), F.col("kk") + 1))
+        # window radius = the approx_percentile rank-error bound
+        # ceil(n/accuracy) (>=1): with the default accuracy the check is
+        # exact-neighbor for groups up to 10k scores and stays SOUND —
+        # never spuriously red — beyond it (review r13: a +-1 window
+        # with n=100k would fail a conformant GK cut at rank k+-10).
+        .withColumn(
+            "rad",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("n") / F.lit(float(_PPL_CUT_ACCURACY))).cast("long"),
+            ),
+        )
+        .withColumn(
+            "lo_rank",
+            F.greatest(F.lit(1).cast("long"), F.col("kk") - F.col("rad")),
+        )
+        .withColumn("hi_rank", F.least(F.col("n"), F.col("kk") + F.col("rad")))
     )
     lo = ranked.select(
         "lang", F.col("rn").alias("lo_rank"), F.col("avg_logprob").alias("cut_lo")

@@ -939,8 +939,7 @@ class AnnIndexStore:
           broadcast hint anywhere in the plan.
         - None — auto: distributed iff the batch exceeds
           ``DRIVER_PROBE_MAX`` rows (one take both routes and pins)."""
-        from manifold_spark.operators.pq import topk_ivf_pq
-        from manifold_spark.operators.similarity import assign_centroids
+        from manifold_spark.operators.pq import adc_probe_tables, topk_ivf_pq
 
         meta = self.meta
         if not meta["pq"]:
@@ -948,21 +947,32 @@ class AnnIndexStore:
         self._require_nonempty()
         self.read_stats = {}
         rows = None
+        pt = None
         if distributed is None:
             proj = queries.select(self.id_col, self.vec_col)
             rows = proj.take(self.DRIVER_PROBE_MAX + 1)
             distributed = len(rows) > self.DRIVER_PROBE_MAX
         if distributed:
+            from manifold_spark.operators.dedup import _persist_tracked
+
             q = queries.select(self.id_col, self.vec_col).localCheckpoint(
                 eager=True
             )
-            probe_cells = assign_centroids(
-                q, self.centroids_df(), meta["dim"],
-                self.id_col, self.vec_col, rank_limit=nprobe,
+            # ONE probe-relation build (review r13): the persisted
+            # adc_probe_tables output yields the pruned-read cell set
+            # AND is the scoring pass's query side — the probe
+            # assignment over a corpus-scale frame runs once, and the
+            # read set is definitionally the set scoring joins on.
+            pt = _persist_tracked(
+                adc_probe_tables(
+                    q, meta["codebooks"], self.centroids_df(), meta["dim"],
+                    nprobe, self.id_col, self.vec_col,
+                    residual=meta["residual"],
+                )
             )
             cids = sorted(
                 r["centroid_id"]
-                for r in probe_cells.select("centroid_id").distinct().collect()
+                for r in pt.select("centroid_id").distinct().collect()
             )
         else:
             q, q_vecs = self._pin_queries(queries, rows=rows)
@@ -987,6 +997,7 @@ class AnnIndexStore:
             encoded=codes, id_col=self.id_col, vec_col=self.vec_col,
             residual=meta["residual"],
             broadcast_queries=not distributed,
+            probe_tables=pt,
         )
 
 

@@ -234,6 +234,14 @@ def ppl_buckets(
     )
 
 
+#: approx_percentile rank-error budget: guarantees the returned cut's
+#: rank is within ceil(n/PPL_CUT_ACCURACY) of exact (Greenwald-Khanna),
+#: which is what the gate's neighbor-window radius is derived from —
+#: passing it EXPLICITLY (instead of leaning on the engine default)
+#: keeps the published soundness bound and the actual aggregate in sync.
+PPL_CUT_ACCURACY = 10_000
+
+
 def ppl_threshold_cuts(
     scored: DataFrame,
     group_col: str | None = "lang",
@@ -241,6 +249,7 @@ def ppl_threshold_cuts(
     n_buckets: int = 3,
     sample_fraction: float | None = None,
     id_col: str = "doc_id",
+    accuracy: int = PPL_CUT_ACCURACY,
 ) -> DataFrame:
     """The per-group cut vector `ppl_threshold_buckets` assigns by —
     ``cuts[i-1]`` = ``approx_percentile(score, 1 - i/n_buckets)``
@@ -263,7 +272,7 @@ def ppl_threshold_cuts(
         F.expr(
             f"approx_percentile({score_col}, array("
             + ", ".join(str(1 - i / n_buckets) for i in range(1, n_buckets))
-            + "))"
+            + f"), {accuracy})"
         ).alias("cuts")
     )
 

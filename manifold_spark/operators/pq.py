@@ -481,10 +481,6 @@ def adc_probe_tables(
 
     m, ksub = len(codebooks), len(codebooks[0])
     dsub = dim // m
-    probes = assign_centroids(
-        queries.select(id_col, vec_col), centroids, dim, id_col, vec_col,
-        rank_limit=nprobe,
-    )
     cb_lit = F.array(
         *[
             F.array(
@@ -505,11 +501,22 @@ def adc_probe_tables(
         ),
     )
     qnorm = F.sqrt(_fold_dot(vec_d, vec_d))
+    # dt/qnorm project BEFORE the probe fan-out (review r13): computed
+    # once per QUERY row and carried through assign_centroids'
+    # any_value aggregation — projecting them onto the exploded probe
+    # rows instead would evaluate the m·ksub·dsub fold nprobe× per
+    # query, the driver path's exact build-once economy lost.
+    pre = queries.select(
+        id_col, vec_col, dt.alias("dt"), qnorm.alias("qnorm")
+    )
+    probes = assign_centroids(
+        pre, centroids, dim, id_col, vec_col, rank_limit=nprobe
+    )
     out = probes.select(
         F.col(id_col).alias("query_id"),
         F.col("centroid_id"),
-        dt.alias("dt"),
-        qnorm.alias("qnorm"),
+        "dt",
+        "qnorm",
         *([F.col(vec_col).alias("_q_vec")] if residual else []),
     )
     if residual:
@@ -836,6 +843,7 @@ def topk_ivf_pq(
     vec_col: str = "embedding",
     residual: bool = False,
     broadcast_queries: bool = True,
+    probe_tables: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed 100 TB ANN architecture (FAISS IVFPQ shape) —
     a coarse quantizer prunes which inverted lists a query scans, PQ
@@ -935,11 +943,18 @@ def topk_ivf_pq(
 
     if not broadcast_queries:
         # Corpus-scale query frame: tables as columns, no collect, no
-        # query-side hints anywhere downstream.
-        q = adc_probe_tables(
-            queries, codebooks, centroids, dim, nprobe, id_col, vec_col,
-            residual=residual,
-        )
+        # query-side hints anywhere downstream. ``probe_tables`` accepts
+        # a pre-built (typically persisted) `adc_probe_tables` output so
+        # a caller that already evaluated it — the store derives its
+        # pruned-read cell set from the same relation — doesn't pay the
+        # probe assignment twice (review r13); it must have been built
+        # with the SAME codebooks/centroids/nprobe/residual.
+        q = probe_tables
+        if q is None:
+            q = adc_probe_tables(
+                queries, codebooks, centroids, dim, nprobe, id_col, vec_col,
+                residual=residual,
+            )
         return _adc_search(
             q, enc, nt, k, R, queries, corpus, dim, id_col, vec_col,
             join_on="centroid_id", residual=residual,

@@ -293,6 +293,44 @@ def test_delta_layout_flat_and_snapshot_fanout(spark, tmp_path):
     assert 0 < probe2.read_stats["hashes_bytes"] < totals["state_total_bytes"]
 
 
+def test_legacy_empty_partitioned_delta_does_not_break_reads(spark, tmp_path):
+    """Review r13: a PRE-r13 empty delta (the old partitionBy path wrote
+    only _SUCCESS for an all-duplicate trigger — no '=' subdirs, no
+    parquet) must not be classified as a flat r13 delta: handing the
+    bare dir to spark.read.parquet dies with UNABLE_TO_INFER_SCHEMA.
+    The parquet guard skips it, exactly as the old leaf-dir walk did."""
+    state_dir = str(tmp_path / "legacy-empty")
+    st = CurationState(spark, state_dir)
+    empty_mh = {
+        "entries": spark.createDataFrame([], "doc_id long, band int, key string"),
+        "shingles": spark.createDataFrame([], "doc_id long, h long"),
+        "sizes": spark.createDataFrame([], "doc_id long, n long"),
+    }
+    st.write_delta(0, {
+        "hashes": spark.createDataFrame([("0abc",), ("5def",)], "_h string"),
+        "minhash": empty_mh,
+    })
+    # fake the legacy shape: committed version whose part dirs hold only
+    # the Spark _SUCCESS marker (no parquet, no partition subdirs)
+    for part in ("hashes", "mh_entries", "mh_shingles", "mh_sizes"):
+        d = os.path.join(state_dir, "v1", part)
+        os.makedirs(d)
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+    open(os.path.join(state_dir, "v1", "_COMMIT"), "w").close()
+
+    probe = CurationState(spark, state_dir)
+    probe.begin_batch(2)
+    got = probe.read_hashes(spark.createDataFrame([("0xyz",), ("5xyz",)], "_h string"))
+    assert {r["_h"] for r in got.collect()} == {"0abc", "5def"}
+    assert probe.read_entries(
+        spark.createDataFrame([(1, 0, "0key")], "doc_id long, band int, key string")
+    ) is None or True  # must simply not raise
+    sh, sz = probe.read_doc_state([1, 2])
+    # v0's minhash parts are empty but schema-ful; legacy v1 is skipped
+    if sh is not None:
+        assert sh.count() == 0 and sz.count() == 0
+
+
 # ---------------------------------------------------------------------------
 # 3. empty-delta compaction (ADVICE r10 high)
 # ---------------------------------------------------------------------------
