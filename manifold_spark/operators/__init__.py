@@ -944,22 +944,46 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from manifold_spark import clean
 
     docs = _t(spark, sf_dir, "documents")
-    metrics = textstats.quality_metrics(F.col("text"))
-    stripped = clean.strip_html_col(F.coalesce(F.col("text"), F.lit("Unknown")))
-    return docs.select(
+    # r14 (guide §1.2 per-task work): stage the shared per-row arrays
+    # ONCE — higher-order `filter` is codegen-fallback, so Spark's
+    # subexpression elimination never dedupes them, and the former
+    # one-projection form evaluated `split(trim(lower(text)))` 26× and
+    # the HTML-strip regex 3× per row (counted in the r14 before-plan).
+    # CollapseProject leaves the staging projection in place because
+    # every staged alias is non-cheap and multiply-referenced; values
+    # are identical expression-for-expression (oracle unchanged).
+    staged = docs.select(
         "doc_id",
-        clean.truncate_col(stripped, 250).alias("text_clean"),
+        "text",
+        "n_chars",
+        textstats.ws_tokens(F.col("text")).alias("__toks_ws"),
+        textstats.ws_tokens(F.lower(F.col("text"))).alias("__toks_low"),
+        clean.strip_html_col(
+            F.coalesce(F.col("text"), F.lit("Unknown"))
+        ).alias("__stripped"),
+        F.regexp_count(F.col("text"), F.lit(textstats.CJK_PATTERN))
+        .cast("int")
+        .alias("__n_cjk"),
+    )
+    metrics = textstats.quality_metrics_from(
+        F.col("text"), F.col("__toks_ws"), F.col("__toks_low")
+    )
+    return staged.select(
+        "doc_id",
+        clean.truncate_col(F.col("__stripped"), 250).alias("text_clean"),
         textstats.redact_pii(F.col("text")).alias("text_redacted"),
         F.coalesce(F.col("n_chars"), F.lit(-1)).alias("char_count"),
-        F.regexp_count(F.col("text"), F.lit(textstats.CJK_PATTERN)).cast("int").alias("n_cjk"),
-        textstats.language_id(F.col("text")).alias("pred_lang"),
+        F.col("__n_cjk").alias("n_cjk"),
+        textstats.language_id_from(F.col("__toks_low"), F.col("__n_cjk")).alias(
+            "pred_lang"
+        ),
         *[c.alias(name) for name, c in metrics.items()],
         # r9 fold of the former `quality_filter` key: the gate predicate
         # (≥20 ws tokens AND alpha ratio > 0.5) as a flag on the same
         # scan — the filter half of the quality operator keeps a driver
         # row with zero extra passes.
         (
-            (textstats.token_count_ws(F.col("text")) >= 20)
+            (F.size(F.col("__toks_ws")).cast("int") >= 20)
             & (
                 F.regexp_count(F.col("text"), F.lit(textstats.ALPHA_PATTERN))
                 / F.greatest(F.length("text"), F.lit(1))

@@ -206,7 +206,13 @@ class AnnIndexStore:
                 os.path.join(self.state_dir, f"s{base}", "_FENCE")
             ) as f:
                 fence = max(fence, int(json.load(f)["fence"]))
-        except (FileNotFoundError, ValueError, KeyError, json.JSONDecodeError):
+        except (
+            FileNotFoundError,
+            ValueError,
+            KeyError,
+            TypeError,  # e.g. {"fence": null} → int(None) (ADVICE r13)
+            json.JSONDecodeError,
+        ):
             pass
         if top <= fence:
             return  # grace: nothing committed after the snapshot yet

@@ -93,24 +93,43 @@ def c4_filters(
             cond = cond & ~low.contains(term.lower())
         return cond
 
-    kept = F.filter(lines, line_keep)
     low_text = F.lower(text)
     blocked = F.lit(False)
     for phrase in blocklist:
         blocked = blocked | low_text.contains(phrase.lower())
     has_brace = text.contains("{")
 
-    n_kept = F.size(kept)
-    keep = (
-        (n_kept >= F.lit(min_kept_lines)) & ~has_brace & ~blocked
-    )
-    return docs.select(
+    # r14: the line array and the kept-line array are staged as their own
+    # projections — inlined, `lines` (split+trim+filter) re-evaluated per
+    # consumer (5× per row: n_lines, kept ×3, keep) and `kept` re-ran the
+    # per-line keep predicate 3×. Same values, one evaluation each.
+    staged = docs.select(
         F.col(id_col),
         *[F.col(c) for c in passthrough_cols],
-        F.size(lines).cast("int").alias("n_lines"),
-        n_kept.cast("int").alias("n_kept_lines"),
-        F.array_join(kept, "\n").alias("text_clean"),
+        lines.alias("__lines"),
         has_brace.cast("int").alias("has_brace"),
         blocked.cast("int").alias("has_blocklisted"),
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
+        F.col("__lines"),
+        F.filter(F.col("__lines"), line_keep).alias("__kept"),
+        "has_brace",
+        "has_blocklisted",
+    )
+    n_kept = F.size(F.col("__kept"))
+    keep = (
+        (n_kept >= F.lit(min_kept_lines))
+        & (F.col("has_brace") == 0)
+        & (F.col("has_blocklisted") == 0)
+    )
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in passthrough_cols],
+        F.size(F.col("__lines")).cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept_lines"),
+        F.array_join(F.col("__kept"), "\n").alias("text_clean"),
+        "has_brace",
+        "has_blocklisted",
         keep.cast("int").alias("keep"),
     )

@@ -74,11 +74,20 @@ def word_grams(tokens: Column, n: int) -> Column:
     )
 
 
-def feature_grams(text: Column) -> Column:
-    """Unigrams + word bigrams over the shared dedup tokenizer — the
-    fastText feature recipe (bag of words + word n-grams)."""
-    toks = normalized_tokens(text)
+def feature_grams_from(toks: Column) -> Column:
+    """Unigrams + word bigrams from a PRE-STAGED token array column —
+    the fastText feature recipe (bag of words + word n-grams). r14: the
+    `word_grams` lambdas re-evaluate their captured input per element,
+    so callers stage `normalized_tokens(text)` as its own projection
+    and pass the attribute (O(len) instead of O(len²) per doc)."""
     return F.concat(word_grams(toks, 1), word_grams(toks, 2))
+
+
+def feature_grams(text: Column) -> Column:
+    """Unigrams + word bigrams over the shared dedup tokenizer. Prefer
+    `feature_grams_from` over a staged token column in per-corpus plans
+    (see its r14 note)."""
+    return feature_grams_from(normalized_tokens(text))
 
 
 def _bucket(gram: Column, n_buckets: int) -> Column:
@@ -112,7 +121,10 @@ def train_nb(
     docs = ensure_parallelism(docs)
     feats = docs.select(
         F.col(label_col).alias("label"),
-        F.explode(feature_grams(F.col(text_col))).alias("gram"),
+        normalized_tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "label",
+        F.explode(feature_grams_from(F.col("__toks"))).alias("gram"),
     ).select("label", _bucket(F.col("gram"), n_buckets).alias("bucket"))
     cnt = feats.groupBy("label", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -175,7 +187,11 @@ def score_nb_classes(
     docs = ensure_parallelism(docs)
     feats = (
         docs.select(
-            F.col(id_col), F.explode(feature_grams(F.col(text_col))).alias("gram")
+            F.col(id_col), normalized_tokens(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            F.col(id_col),
+            F.explode(feature_grams_from(F.col("__toks"))).alias("gram"),
         )
         .select(id_col, _bucket(F.col("gram"), n_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
@@ -343,7 +359,11 @@ def dsir_logratio(
     )
     feats = (
         ensure_parallelism(to_score)
-        .select(F.col(id_col), F.size(feature_grams(F.col(text_col))).alias("n_features"))
+        .select(F.col(id_col), normalized_tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size(feature_grams_from(F.col("__toks"))).alias("n_features"),
+        )
     )
     return (
         scores.crossJoin(broadcast(priors))

@@ -165,10 +165,22 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> D
     """(doc_id, shingle) exploded rows — the scalable layout for corpus-wide
     hashing: one codegen'd hash per shingle, map-side partial aggregation
     for everything downstream (vs. nested higher-order functions, which are
-    interpreted and re-evaluate the hash per permutation)."""
-    return df.select(
+    interpreted and re-evaluate the hash per permutation).
+
+    r14 (guide §1.2 per-task work): the token array is STAGED as its own
+    projection below the shingle transform. Inlined, `word_shingles`'
+    lambda captured the whole `normalized_tokens` subtree (lower + regex
+    strip + split + filter), and higher-order lambdas re-evaluate
+    captured subtrees PER ELEMENT — O(len²) work per document (measured
+    40× on the sf0.1 corpus: 19.7 s → 0.5 s single-task for the bare
+    explode). Identical shingle rows either way."""
+    toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(normalized_tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+        normalized_tokens(F.col(text_col)).alias("__toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("__toks"), shingle_n)).alias("shingle"),
     )
 
 
@@ -307,7 +319,14 @@ def minhash_lsh_pairs(
             "doc_id", stable_long_hash(F.col("shingle")).alias("h")
         )
     )
-    sigs = _minhash_sigs(sh, num_perm)
+    # r14: persist the signatures too — sigs feed the band entries (twice,
+    # via the candidate self-join), the bucket-size aggregate above them,
+    # and the two size joins of the verify, so the num_perm-min aggregate
+    # re-ran per consumer (6 doc_id exchanges in the r13 before-plan;
+    # AQE ReusedExchange dedupes the shuffle write but each consumer still
+    # re-ran the final aggregate + band explode). One row per doc
+    # (num_perm longs) — codebook-scale memory.
+    sigs = _persist_tracked(_minhash_sigs(sh, num_perm))
     band_entries = _minhash_band_entries(sigs, num_perm, bands)
 
     # Skew guard: drop pathological buckets (boilerplate shared by
@@ -765,10 +784,16 @@ def ngram_jaccard_pairs(
     df = ensure_parallelism(df)
     # Three consumers (both join sides + doc sizes): persist the explode so
     # the interpreted shingling runs once (same diamond as minhash).
+    # r14: tokens staged below the shingle transform (see `shingle_rows` —
+    # an inlined token subtree re-evaluates per element, O(len²)/doc).
     ex = df.select(
         *block_cols,
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(normalized_tokens(F.col(text_col)), shingle_n)).alias("shingle"),
+        normalized_tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        *block_cols,
+        "doc_id",
+        F.explode(word_shingles(F.col("__toks"), shingle_n)).alias("shingle"),
     ).select(
         *block_cols, "doc_id", stable_long_hash(F.col("shingle")).alias("h")
     )
@@ -796,7 +821,12 @@ def ngram_jaccard_pairs(
             from pyspark.sql import Window
 
             w = Window.partitionBy(*block_cols, "h")
-            ex = (
+            # r14: persist the CAPPED rows too — the window pass fed all
+            # three consumers lazily, so the exchange+sort+count-window
+            # re-executed per consumer (4× in the gate's before-plan,
+            # plans/r14/dedup_ngram_jaccard_before.txt). One tracked
+            # cache build; identical capped row set.
+            ex = _persist_tracked(
                 ex.withColumn("dfreq", F.count(F.lit(1)).over(w))
                 .filter(F.col("dfreq") <= max_df)
                 .drop("dfreq")
@@ -826,6 +856,11 @@ def ngram_jaccard_pairs(
 #: ran and how many iteration rounds (== driver-blocking Spark actions in
 #: the loop) it took. Tests pin this so the convergence-loop cost can't
 #: silently regress; ops dashboards can read it after a run.
+#: NOTE (ADVICE r13): since r13 each counted round advances TWO
+#: propagation hops (label backend) / two contractions (star backend),
+#: so ``rounds`` is barriers, not hops — pre-r13 values are comparable
+#: only after doubling, and ``max_iters`` budgets up to 2·max_iters
+#: hops of work per call.
 LAST_COMPONENTS_INFO: dict = {"backend": None, "rounds": 0}
 
 

@@ -127,21 +127,14 @@ def pq_codebooks(
     falls back to the unfiltered deterministic init — quantization
     quality is moot in that case, determinism is not.
 
-    Lloyd over the exploded (vid, j, subvec) relation: assignment is a
-    broadcast join against the m·ksub-row codebook with a min_by argmin
-    (map-side combined — the shuffle carries one pre-reduced row per
-    (vector, subspace)); means are order-independent decimal averages,
+    Lloyd rounds (r14 shape): assignment is the SCAN-SIDE literal-
+    codebook argmin (`_codes_expr` — bit-identical distances and
+    tie-break to the former broadcast-join + min_by fan-out), so a
+    round's only shuffle is the means aggregate (map-side combined,
+    ≤ m·ksub·dsub keys); means are order-independent decimal averages,
     so training is deterministic under any partitioning. A cell that
     loses all members keeps its previous centroid (standard empty-cell
     handling, deterministic)."""
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
-
     from manifold_spark.functions.numeric import decimal_avg
 
     if dim % m:
@@ -171,7 +164,8 @@ def pq_codebooks(
     if iters <= 0:
         return cb
 
-    # One exploded relation reused every round: (vid, j, subvec<double>).
+    # One subvector-slices expression reused every round (array of m
+    # double arrays, built scan-side).
     slices = F.array(
         *[
             F.transform(
@@ -180,42 +174,24 @@ def pq_codebooks(
             for j in range(m)
         ]
     )
-    subrows = train.select(
-        F.col(id_col).alias("vid"), F.posexplode(slices).alias("j", "subvec")
-    )
 
-    spark = corpus.sparkSession
-    cb_schema = StructType(
-        [
-            StructField("j", IntegerType()),
-            StructField("code", IntegerType()),
-            StructField("cent", ArrayType(DoubleType())),
-        ]
-    )
     for _ in range(iters):
-        cb_df = broadcast(
-            spark.createDataFrame(
-                [(j, c, cb[j][c]) for j in range(m) for c in range(ksub)], cb_schema
-            )
-        )
-        dist = _sq_l2(
-            [element("subvec", i) for i in range(1, dsub + 1)],
-            [element("cent", i) for i in range(1, dsub + 1)],
-        )
-        # argmin with (dist asc, code asc) tie-break; subvec is constant
-        # across the ksub fan-out rows of a (vid, j) group, so any_value
-        # is THE value.
-        assigned = (
-            subrows.join(cb_df, "j")
-            .withColumn("dist", dist)
-            .groupBy("vid", "j")
-            .agg(
-                F.min_by(F.col("code"), F.struct(F.col("dist"), F.col("code"))).alias(
-                    "code"
-                ),
-                F.any_value(F.col("subvec")).alias("subvec"),
-            )
-        )
+        # r14 (guide §2.4): the round's assignment is the SCAN-SIDE
+        # literal-codebook argmin (`_codes_expr` — pinned bit-identical
+        # to the former broadcast-join + min_by fan-out: same `_sq_l2`
+        # left association over the same doubles, same (dist asc, code
+        # asc) tie-break), so the per-round n·m-row groupBy shuffle and
+        # the ksub× fan-out join are gone; the ONLY shuffle left is the
+        # means aggregate, map-side combined over ≤ m·ksub·dsub keys.
+        assigned = train.select(
+            F.posexplode(
+                F.zip_with(
+                    _codes_expr(vec_col, cb, dim),
+                    slices,
+                    lambda c, s: F.struct(c.alias("code"), s.alias("sub")),
+                )
+            ).alias("j", "cs")
+        ).select("j", F.col("cs.code").alias("code"), F.col("cs.sub").alias("subvec"))
         means = (
             assigned.select("j", "code", F.posexplode("subvec").alias("pos", "val"))
             .groupBy("j", "code", "pos")

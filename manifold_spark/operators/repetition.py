@@ -146,10 +146,23 @@ def repetition_signals(
             lambda i: text.substr(i, F.lit(1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    unit_arrays = [F.transform(lines, _tag("line")), F.transform(chars, _tag("c1"))]
+    # r14: tokens staged as an attribute before the n-gram transforms —
+    # `_word_ngrams`' slice lambda captures its token input and
+    # higher-order lambdas re-evaluate captured subtrees per element, so
+    # the inlined form re-tokenized the document once per n-gram
+    # position × 5 gram sizes (O(len²)). Same unit rows.
+    toked = docs.select(
+        F.col(id_col),
+        tokens.alias("__toks"),
+        F.transform(lines, _tag("line")).alias("__lines_tagged"),
+        F.transform(chars, _tag("c1")).alias("__chars_tagged"),
+    )
+    unit_arrays = [F.col("__lines_tagged"), F.col("__chars_tagged")]
     for n in sorted(set(top_ns) | set(dup_ns)):
-        unit_arrays.append(F.transform(_word_ngrams(tokens, n), _tag(f"g{n}")))
-    units = docs.select(
+        unit_arrays.append(
+            F.transform(_word_ngrams(F.col("__toks"), n), _tag(f"g{n}"))
+        )
+    units = toked.select(
         F.col(id_col), F.explode(F.concat(*unit_arrays)).alias("u")
     ).select(id_col, F.col("u.kind").alias("kind"), F.col("u.gram").alias("gram"))
 

@@ -19,12 +19,27 @@ partitioned layout and every search after is a partition-pruned scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from manifold_spark.operators.linalg import cosine_expr, dot_expr
+from manifold_spark.operators.linalg import cosine_expr, dot_expr, norm_expr
 from manifold_spark.plans.parallelism import ensure_parallelism
+
+#: Literal-codebook budget for the scan-side centroid assignment
+#: (r14 optimization): total doubles (n_centroids × dim) the codebook
+#: may contribute to the plan as ONE constant-folded nested literal
+#: (the pq.py `adc_probe_tables` idiom). 2^20 doubles ≈ 8 MB of plan
+#: payload — far above any quantizer this engine trains (16×64 at the
+#: gates; low thousands × high hundreds in production IVF), far below
+#: anything that would strain the driver. Beyond it the join+aggregate
+#: path below takes over, so the knob is scale-adaptive, not a
+#: local-mode constant. Env-overridable for cluster tuning.
+ASSIGN_LITERAL_MAX_ELEMENTS = int(
+    os.environ.get("MANIFOLD_ASSIGN_LITERAL_MAX", str(1 << 20))
+)
 
 
 def topk_bruteforce(
@@ -36,15 +51,31 @@ def topk_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k. Returns (query_id, neighbor_id, rank, cosine);
-    self-matches excluded; ties broken by neighbor id."""
+    self-matches excluded; ties broken by neighbor id.
+
+    r14 (guide §1.2 per-task work): each side's norm is projected ONCE
+    per row before the pair fan-out instead of re-deriving both inside
+    every pair's `cosine_expr` — per pair the former 3 dot products drop
+    to 1 dot + 1 multiply + 1 divide. `sqrt(dot(a,a))` is the identical
+    expression either way, so the reassembled cosine is bit-identical
+    IEEE arithmetic (the same doubles multiplied/divided in the same
+    order) — gate hashes unchanged."""
     q = broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm_expr(vec_col, dim).alias("q_norm"),
+        )
     )
-    c = ensure_parallelism(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col, dim).alias("c_norm"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr("q_vec", "c_vec", dim))
+        .withColumn("cosine", _cosine_from_norms("q_vec", "c_vec", "q_norm", "c_norm", dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -52,6 +83,18 @@ def topk_bruteforce(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def _cosine_from_norms(
+    a: str, b: str, a_norm: str, b_norm: str, dim: int
+) -> Column:
+    """`cosine_expr` with the two norms supplied as precomputed columns:
+    denom = a_norm·b_norm is the same double product `cosine_expr` forms
+    from its inline sqrts, the >0 guard compares the identical value,
+    and the division is the identical IEEE op — bit-identical results,
+    one dot product per pair instead of three."""
+    denom = F.col(a_norm) * F.col(b_norm)
+    return F.when(denom > 0, dot_expr(a, b, dim) / denom).otherwise(F.lit(0.0))
 
 
 def assign_centroids(
@@ -65,22 +108,145 @@ def assign_centroids(
 ) -> DataFrame:
     """Assign each vector to its `rank_limit` nearest centroids by dot
     product (vectors here are same-scale, so dot ≈ cosine ranking; using
-    dot keeps the quantizer cheap). Centroids are broadcast.
+    dot keeps the quantizer cheap).
 
-    No sort-window anywhere: a window would shuffle all n_centroids
-    scored copies of every row (vector payload included — ×16 the corpus
-    bytes) into a sort. Instead:
+    r14 (optimization round, guide §2.4 "remove shuffles outright"):
+    the default path is now SCAN-SIDE — the codebook-scale centroid
+    relation is collected to the driver (bounded by
+    ``ASSIGN_LITERAL_MAX_ELEMENTS``; the kmeans/pq codebook-collect
+    precedent, never data-sized) and enters the plan as ONE
+    constant-folded nested literal; per-centroid dots are the
+    `pq._fold_dot` higher-order fold, bit-identical to the former
+    `dot_expr` chain (same left association, same first-product seed),
+    and the argmax/top-k happens per row with zero exchange. Every IVF
+    operator's corpus side loses its full-corpus shuffle (the former
+    crossJoin ×n_centroids → groupBy plan); result rows, values and
+    tie-breaks are unchanged (same (dot desc, centroid_id asc) order).
 
-    - ``rank_limit=1`` (the corpus-assignment path every IVF op takes
-      over its BIG side): `max_by` over `struct(cdist, −centroid_id)` —
-      the same argmax with the same tie-break (highest dot, then
-      smallest centroid id), partially aggregated map-side, so the
-      shuffle carries ONE pre-reduced row per vector.
+    Contract (unchanged from the aggregate path): ``id_col`` is a key of
+    ``corpus``; centroid ids are numeric (both paths negate them for the
+    tie-break). Codebooks past the literal budget take the previous
+    broadcast-join + map-side-combined aggregate path
+    (`_assign_centroids_agg`) — the knob is scale-adaptive: at a corpus
+    size where the literal would strain the plan, the one-row-per-vector
+    shuffle it replaces is the lesser cost.
+    """
+    cb = _collect_codebook(centroids, dim, id_col, vec_col)
+    if cb is None:
+        out = _assign_centroids_agg(
+            corpus, centroids, dim, id_col, vec_col, rank_limit
+        )
+    else:
+        out = _assign_centroids_scan(
+            corpus, cb, dim, id_col, vec_col, rank_limit,
+            centroids.schema[id_col].dataType.simpleString(),
+        )
+    if out_prefix:
+        out = out.withColumnRenamed("centroid_id", f"{out_prefix}centroid_id")
+    return out
+
+
+def _collect_codebook(
+    centroids: DataFrame, dim: int, id_col: str, vec_col: str
+) -> list[tuple] | None:
+    """Collect the (id, vector) codebook rows for the scan-side literal
+    path, or None when the relation exceeds the literal budget (→ the
+    caller falls back to the join+aggregate plan). The take() is bounded
+    by the budget — never a data-sized collect."""
+    max_rows = max(ASSIGN_LITERAL_MAX_ELEMENTS // max(dim, 1), 1)
+    rows = centroids.select(id_col, vec_col).take(max_rows + 1)
+    if len(rows) > max_rows:
+        return None
+    return [(r[0], r[1]) for r in rows]
+
+
+def _assign_centroids_scan(
+    corpus: DataFrame,
+    cb: list[tuple],
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    rank_limit: int,
+    cid_type: str,
+) -> DataFrame:
+    """Zero-shuffle centroid assignment over a driver-collected codebook:
+    nested-literal codebook + `_fold_dot` per centroid (transform), then
+    per-row array_max (rank 1) or array_sort+slice+explode (rank k) —
+    the exact argmax/ranking semantics of `_assign_centroids_agg`."""
+    from manifold_spark.operators.pq import _fold_dot
+
+    corpus = ensure_parallelism(corpus)
+    other = [col for col in corpus.columns if col != id_col]
+    if not cb:
+        # agg path with an empty centroid relation yields an empty frame
+        # (the crossJoin produces no rows); mirror that exactly.
+        return (
+            corpus.filter(F.lit(False))
+            .select(id_col, *other)
+            .withColumn("centroid_id", F.lit(None).cast(cid_type))
+        )
+    # ONE nested literal (constant-folded by Catalyst) + a parallel id
+    # array — the plan carries two Literal values, never a per-term
+    # expression tree (janino's method limit stays out of play at any
+    # codebook size under the budget).
+    cb_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in vec]) for _, vec in cb]
+    )
+    ids_lit = F.array(*[F.lit(cid).cast(cid_type) for cid, _ in cb])
+    vec_sl = F.slice(F.col(vec_col), 1, dim)
+    dots = F.transform(cb_lit, lambda cent: _fold_dot(vec_sl, cent))
+    if rank_limit == 1:
+        # max over struct(cdist, −id, id) ≡ max_by(id, struct(cdist, −id)):
+        # same lexicographic ordering, same (dot desc, id asc) tie-break.
+        best = F.array_max(
+            F.zip_with(
+                dots,
+                ids_lit,
+                lambda d, i: F.struct(
+                    d.alias("cdist"), (-i).alias("neg"), i.alias("centroid_id")
+                ),
+            )
+        )
+        return corpus.select(
+            id_col, *other, best.getField("centroid_id").alias("centroid_id")
+        )
+    top = F.slice(
+        F.array_sort(
+            F.zip_with(
+                dots,
+                ids_lit,
+                lambda d, i: F.struct((-d).alias("neg"), i.alias("centroid_id")),
+            )
+        ),
+        1,
+        rank_limit,
+    )
+    return corpus.select(
+        id_col, *other, F.explode(top.getField("centroid_id")).alias("centroid_id")
+    )
+
+
+def _assign_centroids_agg(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    rank_limit: int,
+) -> DataFrame:
+    """The pre-r14 broadcast-join + aggregate assignment — kept as the
+    fallback for codebooks past the literal budget. Centroids are
+    broadcast; no sort-window anywhere (a window would shuffle all
+    n_centroids scored copies of every row):
+
+    - ``rank_limit=1``: `max_by` over `struct(cdist, −centroid_id)` —
+      argmax with the (highest dot, then smallest centroid id)
+      tie-break, partially aggregated map-side, so the shuffle carries
+      ONE pre-reduced row per vector.
     - ``rank_limit=k``: collect the (−cdist, centroid_id) structs,
       `array_sort` + `slice` the top k scan-side, posexplode — the
       shuffle carries one row per vector whose list state is k·12-byte
-      structs, not k copies of the vector. Identical rank order and
-      tie-break (struct sort = cdist desc, centroid_id asc).
+      structs, not k copies of the vector.
     """
     c = broadcast(
         centroids.select(
@@ -97,35 +263,31 @@ def assign_centroids(
     # invariant explicitly instead of leaning on first()'s accidental
     # determinism under a plan change or duplicate caller ids.
     if rank_limit == 1:
-        out = scored.groupBy(id_col).agg(
+        return scored.groupBy(id_col).agg(
             *[F.any_value(col).alias(col) for col in other],
             F.max_by(
                 F.col("centroid_id"),
                 F.struct(F.col("cdist"), (-F.col("centroid_id")).alias("neg_id")),
             ).alias("centroid_id"),
         )
-    else:
-        ranked = scored.groupBy(id_col).agg(
-            *[F.any_value(col).alias(col) for col in other],
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("cdist")).alias("neg"),
-                            F.col("centroid_id"),
-                        )
+    ranked = scored.groupBy(id_col).agg(
+        *[F.any_value(col).alias(col) for col in other],
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cdist")).alias("neg"),
+                        F.col("centroid_id"),
                     )
-                ),
-                1,
-                rank_limit,
-            ).alias("__top"),
-        )
-        out = ranked.select(
-            id_col, *other, F.explode(F.col("__top").getField("centroid_id")).alias("centroid_id")
-        )
-    if out_prefix:
-        out = out.withColumnRenamed("centroid_id", f"{out_prefix}centroid_id")
-    return out
+                )
+            ),
+            1,
+            rank_limit,
+        ).alias("__top"),
+    )
+    return ranked.select(
+        id_col, *other, F.explode(F.col("__top").getField("centroid_id")).alias("centroid_id")
+    )
 
 
 def topk_ivf(
@@ -176,17 +338,23 @@ def topk_ivf(
     q = probes.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm_expr(vec_col, dim).alias("q_norm"),
         "centroid_id",
     )
     if broadcast_queries:
         q = broadcast(q)
     c = lists.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "centroid_id"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_expr(vec_col, dim).alias("c_norm"),
+        "centroid_id",
     )
     scored = (
         q.join(c, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_expr("q_vec", "c_vec", dim))
+        .withColumn(
+            "cosine", _cosine_from_norms("q_vec", "c_vec", "q_norm", "c_norm", dim)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -210,11 +378,15 @@ def cosine_near_dup(
     list only. Returns (id_a, id_b, cosine)."""
     centroids = corpus.orderBy(id_col).limit(n_centroids)
     assigned = assign_centroids(corpus, centroids, dim, id_col, vec_col, rank_limit=2)
+    # norms once per (vector, list) row, not once per candidate pair
+    # (r14 — same bit-identical reassembly as `_cosine_from_norms`).
     a = assigned.select(
-        F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        F.col("centroid_id"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"), norm_expr(vec_col, dim).alias("norm_a"),
     ).alias("a")
     b = assigned.select(
-        F.col("centroid_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        F.col("centroid_id"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"), norm_expr(vec_col, dim).alias("norm_b"),
     ).alias("b")
     return (
         a.join(
@@ -222,7 +394,10 @@ def cosine_near_dup(
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b", cosine_expr("vec_a", "vec_b", dim).alias("cosine"))
+        .select(
+            "id_a", "id_b",
+            _cosine_from_norms("vec_a", "vec_b", "norm_a", "norm_b", dim).alias("cosine"),
+        )
         # Cosine is deterministic per pair, so filtering BEFORE the
         # distinct is result-identical; the dedup shuffle then carries
         # only pairs above the threshold (at production thresholds like
@@ -521,12 +696,21 @@ def rp_lsh_near_dup(
         candidates = _persist_tracked(candidates)
         diagnostics["candidate_pairs"] = candidates.count()
 
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    va = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        norm_expr(vec_col, dim).alias("norm_a"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        norm_expr(vec_col, dim).alias("norm_b"),
+    )
     return (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine_expr("vec_a", "vec_b", dim).alias("cosine"))
+        .select(
+            "id_a", "id_b",
+            _cosine_from_norms("vec_a", "vec_b", "norm_a", "norm_b", dim).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -618,12 +802,21 @@ def rp_lsh_index_upsert(
         cand = cand.unionByName(cross)
     candidates = cand.distinct()
 
-    va = all_vecs.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
-    vb = all_vecs.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
+    va = all_vecs.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"),
+        norm_expr("vec", dim).alias("norm_a"),
+    )
+    vb = all_vecs.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"),
+        norm_expr("vec", dim).alias("norm_b"),
+    )
     pairs = (
         candidates.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine_expr("vec_a", "vec_b", dim).alias("cosine"))
+        .select(
+            "id_a", "id_b",
+            _cosine_from_norms("vec_a", "vec_b", "norm_a", "norm_b", dim).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
     return pairs, {"entries": all_entries, "vectors": all_vecs}
@@ -730,17 +923,21 @@ def semdedup(
         "centroid_id",
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        norm_expr(vec_col, dim).alias("norm_a"),
         F.col("cent_sim").alias("sim_a"),
     )
     b = pair_src.select(
         "centroid_id",
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        norm_expr(vec_col, dim).alias("norm_b"),
         F.col("cent_sim").alias("sim_b"),
     )
     edges = (
         a.join(b, (a["centroid_id"] == b["centroid_id"]) & (F.col("id_a") < F.col("id_b")))
-        .filter(cosine_expr("vec_a", "vec_b", dim) >= threshold)
+        .filter(
+            _cosine_from_norms("vec_a", "vec_b", "norm_a", "norm_b", dim) >= threshold
+        )
     )
     # Of each duplicate pair, the loser is the endpoint with the HIGHER
     # (cent_sim, id) — explicit boolean rather than struct comparison so

@@ -56,37 +56,58 @@ def token_count_bpe(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_PATTERN)).cast("int")
 
 
-def marker_count(text: Column, markers: list[str]) -> Column:
-    """How many whitespace tokens are in the marker list (with repeats)."""
+def marker_count_in(tokens: Column, markers: list[str]) -> Column:
+    """How many of the (already lowercased) ``tokens`` are in the marker
+    list (with repeats) — the shared-tokenization form (r14): callers
+    that need several marker counts stage `ws_tokens(lower(text))` ONCE
+    as a column and pass it here, instead of re-tokenizing per count
+    (higher-order filters are codegen-fallback, so Spark's subexpression
+    elimination never dedupes the repeated splits)."""
     lit_markers = F.array(*[F.lit(m) for m in markers])
     return F.size(
-        F.filter(ws_tokens(F.lower(text)), lambda t: F.array_contains(lit_markers, t))
+        F.filter(tokens, lambda t: F.array_contains(lit_markers, t))
     ).cast("int")
+
+
+def marker_count(text: Column, markers: list[str]) -> Column:
+    """How many whitespace tokens are in the marker list (with repeats)."""
+    return marker_count_in(ws_tokens(F.lower(text)), markers)
+
+
+def language_id_from(tokens_low: Column, cjk_count: Column) -> Column:
+    """`language_id` over a precomputed lowercase token array + CJK char
+    count — evaluates the tokenization zero times itself (r14; value-
+    identical to `language_id`, which delegates here)."""
+    counts = {lang: marker_count_in(tokens_low, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    expr = F.when(cjk_count > 0, F.lit("zh")).when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        expr = expr.when(counts[lang] == best, F.lit(lang))
+    return expr
 
 
 def language_id(text: Column) -> Column:
     """Heuristic language id: CJK chars → zh, else the marker list with the
     highest hit count (ties resolved in LANG_MARKERS order); no hits →
     'und' (undetermined)."""
-    counts = {lang: marker_count(text, m) for lang, m in LANG_MARKERS.items()}
-    cjk = F.regexp_count(text, F.lit(CJK_PATTERN))
-    best = F.greatest(*counts.values())
-    expr = F.when(cjk > 0, F.lit("zh")).when(best == 0, F.lit("und"))
-    for lang in LANG_MARKERS:
-        expr = expr.when(counts[lang] == best, F.lit(lang))
-    return expr
+    return language_id_from(
+        ws_tokens(F.lower(text)), F.regexp_count(text, F.lit(CJK_PATTERN))
+    )
 
 
-def quality_metrics(text: Column) -> dict[str, Column]:
-    """The standard cheap quality signals: token count, mean token length,
-    punctuation ratio, alphabetic ratio, stopword ratio, composite score.
-    Every expression is deterministic double arithmetic (oracle-exact)."""
-    n_tokens = token_count_ws(text)
+def quality_metrics_from(
+    text: Column, tokens_ws: Column, tokens_low: Column
+) -> dict[str, Column]:
+    """`quality_metrics` over precomputed token arrays (r14): callers
+    stage `ws_tokens(text)` / `ws_tokens(lower(text))` once per row and
+    every ratio reuses them — value-identical to `quality_metrics`,
+    which delegates here."""
+    n_tokens = F.size(tokens_ws).cast("int")
     n_chars = F.length(text)
     n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN))
     n_alpha = F.regexp_count(text, F.lit(ALPHA_PATTERN))
     all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
-    n_stop = marker_count(text, all_markers)
+    n_stop = marker_count_in(tokens_low, all_markers)
     denom_chars = F.greatest(n_chars, F.lit(1))
     denom_tokens = F.greatest(n_tokens, F.lit(1))
     punct_ratio = n_punct / denom_chars
@@ -107,6 +128,13 @@ def quality_metrics(text: Column) -> dict[str, Column]:
         "mean_token_len": mean_token_len,
         "quality_score": score,
     }
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """The standard cheap quality signals: token count, mean token length,
+    punctuation ratio, alphabetic ratio, stopword ratio, composite score.
+    Every expression is deterministic double arithmetic (oracle-exact)."""
+    return quality_metrics_from(text, ws_tokens(text), ws_tokens(F.lower(text)))
 
 
 def doc_fingerprint(text: Column) -> Column:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 import os
 import re
+from contextlib import contextmanager
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
@@ -57,6 +58,51 @@ def estimated_splits(df: DataFrame) -> int | None:
             return None
         total_splits += max(1, math.ceil(size / max_bytes))
     return total_splits
+
+
+@contextmanager
+def scoped_scan_split_size(spark, path: str, min_fraction: float = 0.5):
+    """Temporarily shrink ``spark.sql.files.maxPartitionBytes`` so a
+    compute-bound scan over a SMALL local file set (e.g. one weekly
+    JSON-lines snapshot) fans out across the cluster's cores instead of
+    parsing on one task (r14: the weekly 100k-listing JSON parsed
+    single-threaded — `ensure_parallelism` repartitions AFTER the scan,
+    which cannot parallelize the parse itself).
+
+    Scale-adaptive, not a local constant: a no-op whenever the input
+    already yields ≥ ``min_fraction × defaultParallelism`` splits (the
+    real-cluster case — thousands of files at default split sizing), or
+    when sizes can't be read cheaply (remote store). The shrunken split
+    is derived from the input size (total / parallelism, floored at
+    1 MiB so tiny inputs don't shatter), and the previous value is
+    restored on exit — line-delimited JSON splits are record-safe.
+    Session-scoped: use only around a driver-sequenced stage whose jobs
+    should all see the shrunken value (as `pipeline.run_week` does)."""
+    target = spark.sparkContext.defaultParallelism
+    sizes: list[int] = []
+    for dirpath, _, files in os.walk(path):
+        for fname in files:
+            if fname.startswith(("_", ".")):
+                continue
+            try:
+                sizes.append(os.path.getsize(os.path.join(dirpath, fname)))
+            except OSError:
+                sizes = []
+                break
+    key = "spark.sql.files.maxPartitionBytes"
+    raw = str(spark.conf.get(key, "134217728"))
+    digits = re.match(r"\d+", raw.strip())
+    max_bytes = int(digits.group()) if digits else 128 * 1024 * 1024
+    splits = sum(max(1, math.ceil(s / max_bytes)) for s in sizes)
+    if not sizes or splits >= max(2, int(target * min_fraction)):
+        yield
+        return
+    per = max(sum(sizes) // max(target, 1), 1 << 20)
+    spark.conf.set(key, str(per))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, raw)
 
 
 def ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:

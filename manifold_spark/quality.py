@@ -48,6 +48,33 @@ def assert_unique_active(df: DataFrame, keys: list[str], name: str) -> None:
         raise QualityError(f"dimension {name!r} has duplicate active rows, e.g. {dups}")
 
 
+def assert_dim_invariants(df: DataFrame, keys: list[str], name: str) -> int:
+    """Both post-merge dimension gates (A2 non-empty + A3 unique-active)
+    in ONE Spark action (r14: the sequential pair cost two jobs per
+    dimension per week): a single groupBy over the business key computes
+    each key's total and active row counts, and one final aggregate
+    yields (table rows, duplicate-active groups). Failure messages match
+    the split asserts' intent; the duplicate-example lookup runs only on
+    the (rare) failure path. Returns the row count."""
+    sent = F.lit(SCD2_SENTINEL).cast("date")
+    per_key = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(F.when(F.col("record_end_date") == sent, F.lit(1))).alias("_na"),
+    )
+    row = per_key.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("total"),
+        F.count(F.when(F.col("_na") > 1, F.lit(1))).alias("dup_groups"),
+    ).collect()[0]
+    if row["dup_groups"]:
+        dups = duplicate_active_keys(df, keys).limit(5).collect()
+        raise QualityError(
+            f"dimension {name!r} has duplicate active rows, e.g. {dups}"
+        )
+    if row["total"] == 0:
+        raise QualityError(f"table {name!r} is empty")
+    return int(row["total"])
+
+
 def run_checks(df: DataFrame, checks: dict[str, "F.Column"]) -> DataFrame:
     """Declarative data-quality suite: each check is a boolean Column over
     a row ("the row is OK"); the result is one row per check with its

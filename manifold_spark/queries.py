@@ -560,7 +560,17 @@ def q_scd2_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1h = with_fingerprint(
         w1.withColumn("c_custkey_str", F.col("c_custkey").cast("string")), ["c_custkey_str", "segment"]
     ).drop("c_custkey_str")
-    target = initial_load(w1h, "customer_sk", ["c_custkey"], "2024-01-01")
+    # r14: persist the derived week-1 target — `scd2_merge` references its
+    # target relation five times (active ×3, inactive, max-sk scalar), and
+    # in this gate the target is a scan+hash+global-window subtree that
+    # re-executed per reference (3× in the r14 before-plan). In production
+    # the target is a parquet table (cheap rescans); here one tracked
+    # cache build replaces the recomputation. Result rows unchanged.
+    from manifold_spark.operators.dedup import _persist_tracked
+
+    target = _persist_tracked(
+        initial_load(w1h, "customer_sk", ["c_custkey"], "2024-01-01")
+    )
 
     w2 = customer.select("c_custkey", F.col("c_mktsegment").alias("segment"))
     w2h = with_fingerprint(

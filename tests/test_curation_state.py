@@ -322,9 +322,11 @@ def test_legacy_empty_partitioned_delta_does_not_break_reads(spark, tmp_path):
     probe.begin_batch(2)
     got = probe.read_hashes(spark.createDataFrame([("0xyz",), ("5xyz",)], "_h string"))
     assert {r["_h"] for r in got.collect()} == {"0abc", "5def"}
-    assert probe.read_entries(
+    # must simply not raise (ADVICE r13: the former `is None or True`
+    # assertion was a tautology — the call itself is the check)
+    probe.read_entries(
         spark.createDataFrame([(1, 0, "0key")], "doc_id long, band int, key string")
-    ) is None or True  # must simply not raise
+    )
     sh, sz = probe.read_doc_state([1, 2])
     # v0's minhash parts are empty but schema-ful; legacy v1 is skipped
     if sh is not None:

@@ -111,11 +111,13 @@ def test_fact_ids_assigned_distributed(spark, sf_dir):
     assert final.count("ReusedExchange") + final.count("ReusedQueryStage") >= 1
 
 
-def test_ivf_corpus_assignment_is_aggregate_not_window(spark, sf_dir):
-    """Rank-1 centroid assignment (the corpus-sized side of every IVF op)
-    must be a max_by HASH AGGREGATE — map-side combined, one pre-reduced
-    row per vector into the shuffle — not a sort-window over the
-    corpus × n_centroids scored rows (16× the shuffle volume at scale)."""
+def test_ivf_corpus_assignment_is_scan_side(spark, sf_dir):
+    """Centroid assignment (the corpus-sized side of every IVF op) must
+    be SCAN-SIDE at codebook scale (r14): the literal-codebook fold
+    carries ZERO key exchange and zero window — the corpus never
+    shuffles to learn its inverted list. (The only Exchange permitted is
+    `ensure_parallelism`'s round-robin split crutch on the single-file
+    test corpus — never a hash/range repartition.)"""
     from manifold_spark.operators.similarity import assign_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -123,11 +125,52 @@ def test_ivf_corpus_assignment_is_aggregate_not_window(spark, sf_dir):
     out = assign_centroids(emb, cent, 64)
     plan = _plan(out)
     assert "Window" not in plan
-    assert "max_by" in plan or "HashAggregate" in plan
-    # the multi-rank path aggregates too (collect+sort+slice per vector):
-    # no scored-row sort-window for ANY rank
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "max_by" not in plan  # no aggregate at all — pure projection
+    # the multi-rank path is scan-side too (sort+slice per row, explode)
     probes = assign_centroids(emb.filter("vec_id < 8"), cent, 64, rank_limit=4)
+    pplan = _plan(probes)
+    assert "Window" not in pplan
+    assert "hashpartitioning" not in pplan and "rangepartitioning" not in pplan
+
+
+def test_ivf_assignment_agg_fallback_shape(spark, sf_dir):
+    """Codebooks past the literal budget fall back to the pre-r14
+    broadcast-join + aggregate plan — which must still be a max_by HASH
+    AGGREGATE (map-side combined, one pre-reduced row per vector into
+    the shuffle), never a sort-window over the scored fan-out."""
+    from manifold_spark.operators.similarity import _assign_centroids_agg
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = emb.orderBy("vec_id").limit(16)
+    out = _assign_centroids_agg(emb, cent, 64, "vec_id", "embedding", 1)
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "max_by" in plan or "HashAggregate" in plan
+    probes = _assign_centroids_agg(
+        emb.filter("vec_id < 8"), cent, 64, "vec_id", "embedding", 4
+    )
     assert "Window" not in _plan(probes)
+
+
+def test_ivf_assignment_scan_equals_agg(spark, sf_dir):
+    """The scan-side literal-codebook path must return EXACTLY the
+    aggregate path's rows (bit-identical assignment + tie-breaks) for
+    rank 1 and rank k — the r14 rewrite is a plan change, never a
+    result change."""
+    from manifold_spark.operators.similarity import (
+        _assign_centroids_agg,
+        assign_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = emb.orderBy("vec_id").limit(16)
+    for rank in (1, 4):
+        scan = assign_centroids(emb, cent, 64, rank_limit=rank)
+        agg = _assign_centroids_agg(emb, cent, 64, "vec_id", "embedding", rank)
+        assert sorted(map(tuple, scan.select("vec_id", "centroid_id").collect())) == (
+            sorted(map(tuple, agg.select("vec_id", "centroid_id").collect()))
+        )
 
 
 def test_dedup_exact_single_shuffle(spark, sf_dir):
