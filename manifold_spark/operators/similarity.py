@@ -546,49 +546,54 @@ def _rp_band_entries(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(vid, band, key) hyperplane-LSH bucket entries: posexplode the
-    vectors once → broadcast-join the dim-row coefficient table → one
-    groupBy(vid) with num_bits map-side-combined fixed-point sums →
-    byte-band explode. Shared by `rp_lsh_near_dup` and the incremental
+    """(vid, band, key) hyperplane-LSH bucket entries, computed SCAN-SIDE
+    (r14, guide §2.4): the hyperplane coefficients are module-level
+    deterministic constants, so each bit's fixed-point projection sum is
+    a per-row integer fold over the vector against a literal coefficient
+    array — zero shuffle (the former posexplode → dim-row broadcast join
+    → groupBy(vid) shuffled n·dim rows to reassemble what one projection
+    computes). The per-bit sums are exact integer adds of the same
+    floor-quantized terms, so they are order-independent and the packed
+    fingerprint is value-identical to the aggregate form — every
+    downstream band/bucket/verify row (and the oracle mirror) is
+    unchanged. Shared by `rp_lsh_near_dup` and the incremental
     embedding index."""
-    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
-
     n_bands = num_bits // band_bits
     mask = (1 << band_bits) - 1
     planes = rp_hyperplanes(num_bits, dim)
 
-    spark = corpus.sparkSession
-    coef_schema = StructType(
-        [StructField("pos", IntegerType())]
-        + [StructField(f"c_{j}", DoubleType()) for j in range(num_bits)]
-    )
-    coef = spark.createDataFrame(
-        [tuple([d + 1] + [planes[j][d] for j in range(num_bits)]) for d in range(dim)],
-        coef_schema,
+    # slice to dim + transform over the PRESENT elements only: replicates
+    # the aggregate form exactly — a vector longer than dim contributed
+    # only its first dim terms (the pos join had no row past dim), a
+    # shorter one only its present terms, and an empty/NULL vector
+    # produced no group at all (hence the size filter).
+    vec_d = F.slice(F.col(vec_col), 1, dim)
+    staged = (
+        ensure_parallelism(corpus)
+        .filter(F.size(F.col(vec_col)) > 0)
+        .select(F.col(id_col).alias("vid"), vec_d.alias("__vec"))
     )
 
-    ex = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.col(vec_col)).alias("pos0", "val"),
-    ).select(
-        "vid", (F.col("pos0") + 1).cast("int").alias("pos"), F.col("val").cast("double").alias("val")
-    )
-    proj = ex.join(broadcast(coef), "pos")
-    bitsums = proj.groupBy("vid").agg(
-        *[
-            F.sum(
-                F.floor(
-                    F.col("val") * F.col(f"c_{j}") * F.lit(_RP_SCALE) + F.lit(0.5)
-                ).cast("long")
-            ).alias(f"s_{j}")
-            for j in range(num_bits)
-        ]
-    )
+    def _bitsum(j: int) -> Column:
+        coef_j = F.array(*[F.lit(float(planes[j][d])) for d in range(dim)])
+        terms = F.transform(
+            F.col("__vec"),
+            lambda x, i: F.floor(
+                x.cast("double")
+                * F.element_at(coef_j, (i + 1).cast("int"))
+                * F.lit(_RP_SCALE)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
     packed = None
     for j in range(num_bits):
-        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(_bitsum(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         packed = bit if packed is None else packed + bit
-    fp = bitsums.select("vid", packed.alias("fp"))
+    fp = staged.select("vid", packed.alias("fp"))
 
     return fp.select(
         "vid",
@@ -838,12 +843,17 @@ def quantize_int8(
     instead of — the float vectors and score candidates with integer
     arithmetic, rescoring the top slice at full precision.
     """
+    # r14: scale staged as an attribute — inlined inside the q transform's
+    # lambda it re-derived absmax (an O(dim) array_max) per ELEMENT
+    # (captured subtrees re-evaluate per element in HOF lambdas).
     absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
     scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    staged = df.select(F.col(id_col), F.col(vec_col), scale.alias("scale"))
     q = F.transform(
-        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("int")
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.col("scale")).cast("int"),
     )
-    return df.select(F.col(id_col), scale.alias("scale"), q.alias("q"))
+    return staged.select(F.col(id_col), F.col("scale"), q.alias("q"))
 
 
 def semdedup(
