@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from manifold_spark.operators.linalg import cosine_expr, element
+from manifold_spark.operators.linalg import cosine_expr, element, lit_double_array
 from manifold_spark.plans.parallelism import ensure_parallelism
 
 #: Defaults sized for the dim-64 embeddings table: 8 subspaces × 8 dims,
@@ -457,16 +457,8 @@ def adc_probe_tables(
 
     m, ksub = len(codebooks), len(codebooks[0])
     dsub = dim // m
-    cb_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(v)) for v in cent])
-                    for cent in codebooks[j]
-                ]
-            )
-            for j in range(m)
-        ]
+    cb_lit = lit_double_array(
+        [[[float(v) for v in cent] for cent in codebooks[j]] for j in range(m)]
     )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dt = F.transform(
@@ -556,7 +548,7 @@ def _adc_search(
         F.lit(0.0),
         operator.add,
     )
-    nt_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in nt])
+    nt_lit = lit_double_array(nt)
     anorm_sq = F.aggregate(
         F.zip_with(
             "codes", nt_lit, lambda c, row: F.element_at(row, c.cast("int") + 1)
@@ -715,9 +707,7 @@ def _residual_frame(
     ]
     pos = F.element_at(F.array_sort(F.array(*pos_entries)), 1).getField("p")
     cid_arr = F.array(*[F.lit(cid).cast(cid_type) for cid, _cvec in cents])
-    cent_mat = F.array(
-        *[F.array(*[F.lit(float(v)) for v in cvec]) for _cid, cvec in cents]
-    )
+    cent_mat = lit_double_array([[float(v) for v in cvec] for _cid, cvec in cents])
     staged = ensure_parallelism(corpus).select(
         F.col(id_col),
         *[F.col(c) for c in extra_cols],

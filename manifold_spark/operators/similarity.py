@@ -25,7 +25,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from manifold_spark.operators.linalg import cosine_expr, dot_expr, norm_expr
+from manifold_spark.operators.linalg import (
+    cosine_expr,
+    dot_expr,
+    lit_double_array,
+    norm_expr,
+)
 from manifold_spark.plans.parallelism import ensure_parallelism
 
 #: Literal-codebook budget for the scan-side centroid assignment
@@ -189,9 +194,7 @@ def _assign_centroids_scan(
     # array — the plan carries two Literal values, never a per-term
     # expression tree (janino's method limit stays out of play at any
     # codebook size under the budget).
-    cb_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in vec]) for _, vec in cb]
-    )
+    cb_lit = lit_double_array([[float(v) for v in vec] for _, vec in cb])
     ids_lit = F.array(*[F.lit(cid).cast(cid_type) for cid, _ in cb])
     vec_sl = F.slice(F.col(vec_col), 1, dim)
     dots = F.transform(cb_lit, lambda cent: _fold_dot(vec_sl, cent))
@@ -575,7 +578,7 @@ def _rp_band_entries(
     )
 
     def _bitsum(j: int) -> Column:
-        coef_j = F.array(*[F.lit(float(planes[j][d])) for d in range(dim)])
+        coef_j = lit_double_array([float(planes[j][d]) for d in range(dim)])
         terms = F.transform(
             F.col("__vec"),
             lambda x, i: F.floor(
