@@ -205,13 +205,24 @@ def _permute(a: int, b: int):
 
 def _minhash_sigs(sh: DataFrame, num_perm: int) -> DataFrame:
     """(doc_id, n_sh, sig_0..sig_{n-1}) from hashed shingle rows — one
-    groupBy with num_perm map-side-combined min-aggregates."""
+    groupBy with num_perm map-side-combined min-aggregates.
+
+    r14: each min-aggregate is ONE `F.expr` parse of the same tree the
+    Column chain built — including the analyzer's int→bigint literal
+    casts (the a/b/Mersenne constants fit int, so `F.lit` makes int
+    literals that analysis casts to match the long `h0`; the SQL text
+    spells those casts out for node-for-node analyzed equality, pinned
+    in test_linalg_fastpath.py). Cuts ~7 py4j round trips per
+    permutation from every pair-generator call."""
     perms = _permutation_constants(num_perm)
     h0 = sh.withColumn("h0", F.col("h") % _MERSENNE)
     return h0.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh"),
         *[
-            F.min((F.lit(a) * F.col("h0") + F.lit(b)) % _MERSENNE).alias(f"sig_{i}")
+            F.expr(
+                f"min(((CAST({a} AS BIGINT) * h0) + CAST({b} AS BIGINT))"
+                f" % CAST({_MERSENNE} AS BIGINT))"
+            ).alias(f"sig_{i}")
             for i, (a, b) in enumerate(perms)
         ],
     )
@@ -221,24 +232,19 @@ def _minhash_band_entries(sigs: DataFrame, num_perm: int, bands: int) -> DataFra
     """(doc_id, band, key) LSH bucket entries: sha2 over each band's
     signature slice, exploded scan-side."""
     rows = num_perm // bands
+    # r14: one F.expr parse per band (same tree as the aliased
+    # F.struct/F.sha2/F.concat_ws chain — the linalg fastpath precedent).
+    band_structs = [
+        F.expr(
+            f"struct({b} AS band, sha2(concat_ws(',', "
+            + ", ".join(f"sig_{b * rows + r}" for r in range(rows))
+            + "), 256) AS key)"
+        )
+        for b in range(bands)
+    ]
     return sigs.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.sha2(
-                            F.concat_ws(
-                                ",", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
-                            ),
-                            256,
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.array(*band_structs)).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
 
 

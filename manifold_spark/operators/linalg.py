@@ -107,21 +107,30 @@ def cosine_expr(a: Column | str, b: Column | str, dim: int) -> Column:
     return F.when(denom > 0, dot_expr(a, b, dim) / denom).otherwise(F.lit(0.0))
 
 
+def double_sql(v) -> str:
+    """SQL text of one double literal. repr() of a Python float is the
+    shortest round-trip decimal and Java's Double.parseDouble returns
+    the identical bits; a negative value parses as UnaryMinus(lit),
+    which ConstantFolding collapses to the identical negative Literal
+    at optimize time. Raises ValueError for non-finite values (SQL text
+    has no NaN/Infinity literal)."""
+    f = float(v)
+    if not math.isfinite(f):
+        raise ValueError("non-finite value has no SQL literal")
+    return repr(f) + "D"
+
+
 def _doubles_array_sql(values) -> str:
-    """SQL text of a (possibly nested) array<double> literal. repr() of a
-    Python float is the shortest round-trip decimal and Java's
-    Double.parseDouble returns the identical bits, so the parsed literal
-    constant-folds to exactly the array the per-element `F.lit` loop
-    built (pinned by the fastpath equivalence tests)."""
+    """SQL text of a (possibly nested) array<double> literal — see
+    `double_sql` for why the parsed values are bit-identical to the
+    per-element `F.lit` loop (pinned by the fastpath equivalence
+    tests)."""
     parts = []
     for v in values:
         if isinstance(v, (list, tuple)):
             parts.append(_doubles_array_sql(v))
         else:
-            f = float(v)
-            if not math.isfinite(f):
-                raise ValueError("non-finite value has no SQL literal")
-            parts.append(repr(f) + "D")
+            parts.append(double_sql(v))
     if not parts:
         raise ValueError("empty array level would parse untyped")
     return "array(" + ", ".join(parts) + ")"

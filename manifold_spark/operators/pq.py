@@ -57,7 +57,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from manifold_spark.operators.linalg import cosine_expr, element, lit_double_array
+from manifold_spark.operators.linalg import (
+    _quote_name,
+    _sql_safe,
+    cosine_expr,
+    double_sql,
+    element,
+    lit_double_array,
+)
 from manifold_spark.plans.parallelism import ensure_parallelism
 
 #: Defaults sized for the dim-64 embeddings table: 8 subspaces × 8 dims,
@@ -96,6 +103,29 @@ def _fold_dot(a, b):
 def _subvec_elements(vec_col: str, j: int, dsub: int) -> list:
     """Element Columns (cast double) of subspace j of a vector column."""
     return [element(vec_col, j * dsub + i) for i in range(1, dsub + 1)]
+
+
+def _neg_dot_expr(vec_col: str, cvec: list[float], dim: int):
+    """−Σᵢ element(vec, i)·cvecᵢ — the per-centroid scan-side score used
+    by the coarse argmax structs. r14 fastpath: ONE `F.expr` parse of the
+    same left-associated chain when the name is SQL-safe (the reduce
+    chain is ~dim·5 py4j round trips PER CENTROID; negative coefficient
+    literals parse via UnaryMinus and fold at optimize time — optimized-
+    plan equality pinned in test_linalg_fastpath.py)."""
+    if _sql_safe(vec_col):
+        try:
+            qv = _quote_name(vec_col)
+            terms = " + ".join(
+                f"(CAST(element_at({qv}, {i}) AS DOUBLE) * {double_sql(cvec[i - 1])})"
+                for i in range(1, dim + 1)
+            )
+            return F.expr(f"-({terms})")
+        except ValueError:
+            pass  # non-finite coefficient — fall back to the Column chain
+    return -functools.reduce(
+        operator.add,
+        (element(vec_col, i) * F.lit(cvec[i - 1]) for i in range(1, dim + 1)),
+    )
 
 
 def pq_codebooks(
@@ -216,7 +246,60 @@ def _codes_expr(
     literal codebook coefficients. The struct-array-sort argmin evaluates
     each of the ksub distances exactly once and breaks ties by smallest
     code (struct order = dist asc, code asc), matching the trainer's
-    assignment rule bit-for-bit."""
+    assignment rule bit-for-bit.
+
+    r14: for plain column names the whole expression renders as ONE
+    Spark-SQL parse (`_codes_expr_sql`) — the per-term Column chain is
+    ~dim·ksub·6 py4j round trips per invocation (seconds of driver time
+    per Lloyd round / encode), and the parsed tree optimizes to the
+    identical Catalyst tree (negative codeword literals parse via
+    UnaryMinus, folded at optimize time — optimized-plan equality and
+    bit-identical codes pinned in test_linalg_fastpath.py)."""
+    if _sql_safe(vec_col):
+        try:
+            return F.expr(_codes_expr_sql(vec_col, codebooks, dim))
+        except ValueError:
+            pass  # non-finite codeword (cannot happen from training) — fall back
+    return _codes_expr_columns(vec_col, codebooks, dim)
+
+
+def _codes_expr_sql(
+    vec_col: str, codebooks: list[list[list[float]]], dim: int
+) -> str:
+    """SQL text of the SAME tree `_codes_expr_columns` builds: `+`/`-`/`*`
+    are left-associative in the parser, `element_at`/CAST/array_sort
+    resolve to the identical Catalyst nodes, `struct(x AS d, …)` is the
+    same CreateStruct the aliased `F.struct` builds (NOT named_struct,
+    whose node prints differently), and repr() double literals
+    round-trip bit-exactly through Double.parseDouble."""
+    m, ksub = len(codebooks), len(codebooks[0])
+    dsub = dim // m
+    qv = _quote_name(vec_col)
+    codes = []
+    for j in range(m):
+        sub = [
+            f"CAST(element_at({qv}, {j * dsub + i}) AS DOUBLE)"
+            for i in range(1, dsub + 1)
+        ]
+        entries = []
+        for c in range(ksub):
+            terms = " + ".join(
+                f"(({a} - {double_sql(v)}) * ({a} - {double_sql(v)}))"
+                for a, v in zip(sub, codebooks[j][c])
+            )
+            entries.append(f"struct({terms} AS d, {c} AS c)")
+        codes.append(
+            f"element_at(array_sort(array({', '.join(entries)})), 1).c"
+        )
+    return "array(" + ", ".join(codes) + ")"
+
+
+def _codes_expr_columns(
+    vec_col: str, codebooks: list[list[list[float]]], dim: int
+):
+    """The original per-term Column chain — kept as the reference tree
+    the SQL fast path must reproduce, and the fallback for non-SQL-safe
+    names / non-finite codewords."""
     m, ksub = len(codebooks), len(codebooks[0])
     dsub = dim // m
     codes = []
@@ -695,12 +778,7 @@ def _residual_frame(
     multi-referenced expressions)."""
     pos_entries = [
         F.struct(
-            (
-                -functools.reduce(
-                    operator.add,
-                    (element(vec_col, i) * F.lit(cvec[i - 1]) for i in range(1, dim + 1)),
-                )
-            ).alias("neg"),
+            _neg_dot_expr(vec_col, cvec, dim).alias("neg"),
             F.lit(p).alias("p"),
         )
         for p, (_cid, cvec) in enumerate(cents)
@@ -771,12 +849,7 @@ def ivf_pq_index(
     cid_type = centroids.schema[id_col].dataType
     coarse_entries = [
         F.struct(
-            (
-                -functools.reduce(
-                    operator.add,
-                    (element(vec_col, i) * F.lit(cvec[i - 1]) for i in range(1, dim + 1)),
-                )
-            ).alias("neg"),
+            _neg_dot_expr(vec_col, cvec, dim).alias("neg"),
             F.lit(cid).cast(cid_type).alias("cid"),
         )
         for cid, cvec in cents
@@ -865,14 +938,27 @@ def topk_ivf_pq(
         centroids = corpus.orderBy(id_col).limit(n_centroids)
     cents = _sorted_cents(centroids, id_col, vec_col)
 
+    trained_rf = None
     if codebooks is None:
         if residual:
             # Train on the residual distribution — the whole point of
             # residual encoding; raw-vector codebooks would mis-span it.
-            rf = _residual_frame(
-                corpus, cents, dim, centroids.schema[id_col].dataType,
-                id_col, vec_col,
+            # r14 (guide §1.2): persist the residual frame — training
+            # evaluates it ~3× (seed collect + one pass per Lloyd round)
+            # and encoding once more, each pass re-running the
+            # n_centroids·dim coarse argmin + subtraction from scratch.
+            # One materialization, tracked in the shared operator-cache
+            # registry (released like every LSH/codes intermediate);
+            # values identical either way.
+            from manifold_spark.operators.dedup import _persist_tracked
+
+            rf = _persist_tracked(
+                _residual_frame(
+                    corpus, cents, dim, centroids.schema[id_col].dataType,
+                    id_col, vec_col,
+                )
             )
+            trained_rf = rf
             codebooks = pq_codebooks(
                 rf, dim, m, ksub, iters, id_col, "residual", sample_fraction,
                 # Seed only from nonzero residuals: rows that ARE coarse
@@ -900,12 +986,24 @@ def topk_ivf_pq(
     else:
         from manifold_spark.operators.dedup import _persist_tracked
 
-        enc = _persist_tracked(
-            ivf_pq_index(
+        if trained_rf is not None:
+            # Encode from the already-persisted residual frame — the
+            # exact expression `ivf_pq_index(residual=True)` builds
+            # (rf.select(id, codes, centroid_id)), minus its from-scratch
+            # residual recompute.
+            index = trained_rf.select(
+                F.col(id_col),
+                _codes_expr("residual", codebooks, dim).alias("codes"),
+                F.col("centroid_id"),
+            )
+        else:
+            index = ivf_pq_index(
                 corpus, codebooks, dim, centroids, id_col, vec_col,
                 residual=residual,
             )
-        ).select(F.col(id_col).alias("neighbor_id"), "codes", "centroid_id")
+        enc = _persist_tracked(index).select(
+            F.col(id_col).alias("neighbor_id"), "codes", "centroid_id"
+        )
 
     if not broadcast_queries:
         # Corpus-scale query frame: tables as columns, no collect, no

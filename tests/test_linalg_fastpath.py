@@ -125,6 +125,96 @@ def test_lit_double_array_folds_to_identical_literal(spark, values):
     assert _optimized(one, fast) == _optimized(one, slow)
 
 
+def test_codes_expr_fastpath_tree_and_codes_identical(spark):
+    """pq._codes_expr SQL rendering: optimized-plan equality (negative
+    codeword literals parse via UnaryMinus, folded at optimize time)
+    and bit-identical codes vs the per-term Column chain."""
+    import manifold_spark.operators.pq as P
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).selectExpr(
+        "vec_id", "cast(embedding as array<float>) embedding"
+    )
+    cb = P.pq_codebooks(df, 8, m=2, ksub=4, iters=1)
+    # the trained codebook must exercise negative codewords for the
+    # UnaryMinus-folding claim to be load-bearing
+    assert any(v < 0 for row in cb for cent in row for v in cent)
+    fast = P._codes_expr("embedding", cb, 8)
+    slow = P._codes_expr_columns("embedding", cb, 8)
+    assert _optimized(df, fast) == _optimized(df, slow)
+    a = [r["r"] for r in df.select(fast.alias("r")).orderBy("vec_id").collect()]
+    b = [r["r"] for r in df.select(slow.alias("r")).orderBy("vec_id").collect()]
+    assert a == b
+
+
+def test_neg_dot_fastpath_tree_and_bits_identical(vec_df):
+    """pq._neg_dot_expr SQL rendering vs the reduce chain: optimized-plan
+    equality (negative coefficients parse via UnaryMinus, folded at
+    optimize time) and bit-identical values."""
+    import functools
+    import operator
+
+    import manifold_spark.operators.pq as P
+    from manifold_spark.operators.linalg import element
+
+    cvec = [0.5, -1.25, 3.0, -0.0625]
+    fast = P._neg_dot_expr("va", cvec, DIM)
+    slow = -functools.reduce(
+        operator.add,
+        (element("va", i) * F.lit(cvec[i - 1]) for i in range(1, DIM + 1)),
+    )
+    assert _optimized(vec_df, fast) == _optimized(vec_df, slow)
+    assert _bits(vec_df, fast) == _bits(vec_df, slow)
+
+
+def test_minhash_sig_and_band_fastpath_tree_identical(spark):
+    """dedup._minhash_sigs / _minhash_band_entries F.expr rendering must
+    analyze to the per-Column chain's tree, including the analyzer's
+    int→bigint literal casts around the permutation constants."""
+    import manifold_spark.operators.dedup as D
+
+    sh = spark.createDataFrame([(1, 11), (1, 23), (2, 37)], ["doc_id", "h"])
+    perms = D._permutation_constants(24)
+    h0 = sh.withColumn("h0", F.col("h") % D._MERSENNE)
+    slow_sigs = h0.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            (F.min((F.lit(a) * F.col("h0") + F.lit(b)) % D._MERSENNE)).alias(f"sig_{i}")
+            for i, (a, b) in enumerate(perms)
+        ],
+    )
+    fast_sigs = D._minhash_sigs(sh, 24)
+    assert _norm_ids(
+        fast_sigs._jdf.queryExecution().analyzed().toString()
+    ) == _norm_ids(slow_sigs._jdf.queryExecution().analyzed().toString())
+
+    rows_n = 4
+    slow_bands = slow_sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.sha2(
+                            F.concat_ws(
+                                ",",
+                                *[F.col(f"sig_{b * rows_n + r}") for r in range(rows_n)],
+                            ),
+                            256,
+                        ).alias("key"),
+                    )
+                    for b in range(6)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    fast_bands = D._minhash_band_entries(fast_sigs, 24, 6)
+    assert _norm_ids(
+        fast_bands._jdf.queryExecution().analyzed().toString()
+    ) == _norm_ids(slow_bands._jdf.queryExecution().analyzed().toString())
+
+
 def test_lit_double_array_nonfinite_falls_back(spark):
     r = spark.range(1).select(
         L.lit_double_array([1.0, float("nan")]).alias("r")
