@@ -942,8 +942,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a driver row after its standalone key retired to make cap room for
     the PQ gates."""
     from manifold_spark import clean
+    from manifold_spark.plans.parallelism import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    # r14 round-close: this is a pure scan-side projection, so on the
+    # single-file bench input the WHOLE tokenize/score pass ran as ONE
+    # task (the before-plan has no Exchange at all; the phase profile
+    # read 1.7-2.3 s of single-core exec). ensure_parallelism round-robin
+    # splits single-file scans only — it no-ops on real multi-file
+    # corpora where the scan already yields splits (guide §6).
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     # r14 (guide §1.2 per-task work): stage the shared per-row arrays
     # ONCE — higher-order `filter` is codegen-fallback, so Spark's
     # subexpression elimination never dedupes them, and the former
@@ -965,8 +972,31 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("__n_cjk"),
     )
+    # r14 round-close (same CSE argument, one level deeper): each
+    # language's marker count is a lambda `size(filter(...))` referenced
+    # ~5× by the lang-id CASE (greatest + per-branch compares) and the
+    # stopword count twice (stop_ratio + quality_score) — the before-plan
+    # evaluated ~21 marker filters per row. Stage each count ONCE; the
+    # CASE/ratios read attributes. Values identical (same expressions).
+    all_markers = sorted(
+        {m for ms in textstats.LANG_MARKERS.values() for m in ms}
+    )
+    staged = staged.select(
+        "*",
+        *[
+            textstats.marker_count_in(F.col("__toks_low"), m).alias(f"__cnt_{lang}")
+            for lang, m in textstats.LANG_MARKERS.items()
+        ],
+        textstats.marker_count_in(F.col("__toks_low"), all_markers).alias(
+            "__n_stop"
+        ),
+    )
+    lang_counts = {
+        lang: F.col(f"__cnt_{lang}") for lang in textstats.LANG_MARKERS
+    }
     metrics = textstats.quality_metrics_from(
-        F.col("text"), F.col("__toks_ws"), F.col("__toks_low")
+        F.col("text"), F.col("__toks_ws"), F.col("__toks_low"),
+        n_stop=F.col("__n_stop"),
     )
     return staged.select(
         "doc_id",
@@ -974,7 +1004,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.redact_pii(F.col("text")).alias("text_redacted"),
         F.coalesce(F.col("n_chars"), F.lit(-1)).alias("char_count"),
         F.col("__n_cjk").alias("n_cjk"),
-        textstats.language_id_from(F.col("__toks_low"), F.col("__n_cjk")).alias(
+        textstats.language_id_from_counts(lang_counts, F.col("__n_cjk")).alias(
             "pred_lang"
         ),
         *[c.alias(name) for name, c in metrics.items()],

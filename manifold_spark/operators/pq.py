@@ -93,10 +93,25 @@ def _fold_dot(a, b):
     expression tree, so janino's method limit (the r2 rejection) is
     never in play."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(
-        F.slice(prods, 2, F.greatest(F.size(prods) - 1, F.lit(0))),
-        F.element_at(prods, 1),
-        operator.add,
+    # r14 round-close: LET-BIND the products array — referencing `prods`
+    # directly in all three fold arguments (slice input, size, seed)
+    # evaluated the zip_with THREE TIMES per call (lambda-bearing trees
+    # are excluded from codegen subexpression elimination), tripling the
+    # multiply work of every scan-side assignment. `transform(array(p),
+    # p -> fold(p))[1]` materializes the products once; the fold consumes
+    # the SAME terms in the SAME order, so results stay bit-identical
+    # (pinned by test_ivf_assignment_scan_equals_agg and the PQ LUT
+    # equality pins).
+    return F.element_at(
+        F.transform(
+            F.array(prods),
+            lambda p: F.aggregate(
+                F.slice(p, 2, F.greatest(F.size(p) - 1, F.lit(0))),
+                F.element_at(p, 1),
+                operator.add,
+            ),
+        ),
+        1,
     )
 
 

@@ -137,6 +137,28 @@ def assign_centroids(
     shuffle it replaces is the lesser cost.
     """
     cb = _collect_codebook(centroids, dim, id_col, vec_col)
+    return _assign_with_cb(
+        corpus, cb, centroids, dim, id_col, vec_col, rank_limit, out_prefix
+    )
+
+
+def _assign_with_cb(
+    corpus: DataFrame,
+    cb: list[tuple] | None,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    rank_limit: int = 1,
+    out_prefix: str = "",
+) -> DataFrame:
+    """`assign_centroids` over an ALREADY-COLLECTED codebook (r14
+    round-close): callers that assign several frames against the same
+    quantizer (`topk_ivf`: inverted lists + query probes) collect the
+    codebook ONCE and share it — each `_collect_codebook` is a Spark job
+    whose fixed cost dominates at serving batch sizes. ``cb=None`` means
+    the codebook exceeded the literal budget → the join+aggregate
+    fallback, exactly as in `assign_centroids`."""
     if cb is None:
         out = _assign_centroids_agg(
             corpus, centroids, dim, id_col, vec_col, rank_limit
@@ -327,10 +349,15 @@ def topk_ivf(
         )
     if centroids is None:
         centroids = corpus.orderBy(id_col).limit(n_centroids)
+    # r14 round-close: ONE codebook collect shared by the corpus-list and
+    # query-probe assignments (each collect is a Spark job; the phase
+    # profile showed sim_ann_ivf spending 2-4 s in build, half of it the
+    # duplicated collect+plan).
+    cb = _collect_codebook(centroids, dim, id_col, vec_col)
     if lists is None:
-        lists = assign_centroids(corpus, centroids, dim, id_col, vec_col)
-    probes = assign_centroids(
-        queries, centroids, dim, id_col, vec_col, rank_limit=nprobe
+        lists = _assign_with_cb(corpus, cb, centroids, dim, id_col, vec_col)
+    probes = _assign_with_cb(
+        queries, cb, centroids, dim, id_col, vec_col, rank_limit=nprobe
     )
 
     # broadcast_queries=False is the corpus-scale-query shape (e.g. a

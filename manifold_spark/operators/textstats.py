@@ -74,16 +74,30 @@ def marker_count(text: Column, markers: list[str]) -> Column:
     return marker_count_in(ws_tokens(F.lower(text)), markers)
 
 
-def language_id_from(tokens_low: Column, cjk_count: Column) -> Column:
-    """`language_id` over a precomputed lowercase token array + CJK char
-    count — evaluates the tokenization zero times itself (r14; value-
-    identical to `language_id`, which delegates here)."""
-    counts = {lang: marker_count_in(tokens_low, m) for lang, m in LANG_MARKERS.items()}
+def language_id_from_counts(
+    counts: dict[str, Column], cjk_count: Column
+) -> Column:
+    """`language_id` over precomputed per-language marker COUNTS (r14
+    staging, one level deeper than `language_id_from`): the CASE
+    references each count ~5× (once in `greatest`, once per branch
+    compare), and a `size(filter(...))` count is a lambda expression, so
+    codegen subexpression elimination never dedupes it — callers that can
+    stage columns project each count ONCE and pass the attributes here.
+    Value-identical: the same counts feed the same greatest/compare
+    tree."""
     best = F.greatest(*counts.values())
     expr = F.when(cjk_count > 0, F.lit("zh")).when(best == 0, F.lit("und"))
     for lang in LANG_MARKERS:
         expr = expr.when(counts[lang] == best, F.lit(lang))
     return expr
+
+
+def language_id_from(tokens_low: Column, cjk_count: Column) -> Column:
+    """`language_id` over a precomputed lowercase token array + CJK char
+    count — evaluates the tokenization zero times itself (r14; value-
+    identical to `language_id`, which delegates here)."""
+    counts = {lang: marker_count_in(tokens_low, m) for lang, m in LANG_MARKERS.items()}
+    return language_id_from_counts(counts, cjk_count)
 
 
 def language_id(text: Column) -> Column:
@@ -96,18 +110,23 @@ def language_id(text: Column) -> Column:
 
 
 def quality_metrics_from(
-    text: Column, tokens_ws: Column, tokens_low: Column
+    text: Column, tokens_ws: Column, tokens_low: Column,
+    n_stop: Column | None = None,
 ) -> dict[str, Column]:
     """`quality_metrics` over precomputed token arrays (r14): callers
     stage `ws_tokens(text)` / `ws_tokens(lower(text))` once per row and
     every ratio reuses them — value-identical to `quality_metrics`,
-    which delegates here."""
+    which delegates here. ``n_stop`` optionally injects a PRE-STAGED
+    stopword count column (r14 round-close: the count is a lambda
+    filter, excluded from codegen CSE, and stop_ratio's tree is expanded
+    twice — once standalone, once inside quality_score)."""
     n_tokens = F.size(tokens_ws).cast("int")
     n_chars = F.length(text)
     n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN))
     n_alpha = F.regexp_count(text, F.lit(ALPHA_PATTERN))
     all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
-    n_stop = marker_count_in(tokens_low, all_markers)
+    if n_stop is None:
+        n_stop = marker_count_in(tokens_low, all_markers)
     denom_chars = F.greatest(n_chars, F.lit(1))
     denom_tokens = F.greatest(n_tokens, F.lit(1))
     punct_ratio = n_punct / denom_chars
