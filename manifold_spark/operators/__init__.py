@@ -1355,7 +1355,11 @@ def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin (`streaming.jobs.hourly_rollup` — the identical date_trunc
     aggregate the watermarked stream runs). Each branch is one map-side-
     combined aggregate over its own grouping key; no extra scan is shared
-    because the two groupings genuinely differ."""
+    because the two groupings genuinely differ. (r14 round-close: an
+    `ensure_parallelism` split was A/B-measured here and REVERTED — the
+    round-robin exchange of 100k rows costs what the parallel partial
+    aggregation saves at this percentile state size; steady-state exec
+    was ~1.3 s both ways.)"""
     e = _t(spark, sf_dir, "events")
     null_d = F.lit(None).cast("double")
     typed = e.groupBy("event_type").agg(

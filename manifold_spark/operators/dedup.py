@@ -33,7 +33,7 @@ import operator
 
 _log = logging.getLogger(__name__)
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from manifold_spark.functions.hashing import stable_long_hash
@@ -270,6 +270,52 @@ def _verify_candidates(
     )
 
 
+def _bucket_candidate_pairs(
+    entries: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from LSH bucket entries,
+    formed in ONE pass over the entries (r14 round-close, guide §2.4):
+    a window count per bucket gates the skew cap, the surviving entries
+    group into per-bucket id lists (the groupBy reuses the window's
+    (bucket) hash partitioning — no second exchange), and the i<j pairs
+    explode SCAN-SIDE from each ≤``max_bucket`` list. The former shape —
+    count-aggregate → cap join → entries⋈entries self-join — shuffled
+    the entry relation three times and sorted it twice; values are
+    identical (same capped buckets, same unordered pair set, pinned by
+    the untouched oracle gates).
+
+    Skew safety at 100 TB: the cap filter runs BEFORE any list
+    materializes, and the window buffer (one bucket at a time) spills;
+    a pathological million-doc bucket never builds aggregation state —
+    the property the old count-first plan was built for, preserved."""
+    w = Window.partitionBy(*bucket_cols)
+    bounded = entries.withColumn("__bn", F.count(F.lit(1)).over(w)).filter(
+        F.col("__bn") <= max_bucket
+    )
+    ids = F.col("__ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"), F.greatest(x, y).alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        bounded.groupBy(*bucket_cols)
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -336,10 +382,14 @@ def minhash_lsh_pairs(
     band_entries = _minhash_band_entries(sigs, num_perm, bands)
 
     # Skew guard: drop pathological buckets (boilerplate shared by
-    # thousands of docs explodes quadratically otherwise).
-    bucket_sizes = band_entries.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    # thousands of docs explodes quadratically otherwise). The cap gate
+    # + pair formation is the one-shuffle `_bucket_candidate_pairs`
+    # (r14); the standalone count aggregate below exists only for the
+    # diagnostics telemetry (extra actions, documented).
     if diagnostics is not None:
-        bucket_sizes = _persist_tracked(bucket_sizes)
+        bucket_sizes = _persist_tracked(
+            band_entries.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+        )
         stats = bucket_sizes.agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.sum("n").alias("n_band_entries"),
@@ -361,21 +411,8 @@ def minhash_lsh_pairs(
         diagnostics.update(
             {k: stats[k] for k in stats.asDict()}, max_bucket_cap=max_bucket
         )
-    bounded = band_entries.join(
-        bucket_sizes.filter(F.col("n") <= max_bucket).select("band", "key"),
-        ["band", "key"],
-    )
-
-    a, b = bounded.alias("a"), bounded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    candidates = _bucket_candidate_pairs(
+        band_entries, ["band", "key"], "doc_id", max_bucket
     )
     if diagnostics is not None:
         candidates = _persist_tracked(candidates)
@@ -703,25 +740,36 @@ def simhash_pairs(
         ).alias("bk"),
     ).select("doc_id", "fp", "bk.band", "bk.key")
 
-    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
-    bounded = bands.join(sizes.filter(F.col("n") <= max_bucket).select("band", "key"), ["band", "key"])
-
-    a, b = bounded.alias("a"), bounded.alias("b")
+    # One-shuffle capped pair formation (r14, same move as
+    # `_bucket_candidate_pairs` but carrying each side's fingerprint so
+    # the Hamming verify happens scan-side inside the pair transform):
+    # window cap gate → per-bucket (doc_id, fp) lists → i<j pair explode.
+    # Hamming is symmetric, so the least/greatest orientation computes
+    # the identical distance; filtering BEFORE the distinct stays
+    # result-identical and the dedup shuffle carries only survivors.
+    w = Window.partitionBy("band", "key")
+    bounded = bands.withColumn("__bn", F.count(F.lit(1)).over(w)).filter(
+        F.col("__bn") <= max_bucket
+    )
+    items = F.col("__items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(
+                    F.least(x["doc_id"], y["doc_id"]).alias("id_a"),
+                    F.greatest(x["doc_id"], y["doc_id"]).alias("id_b"),
+                    F.bit_count(x["fp"].bitwiseXOR(y["fp"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).alias("hamming"),
-        )
-        # Hamming is deterministic per pair, so filtering BEFORE the
-        # distinct is result-identical and the dedup shuffle carries only
-        # survivors instead of every candidate pair.
+        bounded.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("doc_id", "fp")).alias("__items"))
+        .select(F.explode(pair_structs).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

@@ -681,13 +681,16 @@ def rp_lsh_near_dup(
     nothing persisted.
     """
     bands = _rp_band_entries(corpus, dim, num_bits, band_bits, id_col, vec_col)
-    sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
     if diagnostics is not None:
         # Same cap telemetry contract as dedup.minhash_lsh_pairs — extra
-        # Spark actions, bench/ops tooling only.
+        # Spark actions, bench/ops tooling only (the production path
+        # never aggregates standalone bucket sizes; the cap gate lives
+        # inside `_bucket_candidate_pairs`, r14).
         from manifold_spark.operators.dedup import _persist_tracked
 
-        sizes = _persist_tracked(sizes)
+        sizes = _persist_tracked(
+            bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+        )
         stats = sizes.agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.sum("n").alias("n_band_entries"),
@@ -711,20 +714,9 @@ def rp_lsh_near_dup(
         diagnostics.update(
             {k: stats[k] for k in stats.asDict()}, max_bucket_cap=max_bucket
         )
-    bounded = bands.join(
-        sizes.filter(F.col("n") <= max_bucket).select("band", "key"), ["band", "key"]
-    )
-    a, b = bounded.alias("a"), bounded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
-        .distinct()
-    )
+    from manifold_spark.operators.dedup import _bucket_candidate_pairs
+
+    candidates = _bucket_candidate_pairs(bands, ["band", "key"], "vid", max_bucket)
     if diagnostics is not None:
         from manifold_spark.operators.dedup import _persist_tracked
 
