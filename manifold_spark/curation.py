@@ -142,7 +142,17 @@ def curate_corpus(
     quality = bucketed.filter(
         F.col("ppl_bucket_label").isin(*keep_ppl_buckets)
     ).select(id_col, lang_col, text_col)
-    quality = _persist_tracked(quality)
+    # r14 round-close (guide §3.3): localCheckpoint, not persist — the
+    # LM-scored lineage above this boundary is a ~770 KB logical plan
+    # (the model/training subtrees copy per reference; trees, not DAGs),
+    # and the mixture join below references `quality` TWICE (corpus side
+    # + rates aggregate), so every downstream action re-canonicalized a
+    # ~1.5 MB tree on the driver (measured: the mixture stage cost 13 s
+    # of which <1 s was execution). Checkpointing truncates the plan to
+    # a LogicalRDD — the local stand-in for the 100 TB stage-boundary
+    # parquet write this docstring already documents. Lazy: the stage
+    # count below materializes it.
+    quality = quality.localCheckpoint(eager=False)
     report["quality"] = quality.count()
 
     # 5. mixture (both options are deterministic hash gates —

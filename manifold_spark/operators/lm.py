@@ -142,15 +142,21 @@ def score_docs(
     """
     if model is None:
         # The model is referenced by three subtrees below (term join,
-        # prefix fallback, vocab scalar); without a persist each reference
-        # re-executes the whole training aggregation (measured: 27
-        # exchanges → 7). The frame is charset³-bounded — persisting it is
-        # the plan-shape fix, not a memory risk. Registered with the shared
-        # operator-cache registry (dedup._SHINGLE_CACHES) so
-        # `operator_cache_scope()` / `release_shingle_caches()` reclaim it.
-        from manifold_spark.operators.dedup import _persist_tracked
-
-        model = _persist_tracked(train_char_lm(docs, text_col=text_col, k=k))
+        # prefix fallback, vocab scalar); without materialization each
+        # reference re-executes the whole training aggregation (measured:
+        # 27 exchanges → 7). r14 round-close: localCheckpoint (the
+        # components-loop idiom, guide §3.3) instead of persist — persist
+        # only caches DATA; the LOGICAL plan still embedded the training
+        # lineage and every reference COPIED it (logical plans are trees,
+        # not DAGs), so a self-scoring caller's downstream plan tripled
+        # the whole upstream DAG per model reference (curate_corpus
+        # measured a 770 KB logical plan at the quality boundary — the
+        # canonicalize/cache-lookup cost of which dominated every later
+        # stage). The frame is charset³-bounded — checkpoint storage is
+        # not a memory risk; lazy so the first action materializes it.
+        model = train_char_lm(docs, text_col=text_col, k=k).localCheckpoint(
+            eager=False
+        )
     prefixes = model.select("prefix", "c2", "v").distinct()
     v_row = model.select(F.max("v").alias("v_all"))
 

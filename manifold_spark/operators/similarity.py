@@ -474,41 +474,82 @@ def kmeans_centroids(
 
         train = hash_sample(corpus, id_col, sample_fraction, seed=sample_seed)
 
-    cent = train.orderBy(id_col).limit(k).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    cid_type = train.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("centroid_id", cid_type, True),
+            StructField("cent_vec", ArrayType(DoubleType(), True), True),
+        ]
     )
-    for _ in range(iters):
-        # realias to the caller's column names — assign_centroids selects
-        # by id_col/vec_col, so hardcoded names would only work for the
-        # default schema
-        cent_as_corpus = cent.select(
-            F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
+
+    # r14 round-close: the codebook lives as DRIVER ROWS across rounds
+    # (the `pq_codebooks` shape) — the former loop round-tripped the
+    # k-row relation through createDataFrame each round, so every round
+    # paid a codebook-collect job (assign_centroids' take) ON TOP of the
+    # means job, and the caller's collect made one more. Now: one seed
+    # collect, then exactly ONE Spark job per Lloyd round (the means
+    # aggregate collect, ≤ k·dim rows). Assignment is the same scan-side
+    # literal argmax; means assembly sorts by pos in Python — the exact
+    # values array_sort(collect_list(struct(pos, mean))) produced
+    # (doubles survive collect bit-identically). A codebook past the
+    # literal budget falls back to the pre-r14 DataFrame loop.
+    max_rows = max(ASSIGN_LITERAL_MAX_ELEMENTS // max(dim, 1), 1)
+    if k > max_rows:
+        cent = train.orderBy(id_col).limit(k).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
         )
-        assigned = assign_centroids(train, cent_as_corpus, dim, id_col=id_col, vec_col=vec_col)
-        cells = assigned.select(
-            "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
-        )
-        means = (
-            cells.groupBy("centroid_id", "pos")
-            .agg(decimal_avg(F.col("val"), scale=8).alias("mean"))
-        )
-        cent = (
-            means.groupBy("centroid_id")
-            .agg(
+        for _ in range(iters):
+            cent_as_corpus = cent.select(
+                F.col("centroid_id").alias(id_col), F.col("cent_vec").alias(vec_col)
+            )
+            assigned = assign_centroids(
+                train, cent_as_corpus, dim, id_col=id_col, vec_col=vec_col
+            )
+            cells = assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            means = cells.groupBy("centroid_id", "pos").agg(
+                decimal_avg(F.col("val"), scale=8).alias("mean")
+            )
+            cent = means.groupBy("centroid_id").agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "mean"))),
                     lambda s: s["mean"],
                 ).alias("cent_vec")
             )
+            cent = train.sparkSession.createDataFrame(cent.collect(), cent.schema)
+        return cent
+
+    seed = train.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    cb = [(r[0], [float(v) for v in r[1]]) for r in seed]
+    cid_sql_type = cid_type.simpleString()
+    for _ in range(iters):
+        assigned = _assign_centroids_scan(
+            train, cb, dim, id_col, vec_col, 1, cid_sql_type
         )
-        # Materialize the k-row codebook to a local relation each round.
-        # Perf-neutral at iters=2 (measured — Spark reuses the shared
-        # subplans), but it caps the logical-plan depth: lazily chained,
-        # each round nests the previous round's whole DAG, and analysis/
-        # optimization cost compounds with iters. A k-row driver roundtrip
-        # is free and exact (doubles survive collect bit-identically).
-        cent = train.sparkSession.createDataFrame(cent.collect(), cent.schema)
-    return cent
+        cells = assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+        )
+        means = cells.groupBy("centroid_id", "pos").agg(
+            decimal_avg(F.col("val"), scale=8).alias("mean")
+        )
+        by_cid: dict = {}
+        for row in means.collect():  # bounded: ≤ k·dim rows
+            by_cid.setdefault(row["centroid_id"], []).append(
+                (row["pos"], float(row["mean"]))
+            )
+        # Exactly the old per-round relation: one row per cell WITH
+        # members (an emptied cell drops out, shrinking the codebook —
+        # the documented semantics), vectors ordered by pos.
+        cb = [
+            (cid, [m for _, m in sorted(by_cid[cid])])
+            for cid in sorted(by_cid)
+        ]
+    return train.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in cb], out_schema
+    )
 
 
 def topk_ivf_kmeans(
@@ -937,7 +978,16 @@ def semdedup(
         corpus.select(id_col, vec_col), cents_as_corpus, dim,
         id_col=id_col, vec_col=vec_col,
     )
-    with_sim = (
+    # r14 round-close: with_sim (assignment + broadcast centroid join +
+    # cent_sim cosine over the corpus) feeds THREE consumers — both
+    # sides of the within-cluster pair join and the final left join —
+    # so the whole corpus subtree re-evaluated 3× (the minhash-sigs
+    # persist precedent; released by `operator_cache_scope`/
+    # `release_shingle_caches`). At production scale this is the
+    # "persist the assignment layout once" shape SCALING.md documents.
+    from manifold_spark.operators.dedup import _persist_tracked
+
+    with_sim = _persist_tracked(
         assigned.join(broadcast(cents), "centroid_id")
         .withColumn("cent_sim", cosine_expr(vec_col, "cent_vec", dim))
         .drop("cent_vec")
