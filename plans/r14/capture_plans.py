@@ -30,6 +30,9 @@ HEADLINE = [
 EXTENDED = [
     "sim_cosine_near_dup", "sim_semdedup", "sim_ann_ivf_kmeans",
     "sim_ann_pq", "sim_ann_ivf_pq",
+    # round-close additions: candidate-pair single-pass + scan-side
+    # fingerprints (simhash/rp_lsh) and the LM lineage truncation
+    "dedup_simhash", "sim_rp_lsh_near_dup", "text_lm_score",
 ]
 
 
