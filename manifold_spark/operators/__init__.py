@@ -1528,17 +1528,34 @@ def q_sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate, union-tagged by `trained` (r8 fold — see _kmeans_union_oracle).
     The sampled variant is the scale default: Lloyd needs ~k·10³ vectors,
     not the corpus; search still covers the full corpus either way."""
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    full = similarity.topk_ivf_kmeans(
-        queries, emb, DIM,
-        k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
-    ).select(F.lit("full").alias("trained"), "*")
-    sampled = similarity.topk_ivf_kmeans(
-        queries, emb, DIM,
-        k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
-        sample_fraction=KMEANS_SAMPLE_BPS / 10000,
-    ).select(F.lit("sampled").alias("trained"), "*")
+    # r14 round-close (guide §2.6): the two quantizer trainings are
+    # independent (disjoint training sets, deterministic codebooks) and
+    # each one's Lloyd rounds are driver-blocking collect jobs — build
+    # both variants from a 2-thread pool so one training's collect
+    # barrier back-fills with the other's tasks. Values are unchanged:
+    # each training is self-contained and deterministic.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_full = pool.submit(
+            lambda: similarity.topk_ivf_kmeans(
+                queries, emb, DIM,
+                k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+            )
+        )
+        f_sampled = pool.submit(
+            lambda: similarity.topk_ivf_kmeans(
+                queries, emb, DIM,
+                k=TOP_K, n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+                sample_fraction=KMEANS_SAMPLE_BPS / 10000,
+            )
+        )
+        full = f_full.result().select(F.lit("full").alias("trained"), "*")
+        sampled = f_sampled.result().select(
+            F.lit("sampled").alias("trained"), "*"
+        )
     return full.unionByName(sampled)
 
 
@@ -3481,15 +3498,28 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return doc_rows.unionByName(stage_rows)
 
-    packed, report = curate_corpus(
-        docs, require_terminal_punct=True, **shared
-    )
-    alt_packed, alt_report = curate_corpus(
-        docs.filter(F.col("doc_id").cast("long") % CUR_ALT_MOD == 0),
-        require_terminal_punct=False,
-        keep_ppl_buckets=("head",),
-        **shared,
-    )
+    # r14 round-close (guide §2.6): the two knob paths are independent
+    # full pipelines whose stage counts are driver-blocking actions —
+    # run them from a 2-thread pool so one path's barriers back-fill
+    # with the other's tasks. Each path is deterministic and
+    # self-contained (per-thread frames; the shared cache registry's
+    # list ops are GIL-atomic), so results are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_doc = pool.submit(
+            lambda: curate_corpus(docs, require_terminal_punct=True, **shared)
+        )
+        f_alt = pool.submit(
+            lambda: curate_corpus(
+                docs.filter(F.col("doc_id").cast("long") % CUR_ALT_MOD == 0),
+                require_terminal_punct=False,
+                keep_ppl_buckets=("head",),
+                **shared,
+            )
+        )
+        packed, report = f_doc.result()
+        alt_packed, alt_report = f_alt.result()
     return _rows(packed, report, "doc", "stage").unionByName(
         _rows(alt_packed, alt_report, "alt", "alt_stage")
     )
