@@ -3218,10 +3218,23 @@ def q_text_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Held-out scoring / unseen-feature pricing / the pure-Python DSIR
     reference pin live in tests/test_textquality.py."""
-    from manifold_spark.operators.classifier import classify_self, dsir_logratio
+    from manifold_spark.operators.classifier import (
+        classify_self,
+        doc_bucket_tf,
+        dsir_logratio,
+    )
+    from manifold_spark.operators.dedup import _persist_tracked
 
     docs = _t(spark, sf_dir, "documents")
-    nb = classify_self(docs).select(
+    # r14 (guide §1.2): ONE persisted tokenize+gram+hash pass feeds both
+    # sections — NB training counts, NB scoring tf, DSIR scoring tf and
+    # DSIR n_features are all exact integer functions of this relation
+    # (the carried `lang` rides id-functionally; DSIR projects it away).
+    # Only DSIR's own two-class training still tokenizes (its target/raw
+    # labeling is a different corpus split). Values are bit-identical:
+    # per-(label,bucket) counts become Σtf, n_features becomes Σtf per doc.
+    shared_tf = _persist_tracked(doc_bucket_tf(docs, carry_cols=("lang",)))
+    nb = classify_self(docs, tf=shared_tf).select(
         F.lit("nb").alias("section"),
         "doc_id",
         "label_true",
@@ -3238,6 +3251,18 @@ def q_text_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         # `!=` would drop them from training entirely.
         docs.filter(F.coalesce(F.col("lang"), F.lit("")) != DSIR_TARGET_LANG),
         score_docs=docs,
+        score_tf=shared_tf,
+        # target/raw is a PARTITION of `docs` by lang (null → raw), so the
+        # two-class training counts are a regrouping of the same shared
+        # relation — the gate's last corpus tokenize pass gone.
+        train_tf=shared_tf.select(
+            "doc_id",
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit("target"))
+            .otherwise(F.lit("raw"))
+            .alias("_dsir_label"),
+            "bucket",
+            "tf",
+        ),
     ).select(
         F.lit("dsir").alias("section"),
         "doc_id",

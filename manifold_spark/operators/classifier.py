@@ -102,12 +102,48 @@ def _ln_q(num: Column, den: Column) -> Column:
     return F.floor(F.log(p) * F.lit(float(SCORE_SCALE))).cast("long")
 
 
+def doc_bucket_tf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, *carry_cols, bucket, tf) — THE one corpus tokenize + gram +
+    hash pass (r14, guide §1.2): training counts, scoring term
+    frequencies and DSIR's n_features are all exact integer functions of
+    this relation, so a caller that computes it once (and persists it)
+    replaces up to four corpus-wide tokenize passes with one.
+    ``carry_cols`` rides id-functional columns (e.g. the training label)
+    through the aggregate — same groups, label constant per id — so
+    training needs no corpus-shaped join to recover labels."""
+    docs = ensure_parallelism(docs)
+    return (
+        docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            normalized_tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.explode(feature_grams_from(F.col("__toks"))).alias("gram"),
+        )
+        .select(
+            id_col, *carry_cols, _bucket(F.col("gram"), n_buckets).alias("bucket")
+        )
+        .groupBy(id_col, *carry_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def train_nb(
     docs: DataFrame,
     label_col: str = "lang",
     text_col: str = "text",
     n_buckets: int = N_BUCKETS,
     alpha: int = ALPHA,
+    tf: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the smoothed NB model. Returns (model, class_table):
 
@@ -117,16 +153,29 @@ def train_nb(
       per-class null handling for observed features.
     - class_table: (label, prior_q, default_q, class_total) — default_q
       prices features never observed in training (held-out docs).
+
+    ``tf`` (r14): a precomputed `doc_bucket_tf(docs, carry_cols=
+    (label_col,))` relation. The per-(label, bucket) counts are then the
+    exact integer sums of its ``tf`` column — identical to counting the
+    exploded grams directly — and the corpus tokenize pass is shared
+    with scoring instead of re-run. Doc counts (priors) still come from
+    ``docs`` (a count-only aggregate, no tokenize).
     """
-    docs = ensure_parallelism(docs)
-    feats = docs.select(
-        F.col(label_col).alias("label"),
-        normalized_tokens(F.col(text_col)).alias("__toks"),
-    ).select(
-        "label",
-        F.explode(feature_grams_from(F.col("__toks"))).alias("gram"),
-    ).select("label", _bucket(F.col("gram"), n_buckets).alias("bucket"))
-    cnt = feats.groupBy("label", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    if tf is not None:
+        cnt = (
+            tf.groupBy(F.col(label_col).alias("label"), "bucket")
+            .agg(F.sum("tf").alias("cnt"))
+        )
+    else:
+        docs = ensure_parallelism(docs)
+        feats = docs.select(
+            F.col(label_col).alias("label"),
+            normalized_tokens(F.col(text_col)).alias("__toks"),
+        ).select(
+            "label",
+            F.explode(feature_grams_from(F.col("__toks"))).alias("gram"),
+        ).select("label", _bucket(F.col("gram"), n_buckets).alias("bucket"))
+        cnt = feats.groupBy("label", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
     class_tot = cnt.groupBy("label").agg(F.sum("cnt").alias("class_total"))
     n_docs_c = docs.groupBy(F.col(label_col).alias("label")).agg(
@@ -178,37 +227,46 @@ def score_nb_classes(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Per-(doc, class) quantized log-scores under a trained model —
     (id, label, score_q), one row per document per class. The shared
     core of `score_nb` (argmax classification) and `dsir_logratio`
     (two-class log-likelihood-ratio weighting). Features never seen in
-    training price at each class's default_q."""
-    docs = ensure_parallelism(docs)
-    feats = (
-        docs.select(
-            F.col(id_col), normalized_tokens(F.col(text_col)).alias("__toks")
-        )
-        .select(
-            F.col(id_col),
-            F.explode(feature_grams_from(F.col("__toks"))).alias("gram"),
-        )
-        .select(id_col, _bucket(F.col("gram"), n_buckets).alias("bucket"))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # Both reductions below (per-(doc, class) matched sums and the
-    # per-doc total) re-derive this relation; without a persist each
-    # branch repeats the tokenize+explode+bucket aggregation — the most
-    # expensive pass in the scoring plan. Measured on the 10× corpus
-    # (cold-cache min-of-2 per variant, interleaved in one session, r9):
-    # 78.1 s → 64.8 s self-classification. Registered with the shared
-    # operator-cache registry so `operator_cache_scope()` /
-    # `release_shingle_caches()` reclaim it.
-    if _PERSIST_TF:
-        from manifold_spark.operators.dedup import _persist_tracked
+    training price at each class's default_q.
 
-        feats = _persist_tracked(feats)
+    ``tf`` (r14): a precomputed (persisted) `doc_bucket_tf(docs, ...)`
+    relation over the SAME ``docs`` — extra carried columns are
+    projected away. Skips this call's own tokenize pass AND its
+    persist (the caller owns the shared relation's lifecycle)."""
+    docs = ensure_parallelism(docs)
+    if tf is not None:
+        feats = tf.select(id_col, "bucket", "tf")
+    else:
+        feats = (
+            docs.select(
+                F.col(id_col), normalized_tokens(F.col(text_col)).alias("__toks")
+            )
+            .select(
+                F.col(id_col),
+                F.explode(feature_grams_from(F.col("__toks"))).alias("gram"),
+            )
+            .select(id_col, _bucket(F.col("gram"), n_buckets).alias("bucket"))
+            .groupBy(id_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        # Both reductions below (per-(doc, class) matched sums and the
+        # per-doc total) re-derive this relation; without a persist each
+        # branch repeats the tokenize+explode+bucket aggregation — the most
+        # expensive pass in the scoring plan. Measured on the 10× corpus
+        # (cold-cache min-of-2 per variant, interleaved in one session, r9):
+        # 78.1 s → 64.8 s self-classification. Registered with the shared
+        # operator-cache registry so `operator_cache_scope()` /
+        # `release_shingle_caches()` reclaim it.
+        if _PERSIST_TF:
+            from manifold_spark.operators.dedup import _persist_tracked
+
+            feats = _persist_tracked(feats)
     matched = feats.join(broadcast(model), "bucket")
     m_sums = matched.groupBy(id_col, "label").agg(
         F.sum(F.col("tf") * F.col("w_q")).alias("m_sum"),
@@ -244,6 +302,7 @@ def score_nb(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Score + classify documents under a trained model. Returns
     (id, pred, score, margin): pred = argmax-class (ties → label asc),
@@ -252,7 +311,7 @@ def score_nb(
     price at each class's default_q — held-out docs score correctly."""
     per_class = score_nb_classes(
         docs, model, class_table, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, tf=tf,
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score_q").desc(), F.col("label"))
     return (
@@ -279,23 +338,43 @@ def classify_self(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """Train on the labeled corpus and score that same corpus (the
     corpus-curation setup: fit on the labeled seed, apply everywhere) —
     emits the true label beside the prediction for accuracy auditing.
     The model is referenced by two scoring subtrees (bucket join + the
     class table); persist via the shared operator-cache registry so the
-    training aggregation runs once."""
+    training aggregation runs once.
+
+    r14 (guide §1.2): training counts and scoring term frequencies both
+    derive from ONE persisted `doc_bucket_tf` relation carrying the
+    label — the corpus is tokenized once, not once per phase. The
+    per-(label, bucket) sums are exact integers, so the model (and
+    every downstream score) is bit-identical to the two-pass shape.
+    ``tf``: pass an already-persisted `doc_bucket_tf(docs,
+    carry_cols=(label_col,))` to share the relation with sibling
+    consumers (e.g. a DSIR section over the same corpus)."""
     from manifold_spark.operators.dedup import _persist_tracked
 
+    if tf is None:
+        tf = _persist_tracked(
+            doc_bucket_tf(
+                docs,
+                text_col=text_col,
+                id_col=id_col,
+                n_buckets=n_buckets,
+                carry_cols=(label_col,),
+            )
+        )
     model, class_table = train_nb(
-        docs, label_col=label_col, text_col=text_col, n_buckets=n_buckets
+        docs, label_col=label_col, text_col=text_col, n_buckets=n_buckets, tf=tf
     )
     model = _persist_tracked(model)
     class_table = _persist_tracked(class_table)
     scored = score_nb(
         docs, model, class_table, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, tf=tf,
     )
     return docs.select(id_col, F.col(label_col).alias("label_true")).join(
         scored, id_col
@@ -309,6 +388,8 @@ def dsir_logratio(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
+    score_tf: DataFrame | None = None,
+    train_tf: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling" — public recipe):
@@ -328,6 +409,20 @@ def dsir_logratio(
     setup of ranking the crawl by target-likeness). Returns
     (id, n_features, logratio); select the top slice by `logratio`
     (deterministic variant of DSIR's Gumbel resampling) or threshold.
+
+    ``score_tf`` (r14): a precomputed (persisted) `doc_bucket_tf` over
+    the scored corpus (ids assumed unique — the curation contract).
+    Scoring reuses it via `score_nb_classes(tf=...)` and ``n_features``
+    becomes the per-doc exact integer sum of its ``tf`` column
+    (n_features = total gram count = Σ tf; docs with no grams coalesce
+    to 0) — two more corpus tokenize passes gone.
+
+    ``train_tf`` (r14): a `doc_bucket_tf` relation over the target∪raw
+    union carrying a ``_dsir_label`` column ('target'/'raw'). When the
+    two pools partition an already-tokenized corpus, the caller derives
+    this as a projection of its shared tf relation and the training
+    tokenize pass disappears as well (per-(label, bucket) counts are
+    the exact integer Σtf either way).
     """
     from manifold_spark.operators.dedup import _persist_tracked
 
@@ -339,7 +434,8 @@ def dsir_logratio(
         )
     )
     model, class_table = train_nb(
-        labeled, label_col="_dsir_label", text_col=text_col, n_buckets=n_buckets
+        labeled, label_col="_dsir_label", text_col=text_col, n_buckets=n_buckets,
+        tf=train_tf,
     )
     model = _persist_tracked(model)
     class_table = _persist_tracked(class_table)
@@ -347,7 +443,7 @@ def dsir_logratio(
     to_score = raw_docs if score_docs is None else score_docs
     per_class = score_nb_classes(
         to_score, model, class_table, text_col=text_col, id_col=id_col,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, tf=score_tf,
     )
     scores = per_class.groupBy(id_col).agg(
         F.max(F.when(F.col("label") == "target", F.col("score_q"))).alias("t_q"),
@@ -357,6 +453,25 @@ def dsir_logratio(
         F.max(F.when(F.col("label") == "target", F.col("prior_q"))).alias("pt_q"),
         F.max(F.when(F.col("label") == "raw", F.col("prior_q"))).alias("pr_q"),
     )
+    if score_tf is not None:
+        n_feats = score_tf.groupBy(id_col).agg(
+            F.sum("tf").cast("int").alias("n_features")
+        )
+        return (
+            scores.crossJoin(broadcast(priors))
+            .join(n_feats, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("n_features"), F.lit(0)).cast("int").alias(
+                    "n_features"
+                ),
+                (
+                    ((F.col("t_q") - F.col("r_q")) - (F.col("pt_q") - F.col("pr_q")))
+                    .cast("double")
+                    / F.lit(float(SCORE_SCALE))
+                ).alias("logratio"),
+            )
+        )
     feats = (
         ensure_parallelism(to_score)
         .select(F.col(id_col), normalized_tokens(F.col(text_col)).alias("__toks"))
