@@ -57,12 +57,46 @@ def normalize_text(text: Column) -> Column:
 
 def char_ngrams(norm: Column, n: int = 3) -> Column:
     """Array of n-char substrings of the normalized text; shorter than n
-    → empty array (guard matters: sequence counts DOWN past zero)."""
+    → empty array (guard matters: sequence counts DOWN past zero).
+
+    Prefer `char_ngrams_from` over a staged `char_array` column in
+    corpus paths: each `substr(i, n)` here seeks from the string start
+    (UTF-8 has no O(1) char index), so this form is O(len²) per doc."""
     return F.when(
         F.length(norm) >= n,
         F.transform(
             F.sequence(F.lit(1), F.length(norm) - (n - 1)),
             lambda i: norm.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_array(norm: Column) -> Column:
+    """One-pass character array of ``norm`` (r14, guide §1.2): split on
+    the empty pattern emits exactly the per-position characters —
+    value-identical to `char_ngrams(norm, 1)` (incl. the empty-string
+    guard: bare split('') of '' yields ['']) — in O(len) instead of the
+    substr loop's O(len²) UTF-8 seeks."""
+    return F.when(F.length(norm) > 0, F.split(norm, "")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_ngrams_from(chars: Column, n: int = 3) -> Column:
+    """n-char grams from a PRE-STAGED `char_array` attribute: gram i is
+    the concat of its n single-char elements — the identical character
+    sequence `substr(i, n)` extracts, via O(1) `element_at` lookups.
+    Stage the array as its own projection first (a lambda capturing a
+    non-attribute subtree re-evaluates it per element)."""
+    if n == 1:
+        return chars
+    return F.when(
+        F.size(chars) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(chars) - n),
+            lambda i: F.concat(
+                *[F.element_at(chars, (i + j + 1).cast("int")) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -87,15 +121,20 @@ def train_char_lm(
     # re-evaluate captured subtrees PER ELEMENT: inlined, the
     # lower+regex+trim normalization ran once per CHARACTER POSITION
     # (O(len²)/doc; measured 7× on the bare trigram explode). Same rows.
-    normed = docs.select(normalize_text(F.col(text_col)).alias("__norm"))
-    norm = F.col("__norm")
-    tri = normed.select(F.explode(char_ngrams(norm, 3)).alias("tri"))
+    # r14 cont.: the CHAR ARRAY is staged too and trigrams concat its
+    # elements — each substr(i, 3) seeks from the string start (UTF-8),
+    # so even over a staged string the extraction was O(len²)/doc.
+    normed = docs.select(normalize_text(F.col(text_col)).alias("__norm")).select(
+        char_array(F.col("__norm")).alias("__chars")
+    )
+    chars = F.col("__chars")
+    tri = normed.select(F.explode(char_ngrams_from(chars, 3)).alias("tri"))
     c3 = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("c3"))
     c2 = c3.groupBy(F.substring("tri", 1, 2).alias("prefix")).agg(
         F.sum("c3").alias("c2")
     )
     vocab = (
-        normed.select(F.explode(char_ngrams(norm, 1)).alias("ch"))
+        normed.select(F.explode(char_ngrams_from(chars, 1)).alias("ch"))
         .agg(F.countDistinct("ch").alias("v"))
     )
     return (
@@ -162,11 +201,14 @@ def score_docs(
 
     docs = ensure_parallelism(docs)  # single-row-group parquet can't split
     # r14: normalization staged (see train_char_lm — inlined it ran per
-    # character position inside the trigram lambda).
+    # character position inside the trigram lambda); char array staged
+    # likewise (substr-per-position is O(len²) on UTF-8 strings).
     doc_tri = docs.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("__norm")
     ).select(
-        F.col(id_col), F.explode(char_ngrams(F.col("__norm"), 3)).alias("tri")
+        F.col(id_col), char_array(F.col("__norm")).alias("__chars")
+    ).select(
+        F.col(id_col), F.explode(char_ngrams_from(F.col("__chars"), 3)).alias("tri")
     ).withColumn("tri_prefix", F.substring("tri", 1, 2))
 
     scored = (

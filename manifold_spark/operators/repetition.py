@@ -139,13 +139,13 @@ def repetition_signals(
     # One relation of every countable unit: lines + n-grams for every n
     # + (late r8) raw characters for the entropy signal. Characters ride
     # the SAME exploded-counts shuffle — no new plan stage.
-    chars = F.when(
-        F.length(text) > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.length(text)),
-            lambda i: text.substr(i, F.lit(1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # r14 (guide §1.2): split('') instead of the per-position substr loop
+    # — substr(i, 1) seeks from the string start (UTF-8 has no O(1) char
+    # index), so extraction was O(len²)/doc; the split emits the
+    # identical character list (incl. empty/NULL handling) in one pass.
+    from manifold_spark.operators.lm import char_array
+
+    chars = char_array(text)
     # r14: tokens staged as an attribute before the n-gram transforms —
     # `_word_ngrams`' slice lambda captures its token input and
     # higher-order lambdas re-evaluate captured subtrees per element, so
