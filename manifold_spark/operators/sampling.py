@@ -285,14 +285,38 @@ def dsir_sample(
     featurize (no extractable n-grams) drop — a no-signal doc has no
     importance weight. One corpus-bounded model fit + two broadcast
     scalars; the corpus shuffles only on the doc-keyed score join."""
-    from manifold_spark.operators.classifier import dsir_logratio
+    from manifold_spark.operators.classifier import doc_bucket_tf, dsir_logratio
+    from manifold_spark.operators.dedup import _persist_tracked
 
     target = df.filter(F.col(source_col) == F.lit(target_value))
     raw = df.filter(
         F.coalesce(F.col(source_col), F.lit("")) != F.lit(target_value)
     )
+    # r14 (guide §1.2): target/raw PARTITION the corpus by source, so the
+    # two-class training counts, the scoring term frequencies and
+    # n_features are all exact integer functions of ONE tokenize pass —
+    # the same shared-tf wiring as the classifier gate (3 of 4 corpus
+    # tokenize passes gone; values bit-identical).
+    tf = _persist_tracked(
+        doc_bucket_tf(
+            df, text_col=text_col, id_col=key_col, carry_cols=(source_col,)
+        )
+    )
     lr = dsir_logratio(
-        target, raw, score_docs=df, text_col=text_col, id_col=key_col
+        target,
+        raw,
+        score_docs=df,
+        text_col=text_col,
+        id_col=key_col,
+        score_tf=tf,
+        train_tf=tf.select(
+            key_col,
+            F.when(F.col(source_col) == F.lit(target_value), F.lit("target"))
+            .otherwise(F.lit("raw"))
+            .alias("_dsir_label"),
+            "bucket",
+            "tf",
+        ),
     ).select(key_col, "logratio")
     # Materialize & TRUNCATE the score table: the logratio plan embeds
     # the NB featurize/scoring subtree plus several references to the

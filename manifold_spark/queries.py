@@ -266,9 +266,24 @@ _AUDIT_COUNTS_ORACLE = (
 
 @register("audit_counts", _AUDIT_COUNTS_ORACLE)
 def q_audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §1.2 plan diamonds): the union's branches scan `orders`
+    # seven times (row count, both-halves ×2, never-ordered, urgent semi,
+    # any-order anti, profile agg) and `customer` four times — one
+    # tracked cache each replaces the rescans (released by
+    # `operator_cache_scope`). The caches hold PROJECTIONS of exactly the
+    # columns the union touches, so the cache does not defeat column
+    # pruning (guide §6) — every branch computes the same values over
+    # the same columns either way.
+    from manifold_spark.operators.dedup import _persist_tracked
+
     docs = _t(spark, sf_dir, "documents")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    o = _persist_tracked(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice", "o_orderdate",
+        )
+    )
+    c = _persist_tracked(_t(spark, sf_dir, "customer").select("c_custkey"))
     events = _t(spark, sf_dir, "events")
 
     # Pivot (explicit value list → conditional aggregation, data-independent
