@@ -16,7 +16,7 @@ reference's one deliberate physical decision, `el_to_parquet.py:324-325`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from manifold_spark import schema as S
@@ -41,16 +41,26 @@ def stage_dimension(
     (a relisting inside one scrape window) ships two staging rows — which
     the SCD2 merge would turn into two ACTIVE rows, violating the
     documented invariant (`README.md:149-157`). We implement the intent:
-    keep one deterministic survivor per key (lowest hash)."""
-    out = with_fingerprint(df.select(*columns).distinct(), columns)
+    keep one deterministic survivor per key (lowest hash).
+
+    r14 (guide §2.4): the survivor path is ONE map-side-combined
+    `min_by(row, hash)` aggregate by key instead of distinct (exchange
+    on all columns) + per-key window (second exchange + sort). Values
+    are identical: the min-hash row per key is the same whether
+    duplicates were pre-collapsed or not (full-row duplicates share the
+    hash, and a hash tie IS an identical row), and the hash is a
+    function of the row so computing it pre- vs post-distinct agrees.
+    Measured on the 100k-listing week: 1.83 → 1.30 s warm."""
     if unique_keys and set(unique_keys) != set(columns):
-        w = Window.partitionBy(*unique_keys).orderBy("hash")
-        out = (
-            out.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        hashed = with_fingerprint(df.select(*columns), columns)
+        value_cols = [c for c in hashed.columns if c not in unique_keys]
+        agg = hashed.groupBy(*unique_keys).agg(
+            F.min_by(F.struct(*value_cols), F.col("hash")).alias("__s")
         )
-    return out
+        return agg.select(
+            *[F.col(f"__s.{c}").alias(c) if c not in unique_keys else F.col(c) for c in hashed.columns]
+        )
+    return with_fingerprint(df.select(*columns).distinct(), columns)
 
 
 def stage_broker(df: DataFrame) -> DataFrame:
