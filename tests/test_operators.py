@@ -371,6 +371,36 @@ def test_stage_asset_dedups_business_key(spark):
     assert a == b
 
 
+def test_stage_dimension_minby_equals_distinct_window(spark):
+    """r14 internals pin: the fused min_by survivor pick must equal the
+    pre-r14 distinct + per-key row_number reference on a frame with
+    duplicate keys, full-row duplicates AND a NULL key."""
+    from pyspark.sql import Window
+
+    from manifold_spark.stage import stage_dimension, with_fingerprint
+
+    rows = [
+        ("K1", "a", 1.0), ("K1", "b", 2.0), ("K1", "b", 2.0),  # dup key + dup row
+        ("K2", "c", 3.0),
+        (None, "d", 4.0), (None, "e", 5.0),  # NULL key groups together
+    ]
+    df = spark.createDataFrame(rows, "k string, attr string, val double")
+    cols = ["k", "attr", "val"]
+
+    fused = stage_dimension(df, cols, unique_keys=["k"])
+
+    ref = with_fingerprint(df.select(*cols).distinct(), cols)
+    w = Window.partitionBy("k").orderBy("hash")
+    ref = (
+        ref.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    assert fused.columns == ref.columns
+    assert fused.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fused).count() == 0
+
+
 def test_fingerprint_null_safe(spark):
     from manifold_spark.functions.hashing import fingerprint
 

@@ -1328,3 +1328,73 @@ def test_dsir_keep_rates_all_null_logratios(spark):
         scored.limit(0), "logratio", 0.5
     )
     assert empty.count() == 0
+
+
+def test_char_ngrams_from_equals_substr_form(spark):
+    """r14 internals pin: the staged char-array trigram builder must be
+    value-identical to the substr-per-position form on unicode, short,
+    empty and NULL inputs (the O(len) rewrite must not change a gram)."""
+    df = spark.createDataFrame(
+        [("héllo wörld",), ("日本語テスト",), ("ab",), ("",), (None,), ("a b  c",)],
+        "t string",
+    )
+    norm = lm.normalize_text(F.col("t"))
+    for n in (1, 3):
+        rows = df.select(
+            lm.char_ngrams(norm, n).alias("old"),
+            lm.char_ngrams_from(lm.char_array(norm), n).alias("new"),
+        ).collect()
+        for r in rows:
+            assert r["old"] == r["new"], (n, r)
+
+
+def test_classifier_shared_tf_paths_bit_identical(spark):
+    """r14 internals pin: the shared-tf wiring (train_nb(tf=),
+    score_nb(tf=), dsir_logratio(score_tf=, train_tf=)) must reproduce
+    the plain per-phase paths exactly — same model rows, same scores,
+    same n_features (incl. a doc with no extractable grams → 0)."""
+    from manifold_spark.operators.classifier import (
+        classify_self,
+        doc_bucket_tf,
+        dsir_logratio,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "en"),
+            (2, "the quick brown fox leaps", "en"),
+            (3, "der schnelle braune fuchs", "de"),
+            (4, "le renard brun rapide", None),
+            (5, "", "en"),  # no grams → n_features 0, still scored
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+    plain = {r["doc_id"]: tuple(r) for r in classify_self(docs).collect()}
+    tf = doc_bucket_tf(docs, carry_cols=("lang",)).persist()
+    shared = {r["doc_id"]: tuple(r) for r in classify_self(docs, tf=tf).collect()}
+    assert plain == shared
+
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.coalesce(F.col("lang"), F.lit("")) != "en")
+    d_plain = {
+        r["doc_id"]: (r["n_features"], r["logratio"])
+        for r in dsir_logratio(target, raw, score_docs=docs).collect()
+    }
+    train_tf = tf.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit("target"))
+        .otherwise(F.lit("raw"))
+        .alias("_dsir_label"),
+        "bucket",
+        "tf",
+    )
+    d_shared = {
+        r["doc_id"]: (r["n_features"], r["logratio"])
+        for r in dsir_logratio(
+            target, raw, score_docs=docs, score_tf=tf, train_tf=train_tf
+        ).collect()
+    }
+    tf.unpersist()
+    assert d_plain == d_shared
+    assert d_plain[5][0] == 0  # gramless doc prices at zero features
