@@ -693,20 +693,49 @@ def simhash_fingerprints(
         F.explode(normalized_tokens(F.col(text_col))).alias("token"),
     )
     h = toks.withColumn("h", stable_long_hash(F.col("token")))
+    # r15 single-parse rendering (guide §7.3 / VERDICT r14 #6): the
+    # num_bits ±1 bit-sum aggregates and the packed CASE sum are the same
+    # integer expressions the Column chains built (`&` parenthesized —
+    # it binds looser than `*` in SQL), parsed in num_bits + 1 JVM calls
+    # instead of ~14 py4j round trips per bit. Integer arithmetic, so the
+    # fingerprints are value-identical; pinned against the Column form
+    # (`_simhash_bitsum_column`/`_simhash_packed_column`) in
+    # tests/test_linalg_fastpath.py.
     bitsums = h.groupBy("doc_id").agg(
         *[
-            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b_{j}")
+            F.expr(f"sum((shiftright(h, {j}) & 1) * 2 - 1) AS b_{j}")
             for j in range(num_bits)
         ]
     )
-    packed = functools.reduce(
+    packed_sql = " + ".join(
+        f"(CASE WHEN b_{j} > 0 THEN CAST({2**j} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for j in range(num_bits)
+    )
+    return bitsums.selectExpr("doc_id", f"{packed_sql} AS fp")
+
+
+def _simhash_bitsum_column(j: int) -> Column:
+    """Pre-r15 per-bit sum Column over `h` — the reference form the
+    single-parse aggregate in `simhash_fingerprints` is value-pinned
+    against."""
+    return F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+        f"b_{j}"
+    )
+
+
+def _simhash_packed_column(num_bits: int) -> Column:
+    """Pre-r15 packed-fingerprint Column over b_0..b_{n-1} — the
+    reference form for the value pin."""
+    return functools.reduce(
         operator.add,
         [
-            F.when(F.col(f"b_{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"b_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
             for j in range(num_bits)
         ],
     )
-    return bitsums.select("doc_id", packed.alias("fp"))
 
 
 def simhash_pairs(

@@ -147,7 +147,163 @@ def scd2_merge(
 
     ``base`` columns: ``keys + payload + hash``; ``target`` columns:
     ``sk_col + base.columns + record_start_date + record_end_date``.
+
+    r15 (guide §2.4/§3): single-pass MERGE — ONE full-outer join on the
+    business key routes every action, replacing the former 4-join
+    structure (changed-keys inner join → semi → anti → staging left
+    join; kept as `_scd2_merge_joins` for the equivalence pin). The
+    output is row-identical to the old form for EVERY input, including
+    duplicate-key staging rows and invariant-violating duplicate active
+    rows (pinned in tests/test_scd2_properties.py):
+
+    - the INSERT decision is per (active, staging) pair — ``t`` absent
+      or hash mismatch — exactly the old left-join filter;
+    - the EXPIRE decision is per KEY — the old changed-keys semi-join
+      expired every active row of a key as soon as ANY (t, b) pair of
+      that key mismatched. ∃(t,b): t.hash ≠ b.hash (strict !=, NULL
+      hashes never flag) is a pure function of the per-key DISTINCT
+      non-null hash sets T and B:  T≠∅ ∧ B≠∅ ∧ (|T|>1 ∨ |B|>1 ∨
+      T[1]≠B[1]) — computed as `collect_set(hash)` windows on each side
+      BEFORE the join, so no post-join shuffle is needed for the flag
+      (the sets are singletons whenever the documented invariants hold);
+    - each active row is emitted exactly once — staging rows are
+      numbered per key BEFORE the join (``__b_rn``) and the active side
+      is emitted from the ``__b_rn IS NULL OR __b_rn = 1`` pair only;
+      which staging row carries rn 1 is irrelevant (only t-side columns
+      and the key-level flag are emitted, so row_number ties cannot
+      affect the result).
+
+    Both sides join on ``__jk = struct(*keys)`` with PLAIN equality —
+    Spark's struct comparison is null-safe per field (NULL = NULL inside
+    a struct is a match, exactly `eqNullSafe`; verified incl. -0.0/0.0),
+    and unlike `eqNullSafe` join conditions the single struct key lets
+    the pre-join windows' hash partitioning be REUSED by the join: each
+    side is exchanged exactly once (window → sort-merge join with no
+    second exchange and no re-sort on the staging side).
+
+    Plan: 2 exchanges total into the join (the old form planned four
+    separate joins over the same relations), the join subtree shared by
+    both output branches via exchange reuse.
     """
+    if target is None:
+        return initial_load(base, sk_col, keys, as_of)
+
+    as_of = _as_date(as_of)
+    payload_cols = base.columns
+    as_of_lit = F.lit(as_of.isoformat()).cast("date")
+    sentinel = F.lit(SCD2_SENTINEL).cast("date")
+
+    active = target.filter(F.col("record_end_date") == sentinel)
+    inactive = target.filter(F.col("record_end_date") != sentinel)
+
+    jk = F.struct(*[F.col(k) for k in keys])
+    full_frame_b = Window.partitionBy("__jk").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = (
+        base.withColumn("__jk", jk)
+        .withColumn("__b", F.lit(1))
+        .withColumn(
+            "__b_rn",
+            F.row_number().over(
+                Window.partitionBy("__jk").orderBy(F.col(hash_col))
+            ),
+        )
+        .withColumn("__b_hs", F.collect_set(F.col(hash_col)).over(full_frame_b))
+        .alias("b")
+    )
+    # `__t` is an infallible t-presence marker (a join output column that
+    # is NULL exactly when the t side is absent): the old semi/anti pair
+    # emitted EVERY active row — even a pathological NULL-sk one — so
+    # presence must not be inferred from a data column.
+    t = (
+        active.withColumn("__jk", jk)
+        .withColumn("__t", F.lit(1))
+        .withColumn("__t_hs", F.collect_set(F.col(hash_col)).over(full_frame_b))
+        .alias("t")
+    )
+    joined = t.join(b, F.col("t.__jk") == F.col("b.__jk"), "full_outer")
+
+    # Key-level changed flag from the per-side distinct-hash sets (NULL
+    # when either side is absent — `when` routes that to "untouched",
+    # matching the old anti-join).
+    t_hs, b_hs = F.col("t.__t_hs"), F.col("b.__b_hs")
+    changed = (
+        (F.size(t_hs) > 0)
+        & (F.size(b_hs) > 0)
+        & (
+            (F.size(t_hs) > 1)
+            | (F.size(b_hs) > 1)
+            | (F.element_at(t_hs, 1) != F.element_at(b_hs, 1))
+        )
+    )
+
+    # Active branch: one output row per active row; expired iff the key
+    # changed, otherwise carried through untouched.
+    t_rows = joined.filter(
+        F.col("__t").isNotNull()
+        & (F.col("__b_rn").isNull() | (F.col("__b_rn") == 1))
+    ).select(
+        F.col(f"t.{sk_col}").alias(sk_col),
+        *[F.col(f"t.{c}").alias(c) for c in payload_cols],
+        F.col("t.record_start_date").alias("record_start_date"),
+        F.when(changed, F.date_sub(as_of_lit, 1))
+        .otherwise(F.col("t.record_end_date"))
+        .alias("record_end_date"),
+    )
+
+    # Insert branch: staging rows that are brand new (no active row) or
+    # pair-mismatched — per PAIR, off the pre-window join (the branch
+    # does not need the flag, so it skips the window's exchange+sort).
+    # `__b` (a literal marker, like `__t`) tests b-presence here so the
+    # insert branch never references the row_number/collect_set windows —
+    # column pruning then drops both window stacks (and their exchange)
+    # from this branch's plan.
+    inserts_src = joined.filter(
+        F.col("__b").isNotNull()
+        & (
+            F.col(f"t.{sk_col}").isNull()
+            | (F.col(f"t.{hash_col}") != F.col(f"b.{hash_col}"))
+        )
+    ).select(*[F.col(f"b.{c}").alias(c) for c in payload_cols])
+    inserts = inserts_src.withColumns(
+        {
+            "record_start_date": as_of_lit,
+            "record_end_date": sentinel,
+        }
+    )
+    # Surrogate keys continue from the current max (driver-side scalar — one
+    # tiny action over the dim's sk column only). `sk_offset` overrides it
+    # when the caller merges a SUBSET of the dimension (bucketed backend)
+    # but keys must stay unique table-wide.
+    max_sk = (
+        sk_offset
+        if sk_offset is not None
+        else (target.agg(F.max(sk_col)).collect()[0][0] or 0)
+    )
+    inserts = assign_surrogate_keys(inserts, sk_col, keys, offset=max_sk)
+
+    ordered = [sk_col, *payload_cols, *SCD2_COLS]
+    return (
+        inactive.select(*ordered)
+        .unionByName(t_rows.select(*ordered))
+        .unionByName(inserts.select(*ordered))
+    )
+
+
+def _scd2_merge_joins(
+    target: DataFrame | None,
+    base: DataFrame,
+    sk_col: str,
+    keys: list[str],
+    as_of: str | dt.date,
+    hash_col: str = "hash",
+    sk_offset: int | None = None,
+) -> DataFrame:
+    """The pre-r15 4-join merge, kept verbatim as the REFERENCE FORM the
+    single-pass `scd2_merge` is pinned against (bit-identity on unique,
+    duplicate-staging and duplicate-active inputs —
+    tests/test_scd2_properties.py). Not a production path."""
     if target is None:
         return initial_load(base, sk_col, keys, as_of)
 
@@ -197,10 +353,6 @@ def scd2_merge(
             "record_end_date": sentinel,
         }
     )
-    # Surrogate keys continue from the current max (driver-side scalar — one
-    # tiny action over the dim's sk column only). `sk_offset` overrides it
-    # when the caller merges a SUBSET of the dimension (bucketed backend)
-    # but keys must stay unique table-wide.
     max_sk = (
         sk_offset
         if sk_offset is not None

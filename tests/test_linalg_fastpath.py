@@ -220,3 +220,110 @@ def test_lit_double_array_nonfinite_falls_back(spark):
         L.lit_double_array([1.0, float("nan")]).alias("r")
     ).collect()[0]["r"]
     assert len(r) == 2 and r[0] == 1.0 and math.isnan(r[1])
+
+
+# ---------------------------------------------------------------------------
+# r15 single-parse fingerprints (VERDICT r14 #6): the RP-LSH packed
+# fingerprint and the simhash bit-sum/pack aggregates are rendered as ONE
+# SQL parse each. PySpark-generated lambda-variable names differ from the
+# parser's, so these are VALUE-level pins (exact integer equality on a
+# fixed corpus) rather than analyzed-tree pins — every arithmetic step is
+# the same per-term double multiply chain / integer add, so values must be
+# bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def test_rp_packed_expr_equals_column_form(spark):
+    from pyspark.sql import functions as F
+
+    from manifold_spark.operators.similarity import (
+        _rp_packed_columns,
+        _rp_packed_expr,
+        rp_hyperplanes,
+    )
+
+    dim, num_bits = 8, 12
+    planes = rp_hyperplanes(num_bits, dim)
+    rows = [
+        (1, [0.5, -0.25, 1.0, 0.0, -1.5, 2.25, -0.125, 0.75]),
+        (2, [0.0] * 8),
+        (3, [1e-9, -1e-9, 0.3, -0.3, 0.7, -0.7, 0.1, -0.1]),
+        (4, [float(i) - 3.5 for i in range(8)]),
+    ]
+    df = spark.createDataFrame(rows, "vid int, emb array<double>").select(
+        "vid", F.slice("emb", 1, dim).alias("__vec")
+    )
+    fast = {r["vid"]: r["fp"] for r in df.select(
+        "vid", _rp_packed_expr(planes, dim, num_bits).alias("fp")).collect()}
+    slow = {r["vid"]: r["fp"] for r in df.select(
+        "vid", _rp_packed_columns(planes, dim, num_bits).alias("fp")).collect()}
+    assert fast == slow
+
+
+def test_rp_band_entries_unchanged_by_single_parse(spark):
+    # End-to-end: the band-entry relation (vid, band, key) built through
+    # the single-parse fingerprint matches a reconstruction through the
+    # Column form on the sf0.001 embeddings.
+    from pyspark.sql import functions as F
+
+    from manifold_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim, num_bits, band_bits = 16, 12, 4
+    entries = sim._rp_band_entries(emb, dim, num_bits, band_bits, "vec_id", "embedding")
+    got = sorted(tuple(r) for r in entries.collect())
+
+    planes = sim.rp_hyperplanes(num_bits, dim)
+    staged = (
+        emb.filter(F.size(F.col("embedding")) > 0)
+        .select(F.col("vec_id").alias("vid"),
+                F.slice(F.col("embedding"), 1, dim).alias("__vec"))
+    )
+    fp = staged.select("vid", sim._rp_packed_columns(planes, dim, num_bits).alias("fp"))
+    n_bands = num_bits // band_bits
+    mask = (1 << band_bits) - 1
+    ref = fp.select(
+        "vid",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("fp", b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+            ) for b in range(n_bands)
+        ])).alias("bk"),
+    ).select("vid", "bk.band", "bk.key")
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got == want
+
+
+def test_simhash_single_parse_equals_column_form(spark):
+    from pyspark.sql import functions as F
+
+    from manifold_spark.operators.dedup import (
+        _simhash_bitsum_column,
+        _simhash_packed_column,
+        normalized_tokens,
+        simhash_fingerprints,
+    )
+    from manifold_spark.functions.hashing import stable_long_hash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    num_bits = 32
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in simhash_fingerprints(docs, "text", "doc_id", num_bits).collect()
+    }
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(normalized_tokens(F.col("text"))).alias("token"),
+    )
+    h = toks.withColumn("h", stable_long_hash(F.col("token")))
+    bitsums = h.groupBy("doc_id").agg(
+        *[_simhash_bitsum_column(j) for j in range(num_bits)]
+    )
+    want = {
+        r["doc_id"]: r["fp"]
+        for r in bitsums.select(
+            "doc_id", _simhash_packed_column(num_bits).alias("fp")
+        ).collect()
+    }
+    assert got == want

@@ -81,3 +81,96 @@ def test_scd2_invariants_hold_for_any_snapshot_sequence(spark, snaps):
             versions.sort(key=lambda r: r["record_start_date"])
             for prev, nxt in zip(versions, versions[1:]):
                 assert prev["record_end_date"] < nxt["record_start_date"]
+
+
+# ---------------------------------------------------------------------------
+# r15 single-pass MERGE pin: the full-outer-join `scd2_merge` must produce
+# EXACTLY the rows of the pre-r15 4-join reference form `_scd2_merge_joins`
+# — on well-formed inputs AND on the pathological ones the old code
+# tolerated (duplicate staging keys, invariant-violating duplicate active
+# rows). Surrogate keys for DUPLICATE-key insert groups are tie-broken by
+# row_number over an equal-key order in both forms, so the payload→sk
+# mapping inside such a group is not pinned; everything else is.
+# ---------------------------------------------------------------------------
+
+
+def _rows_sorted(df, drop_sk=None):
+    cols = [c for c in df.columns if c != drop_sk]
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _assert_merge_equivalent(spark, target, base, sk, keys, as_of, unique=True):
+    new = scd2.scd2_merge(target, base, sk, keys, as_of)
+    old = scd2._scd2_merge_joins(target, base, sk, keys, as_of)
+    if unique:
+        assert _rows_sorted(new) == _rows_sorted(old)
+    else:
+        # duplicate-key groups: rows (minus sk) and the sk sequence are
+        # each pinned; the pairing inside an equal-key tie is not.
+        assert _rows_sorted(new, drop_sk=sk) == _rows_sorted(old, drop_sk=sk)
+        assert sorted(r[sk] for r in new.collect()) == sorted(
+            r[sk] for r in old.collect()
+        )
+
+
+def test_single_pass_merge_equals_joins_form_unique_keys(spark):
+    w1 = _base(spark, {"a": "p", "b": "q", "c": None})
+    dim = scd2.scd2_merge(None, w1, "sk", KEYS, "2024-01-01")
+    dim = spark.createDataFrame(dim.collect(), dim.schema)
+    # a unchanged, b changed, c absent, d new
+    w2 = _base(spark, {"a": "p", "b": "r", "d": "q"})
+    _assert_merge_equivalent(spark, dim, w2, "sk", KEYS, "2024-01-08")
+
+
+def test_single_pass_merge_equals_joins_form_duplicate_staging(spark):
+    w1 = _base(spark, {"a": "p", "b": "q"})
+    dim = scd2.scd2_merge(None, w1, "sk", KEYS, "2024-01-01")
+    dim = spark.createDataFrame(dim.collect(), dim.schema)
+    # staging with DUPLICATE keys: a twice with different payloads (one
+    # matching the active hash, one not), b twice with the same changed
+    # payload, e twice brand-new — the old per-pair insert fan-out and
+    # the key-level expire must both be replicated.
+    rows = [("a", "p"), ("a", "z"), ("b", "r"), ("b", "r"), ("e", "x"), ("e", "y")]
+    df = spark.createDataFrame(rows, "k string, payload string")
+    w2 = with_fingerprint(df, ["k", "payload"])
+    _assert_merge_equivalent(spark, dim, w2, "sk", KEYS, "2024-01-08", unique=False)
+
+
+def test_single_pass_merge_equals_joins_form_duplicate_active(spark):
+    # Invariant-VIOLATING target: two active rows for key 'a' (one whose
+    # hash matches staging, one not) plus an expired historical row. The
+    # old form expired BOTH active rows of a key once any pair
+    # mismatched; the rewrite must reproduce that exactly.
+    import datetime as _dt
+
+    base_rows = [("a", "p"), ("a", "q"), ("b", "s")]
+    df = spark.createDataFrame(base_rows, "k string, payload string")
+    hashed = with_fingerprint(df, ["k", "payload"])
+    tgt = hashed.select(
+        (F.monotonically_increasing_id() + 1).alias("sk"),
+        "k",
+        "payload",
+        "hash",
+        F.lit("2024-01-01").cast("date").alias("record_start_date"),
+        F.lit(SCD2_SENTINEL).cast("date").alias("record_end_date"),
+    )
+    hist = spark.createDataFrame(
+        [(99, "b", "old", "deadbeef", _dt.date(2023, 1, 1), _dt.date(2023, 12, 31))],
+        tgt.schema,
+    )
+    tgt = spark.createDataFrame(tgt.collect(), tgt.schema).unionByName(hist)
+    w2 = _base(spark, {"a": "p", "b": "s", "c": "n"})
+    _assert_merge_equivalent(spark, tgt, w2, "sk", KEYS, "2024-01-08", unique=False)
+
+
+def test_single_pass_merge_equals_joins_form_null_keys(spark):
+    # NULL business keys must merge null-safely in both forms.
+    rows1 = [(None, "p"), ("a", "q")]
+    df1 = spark.createDataFrame(rows1, "k string, payload string")
+    w1 = with_fingerprint(df1, ["k", "payload"])
+    dim = scd2.scd2_merge(None, w1, "sk", KEYS, "2024-01-01")
+    dim = spark.createDataFrame(dim.collect(), dim.schema)
+    rows2 = [(None, "CHANGED"), ("a", "q"), ("b", "new")]
+    df2 = spark.createDataFrame(rows2, "k string, payload string")
+    w2 = with_fingerprint(df2, ["k", "payload"])
+    _assert_merge_equivalent(spark, dim, w2, "sk", KEYS, "2024-01-08")
