@@ -152,7 +152,11 @@ def curate_corpus(
     # a LogicalRDD — the local stand-in for the 100 TB stage-boundary
     # parquet write this docstring already documents. Lazy: the stage
     # count below materializes it.
-    quality = quality.localCheckpoint(eager=False)
+    # r15 (VERDICT r14 #7): durability-switchable boundary — see
+    # manifold_spark/plans/boundary.py (local default unchanged).
+    from manifold_spark.plans.boundary import stage_boundary
+
+    quality = stage_boundary(quality, "curation-quality")
     report["quality"] = quality.count()
 
     # 5. mixture (both options are deterministic hash gates —

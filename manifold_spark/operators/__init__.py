@@ -3230,8 +3230,10 @@ def q_text_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sections — NB training counts, NB scoring tf, DSIR scoring tf and
     # DSIR n_features are all exact integer functions of this relation
     # (the carried `lang` rides id-functionally; DSIR projects it away).
-    # Only DSIR's own two-class training still tokenizes (its target/raw
-    # labeling is a different corpus split). Values are bit-identical:
+    # The train_tf= wiring below folds DSIR's own two-class training onto
+    # the same relation too (a CASE-lang regrouping — the pools PARTITION
+    # the corpus), so NOTHING in this gate tokenizes the corpus twice.
+    # Values are bit-identical:
     # per-(label,bucket) counts become Σtf, n_features becomes Σtf per doc.
     shared_tf = _persist_tracked(doc_bucket_tf(docs, carry_cols=("lang",)))
     nb = classify_self(docs, tf=shared_tf).select(

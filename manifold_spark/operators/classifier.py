@@ -216,7 +216,11 @@ def train_nb(
 
 
 #: A/B toggle for the scoring tf-relation persist (kept measurable —
-#: see the comment at the persist site).
+#: see the comment at the persist site). Scope note (ADVICE r14): this
+#: only governs the ``tf=None`` fallback inside `score_nb_classes`;
+#: `classify_self` builds and persists its own shared tf relation
+#: unconditionally (the r14 one-tokenize-pass path), so the measured
+#: variant there is the persisted one either way.
 _PERSIST_TF = True
 
 
@@ -398,6 +402,11 @@ def dsir_logratio(
     distribution,
 
         w(d) = Σ_b tf_d(b) · [ln P(b | target) − ln P(b | raw)]
+
+    Contract note (ADVICE r14): doc ids are assumed unique. With
+    ``score_tf`` set, duplicate ids collapse to ONE output row per id
+    (per-id summed n_features); the legacy tokenize path emits one row
+    per input ROW. The paths agree exactly under the stated contract.
 
     — exactly the two-class NB score difference with the class priors
     subtracted out, so this is a thin composition of the driver-gated

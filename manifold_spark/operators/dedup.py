@@ -93,7 +93,30 @@ def operator_cache_scope():
 
 def normalized_tokens(text: Column) -> Column:
     """Lowercase, strip non-alphanumerics to spaces, split on whitespace,
-    drop empties — the shared canonicalization for every fuzzy-dedup op."""
+    drop empties — the shared canonicalization for every fuzzy-dedup op.
+
+    r15 (guide §1.2): ONE `regexp_extract_all('[\\p{L}\\p{N}]+')` pass
+    instead of regexp_replace-to-spaces + split + filter — RegExpReplace
+    rebuilds a replacement buffer per match (~1 match per token), which
+    measured 51× slower than extraction on a 500k-doc corpus for
+    identical values. Equality for EVERY input: maximal letter/digit
+    runs are the same set either way (both engines extract BEFORE
+    lowering, so run boundaries are identical), and per-token lowering
+    equals whole-string lowering restricted to the run — Java's only
+    context-sensitive lowering rule (final sigma) sees a non-letter
+    boundary in both forms. Pinned against the old form
+    (`_normalized_tokens_replace_form`); the dedup oracle gates mirror
+    the value."""
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(r"[\p{L}\p{N}]+"), F.lit(0)),
+        lambda t: F.lower(t),
+    )
+
+
+def _normalized_tokens_replace_form(text: Column) -> Column:
+    """Pre-r15 regexp_replace-based tokenizer — the reference form
+    `normalized_tokens` is value-pinned against (not a production
+    path)."""
     cleaned = F.lower(F.regexp_replace(text, r"[^\p{L}\p{N}]+", " "))
     return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
 

@@ -74,9 +74,13 @@ def char_ngrams(norm: Column, n: int = 3) -> Column:
 def char_array(norm: Column) -> Column:
     """One-pass character array of ``norm`` (r14, guide §1.2): split on
     the empty pattern emits exactly the per-position characters —
-    value-identical to `char_ngrams(norm, 1)` (incl. the empty-string
-    guard: bare split('') of '' yields ['']) — in O(len) instead of the
-    substr loop's O(len²) UTF-8 seeks."""
+    value-identical to `char_ngrams(norm, 1)` — in O(len) instead of the
+    substr loop's O(len²) UTF-8 seeks. The empty-string guard keeps ''
+    mapping to an empty array regardless of engine edge semantics: on the
+    pinned Spark 4.1.2, split('', '') yields [] (not ['']), and empty-
+    pattern split edge cases (leading/trailing empties) are JVM/Spark-
+    version-sensitive — `test_char_ngrams_from_equals_substr_form` is the
+    guard to re-run when bumping Spark."""
     return F.when(F.length(norm) > 0, F.split(norm, "")).otherwise(
         F.array().cast("array<string>")
     )
@@ -193,8 +197,15 @@ def score_docs(
         # canonicalize/cache-lookup cost of which dominated every later
         # stage). The frame is charset³-bounded — checkpoint storage is
         # not a memory risk; lazy so the first action materializes it.
-        model = train_char_lm(docs, text_col=text_col, k=k).localCheckpoint(
-            eager=False
+        # r15 (VERDICT r14 #7): the boundary is durability-switchable —
+        # localCheckpoint locally (unchanged bench behavior), a parquet
+        # write-read under spark.manifold.stageBoundary=parquet so a
+        # cluster run survives executor loss (localCheckpoint blocks have
+        # no replication and no recompute lineage).
+        from manifold_spark.plans.boundary import stage_boundary
+
+        model = stage_boundary(
+            train_char_lm(docs, text_col=text_col, k=k), "lm-model"
         )
     prefixes = model.select("prefix", "c2", "v").distinct()
     v_row = model.select(F.max("v").alias("v_all"))

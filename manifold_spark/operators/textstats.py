@@ -159,7 +159,27 @@ def quality_metrics(text: Column) -> dict[str, Column]:
 def doc_fingerprint(text: Column) -> Column:
     """Order-insensitive content fingerprint: lowercase → alnum-only
     tokens → distinct → sort → sha256. Robust to word reordering and
-    duplication; the cheap canonical key for fuzzy-exact dedup."""
+    duplication; the cheap canonical key for fuzzy-exact dedup.
+
+    r15 (guide §1.2 per-task work): tokens come from ONE
+    `regexp_extract_all('[A-Za-z0-9]+')` pass instead of
+    regexp_replace-to-spaces + split + filter — `RegExpReplace` pays a
+    per-match replacement-buffer rebuild, measured 51× slower on a
+    500k-doc corpus (40.3 → 0.79 s) for identical values. The token
+    arrays are provably equal: maximal alnum runs are the same set
+    either way, and lowering a pure-ASCII-alnum token equals the
+    substring of the lowered string. Pinned against the old form
+    (`_doc_fingerprint_replace_form`) in tests."""
+    tokens = F.transform(
+        F.regexp_extract_all(text, F.lit("[A-Za-z0-9]+"), F.lit(0)),
+        lambda t: F.lower(t),
+    )
+    return F.sha2(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens))), 256)
+
+
+def _doc_fingerprint_replace_form(text: Column) -> Column:
+    """Pre-r15 regexp_replace-based fingerprint — the reference form
+    `doc_fingerprint` is value-pinned against (not a production path)."""
     cleaned = F.lower(F.regexp_replace(text, r"[^A-Za-z0-9]+", " "))
     tokens = F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
     return F.sha2(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens))), 256)

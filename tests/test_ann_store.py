@@ -4,7 +4,16 @@ cells ⇒ same candidates ⇒ bit-identical cosines), its probe reads must
 prune to the probed cells, and its versioning (commit markers /
 compaction / GC / retry) must follow the CurationState discipline."""
 
+
 from __future__ import annotations
+
+import pytest
+
+# r15 slow tier (VERDICT r14 #2): disk-backed ANN index store builds/appends/probes —
+# excluded from the default (driver-verify) run by pytest.ini's
+# `-m "not slow"`; run with `-m slow` (round-close evidence in
+# OPTIMIZATION_r15.md).
+pytestmark = pytest.mark.slow
 
 import os
 

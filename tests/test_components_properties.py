@@ -5,6 +5,14 @@ Both backends (label propagation and alternating star contraction) are
 held to the same reference."""
 
 import pytest
+
+# r15 slow tier (VERDICT r14 #2): hypothesis connected-components convergence —
+# excluded from the default (driver-verify) run by pytest.ini's
+# `-m "not slow"`; run with `-m slow` (round-close evidence in
+# OPTIMIZATION_r15.md).
+pytestmark = pytest.mark.slow
+
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -2,7 +2,16 @@
 operators composed clean → exact dedup → fuzzy dedup → quality → mixture
 → packing, with per-stage accounting."""
 
+
 from __future__ import annotations
+
+import pytest
+
+# r15 slow tier (VERDICT r14 #2): full curation pipeline compositions —
+# excluded from the default (driver-verify) run by pytest.ini's
+# `-m "not slow"`; run with `-m slow` (round-close evidence in
+# OPTIMIZATION_r15.md).
+pytestmark = pytest.mark.slow
 
 import gc
 

@@ -20,7 +20,16 @@ VERDICT r10 #1 / ADVICE r10 demanded:
   boundary batch, and raising the cap restores it.
 """
 
+
 from __future__ import annotations
+
+import pytest
+
+# r15 slow tier (VERDICT r14 #2): store-backed incremental curation drives (6-trigger store runs) —
+# excluded from the default (driver-verify) run by pytest.ini's
+# `-m "not slow"`; run with `-m slow` (round-close evidence in
+# OPTIMIZATION_r15.md).
+pytestmark = pytest.mark.slow
 
 import os
 

@@ -327,3 +327,47 @@ def test_simhash_single_parse_equals_column_form(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_tokenizer_extract_all_equals_replace_form(spark):
+    """r15: `normalized_tokens` / `doc_fingerprint` via regexp_extract_all
+    must be value-identical to the pre-r15 regexp_replace forms —
+    including unicode lowering edge cases (final sigma, accents, CJK)
+    and NULL/empty/punct-only inputs — on top of the corpus pins below."""
+    from pyspark.sql import functions as F
+
+    from manifold_spark.operators.dedup import (
+        _normalized_tokens_replace_form,
+        normalized_tokens,
+    )
+    from manifold_spark.operators.textstats import (
+        _doc_fingerprint_replace_form,
+        doc_fingerprint,
+    )
+
+    rows = [
+        (1, "Hello, World! 123"),
+        (2, None),
+        (3, ""),
+        (4, "!!! ... ---"),
+        (5, "ΟΔΟΣ ΣΟΦΙΑΣ"),          # Greek final-sigma lowering
+        (6, "Café naïve façade"),     # accented letters are \p{L}
+        (7, "中文mixedAbc 漢字123"),   # CJK letters
+        (8, "a  b\t\nc   d"),
+        (9, "Ab1!@#Cd2"),
+    ]
+    df = spark.createDataFrame(rows, "i int, text string")
+    got = df.select("i", normalized_tokens(F.col("text")).alias("t"),
+                    doc_fingerprint(F.col("text")).alias("fp")).collect()
+    want = df.select("i", _normalized_tokens_replace_form(F.col("text")).alias("t"),
+                     _doc_fingerprint_replace_form(F.col("text")).alias("fp")).collect()
+    assert sorted(map(repr, got)) == sorted(map(repr, want))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    diff = docs.select(
+        (
+            (normalized_tokens(F.col("text")) != _normalized_tokens_replace_form(F.col("text")))
+            | (doc_fingerprint(F.col("text")) != _doc_fingerprint_replace_form(F.col("text")))
+        ).alias("d")
+    ).filter("d").count()
+    assert diff == 0

@@ -321,3 +321,24 @@ def test_topk_ivf_pq_broadcast_queries_knob(spark, sf_dir):
         "BroadcastExchange"
     )
     assert "SortMergeJoin" in unhinted or "ShuffledHashJoin" in unhinted
+
+
+def test_stage_boundary_modes_row_identical(spark, sf_dir):
+    """r15 (VERDICT r14 #7): the durable (parquet) stage boundary returns
+    the identical rows as the local (localCheckpoint) default, and its
+    read-back plan is a plain scan (lineage truncated)."""
+    from manifold_spark.operators.lm import score_docs
+    from manifold_spark.plans.boundary import stage_boundary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    local_rows = sorted(map(repr, score_docs(docs).collect()))
+    spark.conf.set("spark.manifold.stageBoundary", "parquet")
+    try:
+        durable_rows = sorted(map(repr, score_docs(docs).collect()))
+        # direct helper check: plan truncated to a scan
+        bounded = stage_boundary(docs.filter("doc_id % 2 = 0"), "pin")
+        plan = bounded._jdf.queryExecution().optimizedPlan().toString()
+        assert "Relation" in plan and "Filter" not in plan
+    finally:
+        spark.conf.set("spark.manifold.stageBoundary", "local")
+    assert durable_rows == local_rows

@@ -2,7 +2,16 @@
 brute force, code well-formedness, partitioning determinism, recall
 floor, and the zero-shuffle encode plan shape."""
 
+
 from __future__ import annotations
+
+import pytest
+
+# r15 slow tier (VERDICT r14 #2): PQ codebook training tiers —
+# excluded from the default (driver-verify) run by pytest.ini's
+# `-m "not slow"`; run with `-m slow` (round-close evidence in
+# OPTIMIZATION_r15.md).
+pytestmark = pytest.mark.slow
 
 import pytest
 from pyspark.sql import functions as F

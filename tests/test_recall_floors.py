@@ -18,7 +18,16 @@ Floor choices are invariants, not tuned numbers:
 - ANN recall@k: plan-quality floor (measured 1.0 / 0.975 at sf0.1).
 """
 
+
 from __future__ import annotations
+
+import pytest
+
+# r15 slow tier (VERDICT r14 #2): brute-force ground-truth recall sweeps —
+# excluded from the default (driver-verify) run by pytest.ini's
+# `-m "not slow"`; run with `-m slow` (round-close evidence in
+# OPTIMIZATION_r15.md).
+pytestmark = pytest.mark.slow
 
 import pytest
 

@@ -3,6 +3,14 @@ evolution where each week samples ~80% of the asset universe and perturbs
 ~10% of prices (`/root/reference/README.md:173`; FIXTURES.md §1). After
 every week the warehouse must hold all SCD2 + fact invariants."""
 
+import pytest
+
+# r15 slow tier (VERDICT r14 #2): 10-week warehouse evolution —
+# excluded from the default (driver-verify) run by pytest.ini's
+# `-m "not slow"`; run with `-m slow` (round-close evidence in
+# OPTIMIZATION_r15.md).
+pytestmark = pytest.mark.slow
+
 import datetime as dt
 import random
 

@@ -4,7 +4,16 @@ corpus doesn't have) and char-trigram LM scoring (held-out docs with
 unseen trigrams exercise the smoothing fallback the self-scored gate
 never hits)."""
 
+
 from __future__ import annotations
+
+import pytest
+
+# r15 slow tier (VERDICT r14 #2): text-quality model training paths —
+# excluded from the default (driver-verify) run by pytest.ini's
+# `-m "not slow"`; run with `-m slow` (round-close evidence in
+# OPTIMIZATION_r15.md).
+pytestmark = pytest.mark.slow
 
 import math
 
